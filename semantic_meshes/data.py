@@ -1,0 +1,180 @@
+"""Public data layer: Camera, Ply, Colmap — reference-compatible classes.
+
+API parity targets:
+- `data.Camera(rotation, translation, resolution, focal_lengths,
+  principal_point)` (ref: python/semantic_meshes/include/Camera.h:16-57)
+- `data.Ply(path)` + `.save(path, colors[, bin])`
+  (ref: python/semantic_meshes/include/Ply.h:10-54)
+- `data.Colmap(workspace)` + `.getCamera(index | path)`
+  (ref: python/semantic_meshes/include/Colmap.h:8-26, src/data/Colmap.cpp:7-62)
+
+`resolution` is (width, height), matching the reference scripts which pass
+`[resolution[1], resolution[0]]` for an (H, W) image
+(ref: eval-scannet/eval_scannet.py:156).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from .io import colmap as colmap_io
+from .io import ply as ply_io
+
+
+@dataclass(frozen=True)
+class Camera:
+    """Pinhole camera: world->camera rigid transform + intrinsics.
+
+    rotation (3,3) f32 and translation (3,) f32 map world points into camera
+    space (p_cam = R p + t); focal_lengths/principal_point are in pixels;
+    resolution is (width, height) int32 (static aux data — not traced).
+    """
+
+    rotation: jax.Array
+    translation: jax.Array
+    focal_lengths: jax.Array
+    principal_point: jax.Array
+    resolution: tuple = field(metadata=dict(static=True), default=(0, 0))
+
+    def __init__(self, rotation, translation, resolution=None, focal_lengths=None,
+                 principal_point=None):
+        # Positional order matches the reference binding:
+        # Camera(rotation, translation, resolution, focal_lengths, principal_point)
+        object.__setattr__(self, "rotation", np.asarray(rotation, np.float32))
+        object.__setattr__(self, "translation", np.asarray(translation, np.float32))
+        object.__setattr__(
+            self, "focal_lengths", np.asarray(focal_lengths, np.float32)
+        )
+        object.__setattr__(
+            self, "principal_point", np.asarray(principal_point, np.float32)
+        )
+        res = np.asarray(resolution).reshape(2).astype(np.int64)
+        object.__setattr__(self, "resolution", (int(res[0]), int(res[1])))
+        if self.rotation.shape != (3, 3):
+            raise ValueError(f"rotation must be (3, 3), got {self.rotation.shape}")
+        if self.translation.shape != (3,):
+            raise ValueError(
+                f"translation must be (3,), got {self.translation.shape}"
+            )
+
+    @property
+    def width(self):
+        return self.resolution[0]
+
+    @property
+    def height(self):
+        return self.resolution[1]
+
+
+# Camera is a pytree: arrays are leaves, resolution is static aux data. We
+# register manually because the constructor keeps the reference's positional
+# order (rotation, translation, resolution, f, c) rather than field order.
+def _camera_flatten(c):
+    return (
+        (c.rotation, c.translation, c.focal_lengths, c.principal_point),
+        c.resolution,
+    )
+
+
+def _camera_unflatten(resolution, children):
+    rotation, translation, focal_lengths, principal_point = children
+    obj = object.__new__(Camera)
+    object.__setattr__(obj, "rotation", rotation)
+    object.__setattr__(obj, "translation", translation)
+    object.__setattr__(obj, "focal_lengths", focal_lengths)
+    object.__setattr__(obj, "principal_point", principal_point)
+    object.__setattr__(obj, "resolution", resolution)
+    return obj
+
+
+try:  # replace the register_dataclass handlers with ours
+    jax.tree_util.register_pytree_node(Camera, _camera_flatten, _camera_unflatten)
+except ValueError:
+    pass  # already registered
+
+
+def stack_cameras(cameras):
+    """Stack a list of same-resolution Cameras into batched arrays
+    (R (N,3,3), t (N,3), f (N,2), c (N,2)) for vmapped projection."""
+    return (
+        np.stack([c.rotation for c in cameras]),
+        np.stack([c.translation for c in cameras]),
+        np.stack([c.focal_lengths for c in cameras]),
+        np.stack([c.principal_point for c in cameras]),
+    )
+
+
+class Ply:
+    """Triangle mesh loaded from a PLY file.
+
+    ref: python Ply binding (python/semantic_meshes/include/Ply.h:10-54).
+    """
+
+    def __init__(self, path):
+        self.path = str(path)
+        self.vertices, self.faces = ply_io.read_mesh(self.path)
+
+    def save(self, path, annotation_colors, bin=True):
+        """Save the mesh with per-face RGB colors (uint8-castable (T, 3)).
+
+        Accepts numpy / jax / anything np.asarray handles — the reference
+        accepted numpy and TF tensors via dispatch
+        (ref: python/semantic_meshes/include/Ply.h:41-47).
+        """
+        colors = np.asarray(annotation_colors)
+        if colors.shape != (self.faces.shape[0], 3):
+            raise ValueError(
+                f"annotation colors must be ({self.faces.shape[0]}, 3), "
+                f"got {colors.shape}"
+            )
+        ply_io.write_mesh(
+            path, self.vertices, self.faces, colors.astype(np.uint8), binary=bin
+        )
+
+
+class Colmap:
+    """COLMAP workspace: per-image cameras sorted by image name.
+
+    ref: src/data/Colmap.cpp:7-62. Image metadata is sorted by name
+    (Colmap.cpp:19-21); getCamera accepts an integer index or an image
+    path/filename. Unknown names raise KeyError (the reference printed and
+    exit(-1), Colmap.cpp:60-61 — exceptions are the documented improvement).
+    """
+
+    def __init__(self, workspace_path):
+        self.workspace_path = str(workspace_path)
+        self._cameras = colmap_io.read_cameras(self.workspace_path)
+        images = colmap_io.read_images(self.workspace_path)
+        self._images = sorted(images.values(), key=lambda im: im.name)
+        self._name_to_index = {im.name: i for i, im in enumerate(self._images)}
+
+    def getImageNum(self):
+        return len(self._images)
+
+    def getImageIndex(self, path):
+        filename = os.path.basename(str(path).rstrip("/"))
+        if filename not in self._name_to_index:
+            raise KeyError(
+                f"Image with name {filename} not found in colmap workspace"
+            )
+        return self._name_to_index[filename]
+
+    def getCamera(self, image_id):
+        if not isinstance(image_id, (int, np.integer)):
+            image_id = self.getImageIndex(image_id)
+        meta = self._images[image_id]
+        cam = self._cameras[meta.camera_id]
+        return Camera(
+            meta.rotation().astype(np.float32),
+            meta.tvec.astype(np.float32),
+            cam.resolution,
+            cam.focal_lengths.astype(np.float32),
+            cam.principal_point.astype(np.float32),
+        )
+
+    def getCameras(self):
+        return [self.getCamera(i) for i in range(len(self._images))]

@@ -1,0 +1,215 @@
+"""ScanNet `.sens` RGB-D sensor-stream parser.
+
+Reimplementation of the stream format consumed by the reference
+(ref: python/semantic_meshes/data2/scannet.py:18-119; format origin:
+github.com/ScanNet/ScanNet SensReader, sensor stream version 4).
+
+Layout (little-endian):
+  header: u32 version(==4) | u64 strlen | sensor_name bytes |
+          4x (16 f32 row-major 4x4): intrinsic_color, extrinsic_color,
+          intrinsic_depth, extrinsic_depth |
+          i32 color_compression | i32 depth_compression |
+          u32 color_width | u32 color_height | u32 depth_width |
+          u32 depth_height | f32 depth_shift | u64 num_frames
+  frame:  16 f32 camera_to_world | u64 timestamp_color | u64 timestamp_depth |
+          u64 color_bytes | u64 depth_bytes | color blob | depth blob
+
+Frames are sorted by color timestamp after load, matching the reference
+(scannet.py:77).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+COMPRESSION_TYPE_COLOR = {-1: "unknown", 0: "raw", 1: "png", 2: "jpeg"}
+COMPRESSION_TYPE_DEPTH = {
+    -1: "unknown",
+    0: "raw_ushort",
+    1: "zlib_ushort",
+    2: "occi_ushort",
+}
+
+
+def _read_mat4(f):
+    return np.frombuffer(f.read(64), dtype="<f4").reshape(4, 4).copy()
+
+
+class RGBDFrame:
+    """One RGB-D frame: pose + compressed color/depth payloads."""
+
+    __slots__ = (
+        "camera_to_world",
+        "timestamp_color",
+        "timestamp_depth",
+        "color_size_bytes",
+        "depth_size_bytes",
+        "color_data",
+        "depth_data",
+    )
+
+    def __init__(self, f):
+        self.camera_to_world = _read_mat4(f)
+        (
+            self.timestamp_color,
+            self.timestamp_depth,
+            self.color_size_bytes,
+            self.depth_size_bytes,
+        ) = struct.unpack("<QQQQ", f.read(32))
+        self.color_data = f.read(self.color_size_bytes)
+        self.depth_data = f.read(self.depth_size_bytes)
+
+    def decompress_color(self, compression_type="jpeg"):
+        if compression_type != "jpeg":
+            raise NotImplementedError(
+                f"color compression {compression_type!r} not supported"
+            )
+        return self.decompress_color_jpeg()
+
+    def decompress_color_jpeg(self):
+        import imageio.v2 as imageio
+
+        return imageio.imread(self.color_data)
+
+    def decompress_depth(self, compression_type="zlib_ushort"):
+        if compression_type != "zlib_ushort":
+            raise NotImplementedError(
+                f"depth compression {compression_type!r} not supported"
+            )
+        return self.decompress_depth_zlib()
+
+    def decompress_depth_zlib(self):
+        return zlib.decompress(self.depth_data)
+
+
+class SensFile:
+    """Parsed .sens stream (version 4)."""
+
+    VERSION = 4
+
+    def __init__(self, filename, max_frames=None):
+        self.version = self.VERSION
+        with open(filename, "rb") as f:
+            (version,) = struct.unpack("<I", f.read(4))
+            if version != self.VERSION:
+                raise ValueError(
+                    f"{filename}: unsupported .sens version {version}"
+                )
+            (strlen,) = struct.unpack("<Q", f.read(8))
+            self.sensor_name = f.read(strlen).decode()
+            self.intrinsic_color = _read_mat4(f)
+            self.extrinsic_color = _read_mat4(f)
+            self.intrinsic_depth = _read_mat4(f)
+            self.extrinsic_depth = _read_mat4(f)
+            (color_comp, depth_comp) = struct.unpack("<ii", f.read(8))
+            self.color_compression_type = COMPRESSION_TYPE_COLOR[color_comp]
+            self.depth_compression_type = COMPRESSION_TYPE_DEPTH[depth_comp]
+            (
+                self.color_width,
+                self.color_height,
+                self.depth_width,
+                self.depth_height,
+            ) = struct.unpack("<IIII", f.read(16))
+            (self.depth_shift,) = struct.unpack("<f", f.read(4))
+            (num_frames,) = struct.unpack("<Q", f.read(8))
+            if max_frames is not None:
+                num_frames = min(num_frames, max_frames)
+            self.frames = [RGBDFrame(f) for _ in range(num_frames)]
+        self.frames.sort(key=lambda fr: fr.timestamp_color)
+
+    # -- exporters (parity with the reference utility methods) ---------------
+
+    def depth_image(self, frame):
+        raw = frame.decompress_depth(self.depth_compression_type)
+        return np.frombuffer(raw, dtype="<u2").reshape(
+            self.depth_height, self.depth_width
+        )
+
+    def export_depth_images(self, output_path, image_size=None, frame_skip=1):
+        import imageio.v2 as imageio
+
+        os.makedirs(output_path, exist_ok=True)
+        for i in range(0, len(self.frames), frame_skip):
+            depth = self.depth_image(self.frames[i])
+            if image_size is not None:
+                depth = _resize_nearest(depth, image_size)
+            imageio.imwrite(os.path.join(output_path, f"{i}.png"), depth)
+
+    def export_color_images(self, output_path, image_size=None, frame_skip=1):
+        import imageio.v2 as imageio
+
+        os.makedirs(output_path, exist_ok=True)
+        for i in range(0, len(self.frames), frame_skip):
+            color = self.frames[i].decompress_color(self.color_compression_type)
+            if image_size is not None:
+                color = _resize_nearest(color, image_size)
+            imageio.imwrite(os.path.join(output_path, f"{i}.jpg"), color)
+
+    def export_poses(self, output_path, frame_skip=1):
+        os.makedirs(output_path, exist_ok=True)
+        for i in range(0, len(self.frames), frame_skip):
+            np.savetxt(
+                os.path.join(output_path, f"{i}.txt"),
+                self.frames[i].camera_to_world,
+                fmt="%f",
+            )
+
+    def export_intrinsics(self, output_path):
+        os.makedirs(output_path, exist_ok=True)
+        for name, mat in (
+            ("intrinsic_color", self.intrinsic_color),
+            ("extrinsic_color", self.extrinsic_color),
+            ("intrinsic_depth", self.intrinsic_depth),
+            ("extrinsic_depth", self.extrinsic_depth),
+        ):
+            np.savetxt(os.path.join(output_path, f"{name}.txt"), mat, fmt="%f")
+
+
+def _resize_nearest(img, hw):
+    h, w = hw
+    ys = (np.arange(h) * img.shape[0] / h).astype(np.int64)
+    xs = (np.arange(w) * img.shape[1] / w).astype(np.int64)
+    return img[ys][:, xs]
+
+
+def write_sens(filename, sensor_name, intrinsic_color, extrinsic_color,
+               intrinsic_depth, extrinsic_depth, color_hw, depth_hw,
+               depth_shift, frames):
+    """Write a .sens stream (v4) — used by tests to synthesize fixtures.
+
+    frames: list of dicts with keys camera_to_world (4,4), timestamp_color,
+    timestamp_depth, color_data (bytes), depth_data (bytes).
+    """
+    with open(filename, "wb") as f:
+        f.write(struct.pack("<I", SensFile.VERSION))
+        name = sensor_name.encode()
+        f.write(struct.pack("<Q", len(name)))
+        f.write(name)
+        for mat in (intrinsic_color, extrinsic_color, intrinsic_depth,
+                    extrinsic_depth):
+            f.write(np.asarray(mat, "<f4").tobytes())
+        f.write(struct.pack("<ii", 2, 1))  # jpeg color, zlib_ushort depth
+        f.write(
+            struct.pack(
+                "<IIII", color_hw[1], color_hw[0], depth_hw[1], depth_hw[0]
+            )
+        )
+        f.write(struct.pack("<f", depth_shift))
+        f.write(struct.pack("<Q", len(frames)))
+        for fr in frames:
+            f.write(np.asarray(fr["camera_to_world"], "<f4").tobytes())
+            f.write(
+                struct.pack(
+                    "<QQQQ",
+                    fr["timestamp_color"],
+                    fr["timestamp_depth"],
+                    len(fr["color_data"]),
+                    len(fr["depth_data"]),
+                )
+            )
+            f.write(fr["color_data"])
+            f.write(fr["depth_data"])

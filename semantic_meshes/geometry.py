@@ -1,0 +1,262 @@
+"""Pure-JAX geometry kernels: projections, rigid transforms, barycentrics, texels.
+
+TPU-native rebuild of the geometry facilities the reference pulls from the
+template-tensors metalibrary:
+
+- pinhole projection       (ref: include/semantic_meshes/render/Camera.h:7-15,
+                            tt::geometry::projection::PinholeFC)
+- rigid world->camera      (ref: tt::geometry::transform::Rigid<float,3>)
+- quaternion -> rotation   (ref: tt::colmap image metadata parsing)
+- barycentric coordinates + perspective-correct interpolation for the
+  rasterizer (ref: tt::geometry::render::DeviceMutexRasterizer intersect)
+- triangular texel grid indexing
+                           (ref: include/semantic_meshes/render/
+                            TexturedTriangleRenderer.h:31-47,
+                            tt::SymmetricMatrixLowerTriangleRowMajor)
+
+Everything here is shape-polymorphic pure jnp, vmap/jit friendly, and runs on
+TPU without host round trips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Rotations / rigid transforms
+# --------------------------------------------------------------------------
+
+
+def quaternion_to_rotation(q):
+    """COLMAP-convention (w, x, y, z) unit quaternion(s) -> rotation matrix.
+
+    q: (..., 4) -> (..., 3, 3). Pure jnp; works batched.
+    """
+    q = jnp.asarray(q)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z),
+            2 * (x * y - w * z),
+            2 * (x * z + w * y),
+            2 * (x * y + w * z),
+            1 - 2 * (x * x + z * z),
+            2 * (y * z - w * x),
+            2 * (x * z - w * y),
+            2 * (y * z + w * x),
+            1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
+def rigid_transform(rotation, translation, points):
+    """Apply p_cam = R @ p_world + t.
+
+    rotation: (..., 3, 3), translation: (..., 3), points: (..., N, 3) or (..., 3).
+    Matches tt::geometry::transform::Rigid<float,3>::transformPoint
+    (ref: include/semantic_meshes/render/TexturedTriangleRenderer.h:107).
+    """
+    points = jnp.asarray(points)
+    single = points.ndim == translation.ndim
+    pts = points if not single else points[..., None, :]
+    # full-f32 precision: geometry feeds the rasterizer, where bf16-class
+    # matmul error (the TPU default) would shift pixel coordinates
+    out = (
+        jnp.einsum(
+            "...ij,...nj->...ni",
+            rotation,
+            pts,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + translation[..., None, :]
+    )
+    return out[..., 0, :] if single else out
+
+
+def pinhole_project(focal_lengths, principal_point, points_cam):
+    """Pinhole projection: pixel = f * (x/z, y/z) + c.
+
+    focal_lengths: (..., 2), principal_point: (..., 2), points_cam: (..., N, 3).
+    Returns (..., N, 2) pixel coordinates (x, y).
+    Matches tt::geometry::projection::PinholeFC::project
+    (ref: include/semantic_meshes/render/Camera.h:10-11).
+    Division by z==0 yields inf; callers mask on z > 0.
+    """
+    xy = points_cam[..., :2]
+    z = points_cam[..., 2:3]
+    return focal_lengths[..., None, :] * (xy / z) + principal_point[..., None, :]
+
+
+def look_at(eye, target, up):
+    """Right-handed look-at -> (rotation, translation) world->camera, with the
+    camera looking down +z (the projection convention used by the renderer).
+
+    Utility for tests and the texel debug harness
+    (ref: python/scripts/debug_render_texels.py:46-63 builds the same thing
+    from pyrr matrices).
+    """
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    up = np.asarray(up, np.float64)
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    # rows: camera axes expressed in world coords (x=right, y=down, z=forward)
+    rotation = np.stack([right, down, fwd], axis=0)
+    translation = -rotation @ eye
+    return rotation.astype(np.float32), translation.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Triangles / barycentrics
+# --------------------------------------------------------------------------
+
+
+def signed_area2(a, b, c):
+    """Twice the signed area of screen-space triangle (a, b, c); (..., 2) inputs."""
+    return (b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1]) - (
+        b[..., 1] - a[..., 1]
+    ) * (c[..., 0] - a[..., 0])
+
+
+def triangle_screen_area(projected):
+    """Absolute screen-space area of projected triangles.
+
+    projected: (..., 3, 2). Same formula as the texel-resolution precompute
+    (ref: include/semantic_meshes/render/TexturedTriangleRenderer.h:121-123).
+    """
+    p0, p1, p2 = projected[..., 0, :], projected[..., 1, :], projected[..., 2, :]
+    return 0.5 * jnp.abs(
+        p0[..., 0] * (p1[..., 1] - p2[..., 1])
+        + p1[..., 0] * (p2[..., 1] - p0[..., 1])
+        + p2[..., 0] * (p0[..., 1] - p1[..., 1])
+    )
+
+
+def barycentric_2d(p, a, b, c):
+    """Screen-space barycentric coordinates of points p wrt triangle (a, b, c).
+
+    All inputs (..., 2); returns (..., 3) with components summing to 1.
+    Degenerate triangles give nan (callers mask them out).
+    """
+    denom = signed_area2(a, b, c)
+    w0 = signed_area2(b, c, p)
+    w1 = signed_area2(c, a, p)
+    w2 = signed_area2(a, b, p)
+    return jnp.stack([w0, w1, w2], axis=-1) / denom[..., None]
+
+
+def perspective_correct(bary2d, z_cam):
+    """Convert screen-space barycentrics to perspective-correct (3D) ones.
+
+    bary2d: (..., 3) screen-space weights; z_cam: (..., 3) camera-space depths
+    of the triangle vertices. Returns (bary3d (..., 3), depth (...,)) where
+    depth is the camera-space z of the surface point seen through the pixel.
+    """
+    inv_z = bary2d / z_cam
+    denom = jnp.sum(inv_z, axis=-1)
+    depth = 1.0 / denom
+    bary3d = inv_z * depth[..., None]
+    return bary3d, depth
+
+
+# --------------------------------------------------------------------------
+# Texel grid (triangular, "lower triangle row major")
+# --------------------------------------------------------------------------
+# The texel mode subdivides the unit uv-triangle {u>=0, v>=0, u+v<=1} into an
+# r x r grid of cells; only cells with iu+iv <= r-1 fall inside the triangle,
+# giving r(r+1)/2 texels. Texels are indexed in diagonal bands of growing
+# length (band k = iu+iv has k+1 texels), matching the count identity the
+# reference debug harness inverts: count = s(s+1)/2
+# (ref: python/scripts/debug_render_texels.py:71-73) and
+# tt::SymmetricMatrixLowerTriangleRowMajor::getSize
+# (ref: include/semantic_meshes/render/TexturedTriangleRenderer.h:43-47).
+
+
+def texel_count(resolution):
+    """Number of texels of a triangle with grid resolution r: r(r+1)/2."""
+    r = jnp.asarray(resolution)
+    return r * (r + 1) // 2
+
+
+TEXEL_UV_EPS = 1e-6  # ref: TexturedTriangleRenderer.h:38 subtracts 1e-6 from uv
+
+
+def texel_index(bary3d, resolution):
+    """Map perspective-correct barycentrics to a texel index within a triangle.
+
+    uv is the coordinate of the point in the triangle's parameter space with
+    vertex0 -> (0,0), vertex1 -> (1,0), vertex2 -> (0,1)
+    (ref: TexturedTriangleRenderer.h:34-37). The grid cell is
+    floor((uv - 1e-6) * r); the linear index packs diagonal bands
+    k = iu+iv row-major: index = k(k+1)/2 + iv.
+
+    bary3d: (..., 3); resolution: (...,) int32. Returns (...,) int32 in
+    [0, r(r+1)/2).
+    """
+    r = jnp.asarray(resolution)
+    u = bary3d[..., 1]
+    v = bary3d[..., 2]
+    rf = r.astype(jnp.float32)
+    iu = jnp.floor((u - TEXEL_UV_EPS) * rf).astype(jnp.int32)
+    iv = jnp.floor((v - TEXEL_UV_EPS) * rf).astype(jnp.int32)
+    iu = jnp.clip(iu, 0, r - 1)
+    iv = jnp.clip(iv, 0, r - 1)
+    # On the hypotenuse, floating error can land iu+iv == r; clamp into band.
+    k = jnp.minimum(iu + iv, r - 1)
+    iv = jnp.minimum(iv, k)
+    return (k * (k + 1)) // 2 + iv
+
+
+def reorder_faces_for_texels(vertices, faces):
+    """Reorder each face so the most-right-angled vertex maps to uv (0, 0).
+
+    Mirrors the reference ctor (TexturedTriangleRenderer.h:129-146):
+      diffs[i] = |angle_at_vertex_i - 90deg|
+      - swap face[0] <-> face[argmin(diffs)] (and the diffs entries)
+      - if diffs[1] >= diffs[2]: swap face[1] <-> face[2]
+
+    vertices: (V, 3) f32, faces: (T, 3) i32. Returns reordered faces (T, 3).
+    Vectorized over triangles (the reference runs this as a host OpenMP loop).
+    """
+    v = jnp.asarray(vertices)
+    f = jnp.asarray(faces)
+    p = v[f]  # (T, 3, 3)
+
+    def angle_diff(i):
+        a = p[:, i % 3]
+        b = p[:, (i + 1) % 3]
+        c = p[:, (i + 2) % 3]
+        e1 = b - a
+        e2 = c - a
+        cosang = jnp.sum(e1 * e2, axis=-1) / (
+            jnp.linalg.norm(e1, axis=-1) * jnp.linalg.norm(e2, axis=-1)
+        )
+        ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+        return jnp.abs(ang - jnp.pi / 2)
+
+    diffs = jnp.stack([angle_diff(0), angle_diff(1), angle_diff(2)], axis=-1)  # (T,3)
+    best = jnp.argmin(diffs, axis=-1)  # (T,)
+
+    t = jnp.arange(f.shape[0])
+    # swap position 0 with best (faces and diffs alike)
+    idx0 = best
+    f0 = f[t, idx0]
+    f_rest = f.at[t, idx0].set(f[:, 0])
+    f1 = jnp.where(idx0 == 1, f[:, 0], f_rest[:, 1])
+    f2 = jnp.where(idx0 == 2, f[:, 0], f_rest[:, 2])
+    d_rest = diffs.at[t, idx0].set(diffs[:, 0])
+    d1 = jnp.where(idx0 == 1, diffs[:, 0], d_rest[:, 1])
+    d2 = jnp.where(idx0 == 2, diffs[:, 0], d_rest[:, 2])
+    # conditional swap of positions 1 and 2
+    swap12 = d1 >= d2
+    f1_final = jnp.where(swap12, f2, f1)
+    f2_final = jnp.where(swap12, f1, f2)
+    return jnp.stack([f0, f1_final, f2_final], axis=-1).astype(f.dtype)

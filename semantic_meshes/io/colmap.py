@@ -1,0 +1,216 @@
+"""Numpy COLMAP sparse-model parser (cameras/images, .bin and .txt).
+
+TPU-native replacement for tt::colmap::readCameras / readImageMetaData
+(ref: src/data/Colmap.cpp:7-23). Parses the documented public COLMAP format;
+raises proper exceptions instead of the reference's print + exit(-1)
+(ref: src/data/Colmap.cpp:60-61).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+# COLMAP camera model id -> (name, num_params)
+CAMERA_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3),  # f, cx, cy
+    1: ("PINHOLE", 4),  # fx, fy, cx, cy
+    2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5),
+    4: ("OPENCV", 8),
+    5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12),
+    7: ("FOV", 5),
+    8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5),
+    10: ("THIN_PRISM_FISHEYE", 12),
+}
+_MODEL_NAME_TO_ID = {name: mid for mid, (name, _) in CAMERA_MODELS.items()}
+
+
+class ColmapError(ValueError):
+    pass
+
+
+@dataclass
+class ColmapCamera:
+    camera_id: int
+    model: str
+    width: int
+    height: int
+    focal_lengths: np.ndarray  # (2,) f64 — (fx, fy); SIMPLE_PINHOLE duplicates f
+    principal_point: np.ndarray  # (2,) f64
+
+    @property
+    def resolution(self):
+        """(width, height) — matches the reference Camera.resolution order
+        (scripts pass [resolution[1], resolution[0]] = (W, H),
+        ref: eval-scannet/eval_scannet.py:156)."""
+        return np.array([self.width, self.height], dtype=np.int64)
+
+
+@dataclass
+class ColmapImage:
+    image_id: int
+    qvec: np.ndarray  # (4,) f64, (w, x, y, z), world->camera
+    tvec: np.ndarray  # (3,) f64, world->camera
+    camera_id: int
+    name: str
+
+    def rotation(self):
+        from ..geometry import quaternion_to_rotation
+
+        return np.asarray(quaternion_to_rotation(self.qvec), dtype=np.float64)
+
+
+def _intrinsics_from_params(model_name, params):
+    """Extract pinhole focal lengths/principal point; reject non-pinhole
+    models like the reference does (its Camera union covers only
+    SIMPLE_PINHOLE and PINHOLE, ref: include/semantic_meshes/render/Camera.h:9-12).
+    """
+    if model_name == "SIMPLE_PINHOLE":
+        f, cx, cy = params[:3]
+        return np.array([f, f]), np.array([cx, cy])
+    if model_name == "PINHOLE":
+        fx, fy, cx, cy = params[:4]
+        return np.array([fx, fy]), np.array([cx, cy])
+    raise ColmapError(
+        f"unsupported COLMAP camera model {model_name}; only SIMPLE_PINHOLE "
+        "and PINHOLE are supported (undistort the workspace first)"
+    )
+
+
+def read_cameras_bin(path):
+    cameras = {}
+    with open(path, "rb") as f:
+        (num,) = struct.unpack("<Q", f.read(8))
+        for _ in range(num):
+            cam_id, model_id = struct.unpack("<ii", f.read(8))
+            width, height = struct.unpack("<QQ", f.read(16))
+            if model_id not in CAMERA_MODELS:
+                raise ColmapError(f"{path}: unknown camera model id {model_id}")
+            name, nparams = CAMERA_MODELS[model_id]
+            params = np.frombuffer(f.read(8 * nparams), dtype="<f8")
+            fl, pp = _intrinsics_from_params(name, params)
+            cameras[cam_id] = ColmapCamera(cam_id, name, width, height, fl, pp)
+    return cameras
+
+
+def read_cameras_txt(path):
+    cameras = {}
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cam_id = int(parts[0])
+            model_name = parts[1]
+            if model_name not in _MODEL_NAME_TO_ID:
+                raise ColmapError(f"{path}: unknown camera model {model_name}")
+            width, height = int(parts[2]), int(parts[3])
+            params = np.asarray([float(p) for p in parts[4:]])
+            fl, pp = _intrinsics_from_params(model_name, params)
+            cameras[cam_id] = ColmapCamera(cam_id, model_name, width, height, fl, pp)
+    return cameras
+
+
+def read_images_bin(path):
+    images = {}
+    with open(path, "rb") as f:
+        (num,) = struct.unpack("<Q", f.read(8))
+        for _ in range(num):
+            (image_id,) = struct.unpack("<i", f.read(4))
+            qvec = np.frombuffer(f.read(32), dtype="<f8").copy()
+            tvec = np.frombuffer(f.read(24), dtype="<f8").copy()
+            (camera_id,) = struct.unpack("<i", f.read(4))
+            name_bytes = bytearray()
+            while True:
+                c = f.read(1)
+                if c == b"\x00" or c == b"":
+                    break
+                name_bytes += c
+            (num_points,) = struct.unpack("<Q", f.read(8))
+            f.seek(num_points * 24, os.SEEK_CUR)  # skip 2D points (x, y, p3d_id)
+            images[image_id] = ColmapImage(
+                image_id, qvec, tvec, camera_id, name_bytes.decode("utf-8")
+            )
+    return images
+
+
+def read_images_txt(path):
+    images = {}
+    with open(path, "r") as f:
+        # images.txt alternates metadata lines and points2D lines; points
+        # lines may be blank (zero 2D points), so keep blanks for parity.
+        lines = [ln.strip() for ln in f if not ln.strip().startswith("#")]
+    for meta in lines[0::2]:
+        if not meta:
+            continue
+        parts = meta.split()
+        image_id = int(parts[0])
+        qvec = np.asarray([float(x) for x in parts[1:5]])
+        tvec = np.asarray([float(x) for x in parts[5:8]])
+        camera_id = int(parts[8])
+        name = parts[9]
+        images[image_id] = ColmapImage(image_id, qvec, tvec, camera_id, name)
+    return images
+
+
+def _find(workspace, stem):
+    """Resolve `stem.bin` or `stem.txt` under the workspace, mirroring the
+    reference's `cameras.*` glob (ref: src/data/Colmap.cpp:8-10). Also checks
+    the conventional sparse/0 subdirectory."""
+    for root in (workspace, os.path.join(workspace, "sparse"),
+                 os.path.join(workspace, "sparse", "0")):
+        for ext in (".bin", ".txt"):
+            p = os.path.join(root, stem + ext)
+            if os.path.isfile(p):
+                return p
+        hits = sorted(glob.glob(os.path.join(root, stem + ".*")))
+        if hits:
+            return hits[0]
+    raise ColmapError(f"no {stem}.bin or {stem}.txt found in {workspace}")
+
+
+def read_cameras(workspace):
+    path = _find(workspace, "cameras")
+    return read_cameras_bin(path) if path.endswith(".bin") else read_cameras_txt(path)
+
+
+def read_images(workspace):
+    path = _find(workspace, "images")
+    return read_images_bin(path) if path.endswith(".bin") else read_images_txt(path)
+
+
+def write_cameras_txt(path, cameras):
+    """Write cameras.txt (used by the COLMAP-on-ScanNet driver,
+    ref: eval-scannet/run_colmap_on_scannet.py:80-104)."""
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n")
+        f.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        for cam in cameras.values():
+            if cam.model == "SIMPLE_PINHOLE":
+                params = [cam.focal_lengths[0], *cam.principal_point]
+            else:
+                params = [*cam.focal_lengths, *cam.principal_point]
+            f.write(
+                f"{cam.camera_id} {cam.model} {cam.width} {cam.height} "
+                + " ".join(repr(float(p)) for p in params)
+                + "\n"
+            )
+
+
+def write_images_txt(path, images):
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n")
+        f.write("#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n")
+        f.write("#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
+        for img in images.values():
+            q = " ".join(repr(float(x)) for x in img.qvec)
+            t = " ".join(repr(float(x)) for x in img.tvec)
+            f.write(f"{img.image_id} {q} {t} {img.camera_id} {img.name}\n\n")

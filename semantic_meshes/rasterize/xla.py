@@ -1,0 +1,294 @@
+"""Tile-binned triangle rasterizer in pure XLA (jnp) — the v0 compute path.
+
+TPU-native replacement for tt::geometry::render::DeviceMutexRasterizer
+(ref: include/semantic_meshes/render/TriangleRenderer.h:81-92,
+TexturedTriangleRenderer.h:210-222). The CUDA design races threads over
+triangles and resolves the z-test with per-pixel mutexes; on TPU the same
+problem is expressed as a deterministic reduction:
+
+  1. project all vertices (one batched matmul-ish pass),
+  2. bin triangles to screen tiles (static-shape top-k candidate lists),
+  3. per tile, scan candidates and keep the z-min fragment per pixel.
+
+Determinism: ties on z resolve to the lower triangle index (the mutex
+rasterizer is nondeterministic there — this is an intentional improvement,
+see SURVEY.md §5 "race detection").
+
+Output contract matches the reference renderer: per-pixel
+{primitive_index uint32 (0xFFFFFFFF empty), z float32 (+inf empty)}
+(ref: TriangleRenderer.h:75-78, python/semantic_meshes/include/Renderer.h:25-43).
+Images here are (H, W) row-major; the public render API transposes to the
+reference's (W, H) layout at the boundary.
+
+Near-plane handling: triangles with any vertex at z <= Z_NEAR are culled
+rather than clipped (static shapes; matches typical use where cameras sit
+outside the mesh). No backface culling — the reference renders both windings
+(its texel debug harness exercises all 6 vertex orders,
+ref: python/scripts/debug_render_texels.py:25).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geometry
+
+Z_NEAR = 1e-6
+INVALID_U32 = np.uint32(0xFFFFFFFF)
+
+# Tile shape: 32 sublanes x 128 lanes — VPU-aligned (f32 min tile is (8, 128)).
+TILE_H = 32
+TILE_W = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def project_vertices(vertices, rotation, translation, focal_lengths,
+                     principal_point):
+    """World-space vertices -> (pixel xy (V, 2), camera z (V,))."""
+    cam = geometry.rigid_transform(rotation, translation, vertices)
+    pix = geometry.pinhole_project(focal_lengths, principal_point, cam)
+    return pix, cam[..., 2]
+
+
+def _triangle_setup(pix, z_cam, faces):
+    """Per-triangle affine coefficients for edge functions and 1/z.
+
+    Returns dict of (T,) arrays: edge coeffs (a_i, b_i, c_i for i in 0..2 with
+    w_i(x, y) = a_i x + b_i y + c_i), denom (signed 2*area), inv-z plane
+    coeffs, per-vertex camera z, bbox, and validity.
+    """
+    p = pix[faces]  # (T, 3, 2)
+    z = z_cam[faces]  # (T, 3)
+    px, py = p[..., 0], p[..., 1]
+
+    def edge(i, j):
+        # w = signed_area2(p_i, p_j, pixel) = a x + b y + c
+        ax, ay = px[:, i], py[:, i]
+        bx, by = px[:, j], py[:, j]
+        a = -(by - ay)
+        b = bx - ax
+        c = (by - ay) * ax - (bx - ax) * ay
+        return a, b, c
+
+    a0, b0, c0 = edge(1, 2)
+    a1, b1, c1 = edge(2, 0)
+    a2, b2, c2 = edge(0, 1)
+    denom = a0 * px[:, 0] + b0 * py[:, 0] + c0  # w0 at p0 == 2*signed area
+    denom = denom + 0.0
+
+    safe_denom = jnp.where(denom == 0, 1.0, denom)
+    inv_z_v = 1.0 / jnp.maximum(z, Z_NEAR)
+    az = (a0 * inv_z_v[:, 0] + a1 * inv_z_v[:, 1] + a2 * inv_z_v[:, 2]) / safe_denom
+    bz = (b0 * inv_z_v[:, 0] + b1 * inv_z_v[:, 1] + b2 * inv_z_v[:, 2]) / safe_denom
+    cz = (c0 * inv_z_v[:, 0] + c1 * inv_z_v[:, 1] + c2 * inv_z_v[:, 2]) / safe_denom
+
+    valid = jnp.all(z > Z_NEAR, axis=-1) & (denom != 0)
+    xmin = jnp.min(px, axis=-1)
+    xmax = jnp.max(px, axis=-1)
+    ymin = jnp.min(py, axis=-1)
+    ymax = jnp.max(py, axis=-1)
+    return dict(
+        a=jnp.stack([a0, a1, a2], -1),
+        b=jnp.stack([b0, b1, b2], -1),
+        c=jnp.stack([c0, c1, c2], -1),
+        denom=denom,
+        az=az,
+        bz=bz,
+        cz=cz,
+        valid=valid,
+        xmin=xmin,
+        xmax=xmax,
+        ymin=ymin,
+        ymax=ymax,
+    )
+
+
+def _bin_triangles(setup, height, width, max_tris_per_tile):
+    """Build per-tile candidate triangle lists (static shapes).
+
+    Returns (cand (B, N) int32 triangle ids padded with T, overflow int32
+    total dropped (tile, tri) pairs). B = tiles_y * tiles_x.
+    """
+    T = setup["denom"].shape[0]
+    nby = _cdiv(height, TILE_H)
+    nbx = _cdiv(width, TILE_W)
+
+    # Triangle -> tile-range (inclusive), clipped to screen.
+    bx0 = jnp.clip(jnp.floor(setup["xmin"] / TILE_W).astype(jnp.int32), 0, nbx - 1)
+    bx1 = jnp.clip(jnp.floor(setup["xmax"] / TILE_W).astype(jnp.int32), 0, nbx - 1)
+    by0 = jnp.clip(jnp.floor(setup["ymin"] / TILE_H).astype(jnp.int32), 0, nby - 1)
+    by1 = jnp.clip(jnp.floor(setup["ymax"] / TILE_H).astype(jnp.int32), 0, nby - 1)
+    onscreen = (
+        (setup["xmax"] >= 0)
+        & (setup["xmin"] < width)
+        & (setup["ymax"] >= 0)
+        & (setup["ymin"] < height)
+    )
+    valid = setup["valid"] & onscreen
+
+    tile_y = jnp.arange(nby, dtype=jnp.int32)
+    tile_x = jnp.arange(nbx, dtype=jnp.int32)
+    # overlap: (nby, nbx, T) -> (B, T)
+    oy = (by0[None, :] <= tile_y[:, None]) & (tile_y[:, None] <= by1[None, :])
+    ox = (bx0[None, :] <= tile_x[:, None]) & (tile_x[:, None] <= bx1[None, :])
+    overlap = (oy[:, None, :] & ox[None, :, :] & valid[None, None, :]).reshape(
+        nby * nbx, T
+    )
+
+    tri_ids = jnp.arange(T, dtype=jnp.int32)
+    keys = jnp.where(overlap, tri_ids[None, :], T)
+    n = min(max_tris_per_tile, T)
+    # N smallest keys per tile == ascending triangle ids (deterministic order)
+    neg_top, _ = jax.lax.top_k(-keys, n)
+    cand = -neg_top  # (B, N) ascending
+    counts = jnp.sum(overlap, axis=1)
+    overflow = jnp.sum(jnp.maximum(counts - n, 0))
+    return cand, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "max_tris_per_tile")
+)
+def rasterize(
+    vertices,
+    faces,
+    rotation,
+    translation,
+    focal_lengths,
+    principal_point,
+    *,
+    height,
+    width,
+    max_tris_per_tile=256,
+):
+    """Rasterize a triangle mesh into (tri_index (H, W) int32, depth (H, W)
+    f32, overflow int32).
+
+    tri_index is -1 for empty pixels; depth is +inf there. Pixel centers are
+    sampled at (x + 0.5, y + 0.5). Coverage is inclusive (bary >= 0); ties on
+    depth go to the lower triangle index.
+    """
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    pix, z_cam = project_vertices(
+        vertices,
+        jnp.asarray(rotation, jnp.float32),
+        jnp.asarray(translation, jnp.float32),
+        jnp.asarray(focal_lengths, jnp.float32),
+        jnp.asarray(principal_point, jnp.float32),
+    )
+    setup = _triangle_setup(pix, z_cam, faces)
+    cand, overflow = _bin_triangles(setup, height, width, max_tris_per_tile)
+
+    T = faces.shape[0]
+    nby = _cdiv(height, TILE_H)
+    nbx = _cdiv(width, TILE_W)
+    B = nby * nbx
+    N = cand.shape[1]
+
+    # Pixel-center coordinates per tile: (B, TILE_H, TILE_W)
+    tile_ids = jnp.arange(B, dtype=jnp.int32)
+    base_y = (tile_ids // nbx) * TILE_H
+    base_x = (tile_ids % nbx) * TILE_W
+    yy = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_H, TILE_W), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_H, TILE_W), 2)
+    py = yy + base_y[:, None, None].astype(jnp.float32) + 0.5
+    px = xx + base_x[:, None, None].astype(jnp.float32) + 0.5
+
+    # Pad per-triangle tables with one sentinel row (id T -> never covers).
+    def pad(x):
+        return jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], 0)
+
+    a = pad(setup["a"])
+    b = pad(setup["b"])
+    c = pad(setup["c"])
+    denom = pad(jnp.where(setup["valid"], setup["denom"], 0.0))
+    az = pad(setup["az"])
+    bz = pad(setup["bz"])
+    cz = pad(setup["cz"])
+
+    def body(n, carry):
+        zbuf, ibuf = carry
+        tri = cand[:, n]  # (B,)
+        ta = a[tri]  # (B, 3)
+        tb = b[tri]
+        tc = c[tri]
+        td = denom[tri]  # (B,)
+        sgn = jnp.sign(td)[:, None, None]
+        inside = td[:, None, None] != 0.0
+        for i in range(3):
+            w = (
+                ta[:, i, None, None] * px
+                + tb[:, i, None, None] * py
+                + tc[:, i, None, None]
+            )
+            inside = inside & (w * sgn >= 0.0)
+        inv_z = (
+            az[tri][:, None, None] * px
+            + bz[tri][:, None, None] * py
+            + cz[tri][:, None, None]
+        )
+        z = 1.0 / inv_z
+        ok = inside & (inv_z > 0.0) & (z < zbuf)
+        zbuf = jnp.where(ok, z, zbuf)
+        ibuf = jnp.where(ok, tri[:, None, None], ibuf)
+        return zbuf, ibuf
+
+    zbuf0 = jnp.full((B, TILE_H, TILE_W), jnp.inf, jnp.float32)
+    ibuf0 = jnp.full((B, TILE_H, TILE_W), -1, jnp.int32)
+    zbuf, ibuf = jax.lax.fori_loop(0, N, body, (zbuf0, ibuf0))
+
+    # (B, TILE_H, TILE_W) -> (H, W)
+    zimg = (
+        zbuf.reshape(nby, nbx, TILE_H, TILE_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby * TILE_H, nbx * TILE_W)[:height, :width]
+    )
+    iimg = (
+        ibuf.reshape(nby, nbx, TILE_H, TILE_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby * TILE_H, nbx * TILE_W)[:height, :width]
+    )
+    return iimg, zimg, overflow
+
+
+@functools.partial(jax.jit, static_argnames=())
+def barycentrics_at_pixels(vertices, faces, rotation, translation,
+                           focal_lengths, principal_point, tri_index):
+    """Perspective-correct barycentrics of each pixel's winning triangle.
+
+    Second pass of the texel pipeline: the z-resolve carries only
+    (index, depth); the winner's barycentric coordinates are recomputed here
+    per pixel (cheap: one triangle per pixel). tri_index: (H, W) int32 with
+    -1 for empty. Returns bary3d (H, W, 3) (garbage where tri_index < 0).
+    """
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    pix, z_cam = project_vertices(
+        vertices,
+        jnp.asarray(rotation, jnp.float32),
+        jnp.asarray(translation, jnp.float32),
+        jnp.asarray(focal_lengths, jnp.float32),
+        jnp.asarray(principal_point, jnp.float32),
+    )
+    height, width = tri_index.shape
+    tri = jnp.maximum(tri_index, 0)
+    f = faces[tri]  # (H, W, 3)
+    p = pix[f]  # (H, W, 3, 2)
+    z = z_cam[f]  # (H, W, 3)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+    xx = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+    pt = jnp.stack([xx, yy], axis=-1)
+    b2 = geometry.barycentric_2d(
+        pt, p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    )
+    b3, _ = geometry.perspective_correct(b2, jnp.maximum(z, Z_NEAR))
+    return b3

@@ -1,0 +1,11 @@
+"""Test config: run on CPU with 8 virtual devices so sharding tests work
+without TPU hardware (multi-chip paths are validated on a virtual mesh)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

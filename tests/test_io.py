@@ -1,0 +1,226 @@
+import numpy as np
+import pytest
+
+from semantic_meshes.io import colmap as colmap_io
+from semantic_meshes.io import ply as ply_io
+
+
+@pytest.fixture
+def mesh():
+    rng = np.random.default_rng(0)
+    vertices = rng.normal(size=(17, 3)).astype(np.float32)
+    faces = np.stack(
+        [rng.choice(17, size=3, replace=False) for _ in range(23)]
+    ).astype(np.int32)
+    return vertices, faces
+
+
+class TestPly:
+    @pytest.mark.parametrize("binary", [True, False])
+    @pytest.mark.parametrize("with_colors", [True, False])
+    def test_roundtrip(self, tmp_path, mesh, binary, with_colors):
+        vertices, faces = mesh
+        colors = (
+            np.random.default_rng(1).integers(0, 256, (len(faces), 3)).astype(
+                np.uint8
+            )
+            if with_colors
+            else None
+        )
+        path = tmp_path / "m.ply"
+        ply_io.write_mesh(path, vertices, faces, colors, binary=binary)
+        v2, f2 = ply_io.read_mesh(path)
+        np.testing.assert_allclose(v2, vertices, atol=1e-6)
+        np.testing.assert_array_equal(f2, faces)
+        if with_colors:
+            e = ply_io.read_ply(path)["face"]
+            got = np.stack(
+                [e.data["red"], e.data["green"], e.data["blue"]], axis=-1
+            )
+            np.testing.assert_array_equal(got, colors)
+
+    def test_double_vertices_cast(self, tmp_path, mesh):
+        vertices, faces = mesh
+        path = tmp_path / "m.ply"
+        # hand-write a PLY with double vertices
+        with open(path, "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n")
+            f.write(f"element vertex {len(vertices)}\n".encode())
+            f.write(b"property double x\nproperty double y\nproperty double z\n")
+            f.write(f"element face {len(faces)}\n".encode())
+            f.write(b"property list uchar int vertex_indices\nend_header\n")
+            f.write(vertices.astype("<f8").tobytes())
+            rec = np.empty(len(faces), dtype=[("n", "u1"), ("i", "<i4", (3,))])
+            rec["n"] = 3
+            rec["i"] = faces
+            f.write(rec.tobytes())
+        v2, f2 = ply_io.read_mesh(path)
+        assert v2.dtype == np.float32
+        np.testing.assert_allclose(v2, vertices, atol=1e-6)
+        np.testing.assert_array_equal(f2, faces)
+
+    def test_missing_elements_raise(self, tmp_path):
+        path = tmp_path / "bad.ply"
+        with open(path, "wb") as f:
+            f.write(b"ply\nformat ascii 1.0\nelement vertex 0\n")
+            f.write(b"property float x\nproperty float y\nproperty float z\n")
+            f.write(b"end_header\n")
+        with pytest.raises(ply_io.PlyError):
+            ply_io.read_mesh(path)
+
+    def test_not_ply(self, tmp_path):
+        path = tmp_path / "x.ply"
+        path.write_bytes(b"not a ply\n")
+        with pytest.raises(ply_io.PlyError):
+            ply_io.read_ply(path)
+
+
+def _write_cameras_bin(path, cameras):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cameras)))
+        for cam in cameras.values():
+            model_id = {"SIMPLE_PINHOLE": 0, "PINHOLE": 1}[cam.model]
+            f.write(struct.pack("<ii", cam.camera_id, model_id))
+            f.write(struct.pack("<QQ", cam.width, cam.height))
+            if cam.model == "SIMPLE_PINHOLE":
+                params = [cam.focal_lengths[0], *cam.principal_point]
+            else:
+                params = [*cam.focal_lengths, *cam.principal_point]
+            f.write(np.asarray(params, "<f8").tobytes())
+
+
+def _write_images_bin(path, images):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for img in images.values():
+            f.write(struct.pack("<i", img.image_id))
+            f.write(np.asarray(img.qvec, "<f8").tobytes())
+            f.write(np.asarray(img.tvec, "<f8").tobytes())
+            f.write(struct.pack("<i", img.camera_id))
+            f.write(img.name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 2))  # two dummy 2D points
+            f.write(np.zeros(2, dtype=[("x", "<f8"), ("y", "<f8"),
+                                       ("id", "<i8")]).tobytes())
+
+
+@pytest.fixture
+def workspace(tmp_path):
+    rng = np.random.default_rng(7)
+    cameras = {
+        1: colmap_io.ColmapCamera(1, "PINHOLE", 640, 480,
+                                  np.array([525.0, 520.0]),
+                                  np.array([320.0, 240.0])),
+        2: colmap_io.ColmapCamera(2, "SIMPLE_PINHOLE", 100, 80,
+                                  np.array([50.0, 50.0]),
+                                  np.array([50.0, 40.0])),
+    }
+    images = {}
+    for i, name in enumerate(["b.png", "a.png", "c.png"], start=1):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        images[i] = colmap_io.ColmapImage(
+            i, q, rng.normal(size=3), 1 + (i % 2), name
+        )
+    return tmp_path, cameras, images
+
+
+class TestColmap:
+    def test_bin_roundtrip(self, workspace):
+        tmp_path, cameras, images = workspace
+        _write_cameras_bin(tmp_path / "cameras.bin", cameras)
+        _write_images_bin(tmp_path / "images.bin", images)
+        cams2 = colmap_io.read_cameras(str(tmp_path))
+        imgs2 = colmap_io.read_images(str(tmp_path))
+        assert set(cams2) == set(cameras)
+        for cid in cameras:
+            np.testing.assert_allclose(
+                cams2[cid].focal_lengths, cameras[cid].focal_lengths
+            )
+            np.testing.assert_allclose(
+                cams2[cid].principal_point, cameras[cid].principal_point
+            )
+            assert (cams2[cid].width, cams2[cid].height) == (
+                cameras[cid].width, cameras[cid].height,
+            )
+        assert set(imgs2) == set(images)
+        for iid in images:
+            np.testing.assert_allclose(imgs2[iid].qvec, images[iid].qvec)
+            np.testing.assert_allclose(imgs2[iid].tvec, images[iid].tvec)
+            assert imgs2[iid].name == images[iid].name
+            assert imgs2[iid].camera_id == images[iid].camera_id
+
+    def test_txt_roundtrip(self, workspace):
+        tmp_path, cameras, images = workspace
+        colmap_io.write_cameras_txt(tmp_path / "cameras.txt", cameras)
+        colmap_io.write_images_txt(tmp_path / "images.txt", images)
+        cams2 = colmap_io.read_cameras(str(tmp_path))
+        imgs2 = colmap_io.read_images(str(tmp_path))
+        for cid in cameras:
+            np.testing.assert_allclose(
+                cams2[cid].focal_lengths, cameras[cid].focal_lengths
+            )
+        for iid in images:
+            np.testing.assert_allclose(imgs2[iid].qvec, images[iid].qvec,
+                                       atol=1e-12)
+            assert imgs2[iid].name == images[iid].name
+
+    def test_simple_pinhole_duplicates_focal(self, workspace):
+        tmp_path, cameras, images = workspace
+        _write_cameras_bin(tmp_path / "cameras.bin", cameras)
+        cams2 = colmap_io.read_cameras(str(tmp_path))
+        assert cams2[2].focal_lengths[0] == cams2[2].focal_lengths[1]
+
+    def test_unsupported_model_raises(self, tmp_path):
+        import struct
+
+        with open(tmp_path / "cameras.bin", "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ii", 1, 2))  # SIMPLE_RADIAL
+            f.write(struct.pack("<QQ", 10, 10))
+            f.write(np.zeros(4, "<f8").tobytes())
+        with pytest.raises(colmap_io.ColmapError):
+            colmap_io.read_cameras(str(tmp_path))
+
+    def test_missing_workspace_raises(self, tmp_path):
+        with pytest.raises(colmap_io.ColmapError):
+            colmap_io.read_cameras(str(tmp_path))
+
+
+class TestDataLayer:
+    def test_colmap_sorted_by_name_and_lookup(self, workspace):
+        tmp_path, cameras, images = workspace
+        _write_cameras_bin(tmp_path / "cameras.bin", cameras)
+        _write_images_bin(tmp_path / "images.bin", images)
+        from semantic_meshes.data import Colmap
+
+        ws = Colmap(str(tmp_path))
+        assert ws.getImageNum() == 3
+        assert ws.getImageIndex("a.png") == 0
+        assert ws.getImageIndex("/some/dir/c.png") == 2
+        with pytest.raises(KeyError):
+            ws.getImageIndex("missing.png")
+        cam = ws.getCamera("a.png")
+        cam_by_idx = ws.getCamera(0)
+        np.testing.assert_allclose(cam.rotation, cam_by_idx.rotation)
+        # rotation is orthonormal
+        np.testing.assert_allclose(
+            cam.rotation @ cam.rotation.T, np.eye(3), atol=1e-5
+        )
+
+    def test_ply_save_shape_check(self, tmp_path, mesh):
+        vertices, faces = mesh
+        from semantic_meshes.data import Ply
+        from semantic_meshes.io.ply import write_mesh
+
+        p = tmp_path / "m.ply"
+        write_mesh(p, vertices, faces)
+        m = Ply(str(p))
+        with pytest.raises(ValueError):
+            m.save(tmp_path / "o.ply", np.zeros((5, 3)))
+        m.save(tmp_path / "o.ply", np.zeros((len(faces), 3)))
+        m2 = Ply(str(tmp_path / "o.ply"))
+        np.testing.assert_array_equal(m2.faces, faces)
