@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Benchmark: rasterize + fuse throughput (MPix/s per chip).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline: the rebuild north star from BASELINE.json — >= 10 MPix/s/chip
+rasterize+fuse on TPU v5e (the reference renders+fuses ~1 MPix in ~2s on an
+RTX 6000 host install, README.md:91). vs_baseline = value / 10.
+
+The measured pipeline is the fused device path: for each view, rasterize the
+mesh (tile-binned z-resolve) and aggregate per-pixel class probabilities into
+per-primitive distributions (segment reductions), all inside one jitted scan
+— no host round trips.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="default",
+                        choices=["small", "default", "large"])
+    parser.add_argument("--repeats", type=int, default=5)
+    args = parser.parse_args()
+
+    presets = {
+        # (subdivisions, views, width, height, classes)
+        "small": (5, 4, 256, 192, 19),
+        "default": (9, 8, 1024, 768, 19),
+        "large": (16, 8, 2048, 1536, 19),
+    }
+    sub, n_views, width, height, classes = presets[args.preset]
+
+    import jax
+
+    from semantic_meshes import distributed, testing
+    from semantic_meshes.data import stack_cameras
+
+    vertices, faces = testing.make_cube(subdivisions=sub)
+    cams = testing.make_ring_cameras(
+        num_views=n_views, width=width, height=height
+    )
+    rng = np.random.default_rng(0)
+    probs = np.stack(
+        [testing.random_probs(rng, height, width, classes) for _ in cams]
+    )
+    rot, trans, fl, pp = stack_cameras(cams)
+
+    dev_args = jax.device_put(
+        (vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5))
+    )
+
+    def run():
+        acc = distributed.fuse_views(
+            *dev_args,
+            num_primitives=len(faces),
+            aggregator="sum",
+            height=height,
+            width=width,
+        )
+        acc.block_until_ready()
+        # A tiny device->host readback guarantees execution actually finished
+        # (block_until_ready can return early through tunneled transports).
+        return float(np.asarray(acc[0, 0]))
+
+    run()  # compile
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    mpix = n_views * width * height / 1e6
+    value = mpix / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rasterize_fuse_throughput",
+                "value": round(value, 3),
+                "unit": "MPix/s",
+                "vs_baseline": round(value / 10.0, 3),
+                "detail": {
+                    "preset": args.preset,
+                    "triangles": int(len(faces)),
+                    "views": n_views,
+                    "resolution": [width, height],
+                    "classes": classes,
+                    "seconds_per_batch": round(dt, 5),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

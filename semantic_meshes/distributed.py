@@ -1,0 +1,223 @@
+"""Multi-view batched + multi-chip sharded render/fuse pipelines.
+
+This is new capability relative to the reference, which streams one image at
+a time on one GPU (ref: README.md:56-69; SURVEY.md §2c). TPU-native design:
+
+- **Batched single-chip**: `fuse_views` lax-scans the jitted
+  render->aggregate step over a stack of views, carrying the (P, C)
+  accumulator in HBM. One compiled program, no host round trips.
+- **Multi-chip**: `make_sharded_fuse` builds a shard_map over a
+  `jax.sharding.Mesh` with axes:
+    * `views`  — data parallelism over camera views; accumulator merged
+      with `psum` over ICI (the merge operator for every aggregator is
+      elementwise +; mul accumulates in log space).
+    * `pixels` — spatial partitioning of each image's rows (the
+      sequence-parallel analogue): each chip rasterizes only its row-band
+      (the tile grid makes this exact, not approximate). The
+      pixels-per-face weight mix needs image-global counts, so a (P,)
+      `psum` over the `pixels` axis runs between the count pass and the
+      weighted reduce.
+
+The per-(image, primitive) count + weight semantics exactly match
+fusion.MeshAggregator.add (ref: include/semantic_meshes/fusion/Mesh.h:90-103).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .fusion import DONT_CARE_THRESHOLD, _NEG_LARGE
+from .rasterize import xla as rast
+
+
+def _contribution(probs_flat, w, aggregator):
+    """Per-pixel contribution vectors given final weights (0 = skip)."""
+    if aggregator == "sum":
+        return probs_flat * w[:, None]
+    if aggregator == "summax":
+        max_val = jnp.max(probs_flat, axis=-1, keepdims=True)
+        is_max = probs_flat == max_val
+        first_max = jnp.cumsum(is_max, axis=-1) == 1
+        return jnp.where(is_max & first_max, probs_flat, 0.0) * w[:, None]
+    if aggregator == "mul":
+        logp = jnp.maximum(jnp.log(jnp.maximum(probs_flat, 0.0)), _NEG_LARGE)
+        return logp * w[:, None]
+    raise ValueError(f"unknown aggregator {aggregator!r}")
+
+
+def view_accumulate(prim_image, probs, weights, images_equal_weight,
+                    num_primitives, aggregator, axis_name=None):
+    """Fusion contribution of one view: (H, W) x (H, W, C) -> (P, C).
+
+    If `axis_name` is given, the pixels-per-face counts are psum'd over that
+    mesh axis first (image rows sharded across chips).
+    """
+    npix = prim_image.size
+    C = probs.shape[-1]
+    prim_flat = prim_image.reshape(npix)
+    if prim_flat.dtype in (jnp.uint32, jnp.uint64):
+        in_range = prim_flat < jnp.asarray(num_primitives, prim_flat.dtype)
+    else:
+        in_range = (prim_flat >= 0) & (prim_flat < num_primitives)
+    idx = jnp.where(in_range, prim_flat, 0).astype(jnp.int32)
+    probs_flat = probs.reshape(npix, C)
+
+    counts = jax.ops.segment_sum(
+        in_range.astype(jnp.float32), idx, num_segments=num_primitives
+    )
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
+    image_weight = 1.0 / jnp.maximum(counts[idx], 1.0)
+    w_mix = images_equal_weight * image_weight + (1.0 - images_equal_weight)
+
+    not_dont_care = jnp.sum(probs_flat, axis=-1) > DONT_CARE_THRESHOLD
+    pixel_w = jnp.ones((npix,), jnp.float32) if weights is None else \
+        weights.reshape(npix)
+    w = jnp.where(in_range & not_dont_care, w_mix * pixel_w, 0.0)
+    contrib = _contribution(probs_flat, w, aggregator)
+    return jax.ops.segment_sum(contrib, idx, num_segments=num_primitives)
+
+
+def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
+                          images_equal_weight, *, num_primitives, aggregator,
+                          height, width, max_tris_per_tile=256,
+                          prim_transform=None, axis_name=None, y_offset=None):
+    """One fused render+aggregate step (stays entirely in HBM).
+
+    camera_arrays: (rotation, translation, focal_lengths, principal_point).
+    probs: (H, W, C) — note (H, W) layout here, not the public API's (W, H).
+    prim_transform: optional fn(tri_index, camera_arrays) -> primitive ids
+    (the texel shader hook); default uses triangle ids directly.
+    """
+    rot, trans, fl, pp = camera_arrays
+    tri, _depth, _ov = rast.rasterize(
+        vertices, faces, rot, trans, fl, pp,
+        height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+        y_offset=0 if y_offset is None else y_offset,
+    )
+    if prim_transform is None:
+        prim = jnp.where(tri >= 0, tri, num_primitives).astype(jnp.int32)
+    else:
+        prim = prim_transform(tri, camera_arrays)
+    return view_accumulate(
+        prim, probs, weights, images_equal_weight,
+        num_primitives, aggregator, axis_name=axis_name,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_primitives", "aggregator", "height", "width", "max_tris_per_tile"
+    ),
+)
+def fuse_views(vertices, faces, rotations, translations, focal_lengths,
+               principal_points, probs, images_equal_weight, *,
+               num_primitives, aggregator, height, width,
+               max_tris_per_tile=256):
+    """Single-chip batched pipeline: scan render+fuse over N views.
+
+    rotations (N,3,3), translations (N,3), focal_lengths/principal_points
+    (N,2), probs (N,H,W,C). Returns the (P, C) accumulator (pair it with
+    fusion._get / MeshAggregator.state to read out distributions).
+    """
+    def step(acc, view):
+        rot, trans, fl, pp, pr = view
+        acc = acc + render_and_accumulate(
+            vertices, faces, (rot, trans, fl, pp), pr, None,
+            images_equal_weight,
+            num_primitives=num_primitives, aggregator=aggregator,
+            height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
+    acc, _ = jax.lax.scan(
+        step, acc0,
+        (rotations, translations, focal_lengths, principal_points, probs),
+    )
+    return acc
+
+
+def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
+                      width, max_tris_per_tile=256,
+                      shard_primitives=False):
+    """Build a pjit-able multi-chip fuse step over `mesh`.
+
+    Mesh axes used (any subset may have size 1):
+      - 'views': views sharded across chips (data parallel)
+      - 'pixels': image rows sharded across chips (spatial parallel)
+
+    Input/output sharding contract of the returned function:
+      rotations (N,3,3) etc. sharded P('views'); probs (N,H,W,C) sharded
+      P('views', 'pixels'); returns the fully-merged (P, C) accumulator —
+      replicated, or sharded P('pixels') over rows of P when
+      shard_primitives=True (psum_scatter keeps the merge on ICI).
+
+    Requires: N % mesh.shape['views'] == 0, H % mesh.shape['pixels'] == 0,
+    and P % total_devices == 0 when shard_primitives.
+    """
+    n_pixels = mesh.shape["pixels"]
+    local_h = height // n_pixels
+    if local_h * n_pixels != height:
+        raise ValueError(
+            f"height {height} must divide by 'pixels' axis {n_pixels}"
+        )
+    if shard_primitives and num_primitives % n_pixels != 0:
+        raise ValueError(
+            "num_primitives must divide by the 'pixels' axis for "
+            "shard_primitives"
+        )
+
+    out_spec = P("pixels") if shard_primitives else P()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),  # vertices, faces replicated
+            P("views"), P("views"), P("views"), P("views"),
+            P("views", "pixels"),  # probs: views x image rows
+            P(),
+        ),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    def fuse(vertices, faces, rotations, translations, focal_lengths,
+             principal_points, probs, images_equal_weight):
+        row0 = jax.lax.axis_index("pixels") * local_h
+
+        def step(acc, view):
+            rot, trans, fl, pp, pr = view
+            acc = acc + render_and_accumulate(
+                vertices, faces, (rot, trans, fl, pp), pr, None,
+                images_equal_weight,
+                num_primitives=num_primitives, aggregator=aggregator,
+                height=local_h, width=width,
+                max_tris_per_tile=max_tris_per_tile,
+                axis_name="pixels", y_offset=row0,
+            )
+            return acc, None
+
+        acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
+        acc, _ = jax.lax.scan(
+            step, acc0,
+            (rotations, translations, focal_lengths, principal_points, probs),
+        )
+        # merge partial accumulators: + over both mesh axes
+        acc = jax.lax.psum(acc, "views")
+        if shard_primitives:
+            # reduce-scatter over 'pixels': each chip keeps its P-rows block
+            acc = jax.lax.psum_scatter(
+                acc, "pixels", scatter_dimension=0, tiled=True
+            )
+        else:
+            acc = jax.lax.psum(acc, "pixels")
+        return acc
+
+    return fuse

@@ -1,0 +1,122 @@
+"""JAX/flax 2D semantic-segmentation model for the demo pipeline.
+
+The reference treats the segmentation model as an external dependency (tfcv
+PSPNet / ESANet, ref: python/scripts/colorize_cityscapes_mesh.py:39-43,
+eval-scannet/eval_scannet.py:84-86). For a self-contained TPU-native stack we
+bundle a compact U-Net that runs entirely on the MXU:
+
+- convolutions in bfloat16 with float32 accumulation (MXU-native),
+- GroupNorm + GELU,
+- static input size (jit-friendly); images are resized in/out.
+
+`load_predictor` returns `image (H, W, 3) uint8 -> probs (H, W, classes)
+float32 softmax`. Weights can be loaded from a flax msgpack checkpoint;
+random init otherwise (pipeline testing / finetuning starting point).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import flax.linen as nn
+    from flax import serialization
+
+    HAVE_FLAX = True
+except ImportError:  # pragma: no cover
+    HAVE_FLAX = False
+
+
+if HAVE_FLAX:
+
+    class ConvBlock(nn.Module):
+        features: int
+
+        @nn.compact
+        def __call__(self, x):
+            for _ in range(2):
+                x = nn.Conv(
+                    self.features, (3, 3), padding="SAME",
+                    dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                )(x)
+                x = nn.GroupNorm(
+                    num_groups=min(32, self.features), dtype=jnp.float32
+                )(x.astype(jnp.float32))
+                x = nn.gelu(x)
+            return x
+
+    class UNet(nn.Module):
+        """Encoder-decoder segmentation net (channels MXU-aligned)."""
+
+        classes: int = 19
+        widths: tuple = (64, 128, 256, 512)
+
+        @nn.compact
+        def __call__(self, x):
+            # x: (B, H, W, 3) float32 in [0, 1]
+            skips = []
+            for w in self.widths[:-1]:
+                x = ConvBlock(w)(x)
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = ConvBlock(self.widths[-1])(x)
+            for w, skip in zip(reversed(self.widths[:-1]), reversed(skips)):
+                b, h, ww, c = x.shape
+                x = jax.image.resize(x, (b, h * 2, ww * 2, c), "nearest")
+                x = nn.Conv(
+                    w, (1, 1), dtype=jnp.bfloat16, param_dtype=jnp.float32
+                )(x)
+                x = jnp.concatenate([x.astype(jnp.float32), skip], axis=-1)
+                x = ConvBlock(w)(x)
+            logits = nn.Conv(
+                self.classes, (1, 1), dtype=jnp.float32,
+                param_dtype=jnp.float32,
+            )(x)
+            return logits
+
+
+def _resize_bilinear(img, hw):
+    return jax.image.resize(
+        img, (hw[0], hw[1]) + img.shape[2:], method="bilinear"
+    )
+
+
+def load_predictor(classes=19, params_path=None, input_hw=(512, 512),
+                   widths=(64, 128, 256, 512)):
+    """Build a jitted predictor: uint8 RGB (H, W, 3) -> softmax probs
+    (H, W, classes) at the original resolution."""
+    if not HAVE_FLAX:  # pragma: no cover
+        raise ImportError("flax is required for the bundled segmentation model")
+    model = UNet(classes=classes, widths=tuple(widths))
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng, jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
+    )
+    if params_path is not None:
+        with open(params_path, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+
+    @jax.jit
+    def run(params, x):
+        logits = model.apply(params, x[None])[0]
+        return jax.nn.softmax(logits, axis=-1)
+
+    def predict(image):
+        image = jnp.asarray(image)
+        if image.ndim == 2:
+            image = jnp.stack([image] * 3, axis=-1)
+        if image.shape[-1] == 4:
+            image = image[..., :3]
+        orig_hw = image.shape[:2]
+        x = image.astype(jnp.float32) / 255.0
+        x = _resize_bilinear(x, input_hw)
+        probs = run(params, x)
+        return _resize_bilinear(probs, orig_hw)
+
+    predict.params = params
+    predict.model = model
+    return predict

@@ -111,26 +111,30 @@ def _triangle_setup(pix, z_cam, faces):
     )
 
 
-def _bin_triangles(setup, height, width, max_tris_per_tile):
+def _bin_triangles(setup, height, width, max_tris_per_tile, y_offset):
     """Build per-tile candidate triangle lists (static shapes).
 
     Returns (cand (B, N) int32 triangle ids padded with T, overflow int32
-    total dropped (tile, tri) pairs). B = tiles_y * tiles_x.
+    total dropped (tile, tri) pairs). B = tiles_y * tiles_x. `y_offset`
+    shifts the screen window vertically (dynamic scalar; used when image
+    rows are sharded across chips — see distributed.make_sharded_fuse).
     """
     T = setup["denom"].shape[0]
     nby = _cdiv(height, TILE_H)
     nbx = _cdiv(width, TILE_W)
 
+    ymin = setup["ymin"] - y_offset
+    ymax = setup["ymax"] - y_offset
     # Triangle -> tile-range (inclusive), clipped to screen.
     bx0 = jnp.clip(jnp.floor(setup["xmin"] / TILE_W).astype(jnp.int32), 0, nbx - 1)
     bx1 = jnp.clip(jnp.floor(setup["xmax"] / TILE_W).astype(jnp.int32), 0, nbx - 1)
-    by0 = jnp.clip(jnp.floor(setup["ymin"] / TILE_H).astype(jnp.int32), 0, nby - 1)
-    by1 = jnp.clip(jnp.floor(setup["ymax"] / TILE_H).astype(jnp.int32), 0, nby - 1)
+    by0 = jnp.clip(jnp.floor(ymin / TILE_H).astype(jnp.int32), 0, nby - 1)
+    by1 = jnp.clip(jnp.floor(ymax / TILE_H).astype(jnp.int32), 0, nby - 1)
     onscreen = (
         (setup["xmax"] >= 0)
         & (setup["xmin"] < width)
-        & (setup["ymax"] >= 0)
-        & (setup["ymin"] < height)
+        & (ymax >= 0)
+        & (ymin < height)
     )
     valid = setup["valid"] & onscreen
 
@@ -164,6 +168,7 @@ def rasterize(
     translation,
     focal_lengths,
     principal_point,
+    y_offset=0,
     *,
     height,
     width,
@@ -174,7 +179,9 @@ def rasterize(
 
     tri_index is -1 for empty pixels; depth is +inf there. Pixel centers are
     sampled at (x + 0.5, y + 0.5). Coverage is inclusive (bary >= 0); ties on
-    depth go to the lower triangle index.
+    depth go to the lower triangle index. `y_offset` renders the row band
+    [y_offset, y_offset + height) of a taller image (row-sharded multi-chip
+    rasterization).
     """
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
@@ -185,8 +192,11 @@ def rasterize(
         jnp.asarray(focal_lengths, jnp.float32),
         jnp.asarray(principal_point, jnp.float32),
     )
+    y_offset = jnp.asarray(y_offset, jnp.float32)
     setup = _triangle_setup(pix, z_cam, faces)
-    cand, overflow = _bin_triangles(setup, height, width, max_tris_per_tile)
+    cand, overflow = _bin_triangles(
+        setup, height, width, max_tris_per_tile, y_offset
+    )
 
     T = faces.shape[0]
     nby = _cdiv(height, TILE_H)
@@ -200,7 +210,7 @@ def rasterize(
     base_x = (tile_ids % nbx) * TILE_W
     yy = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_H, TILE_W), 1)
     xx = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_H, TILE_W), 2)
-    py = yy + base_y[:, None, None].astype(jnp.float32) + 0.5
+    py = yy + base_y[:, None, None].astype(jnp.float32) + 0.5 + y_offset
     px = xx + base_x[:, None, None].astype(jnp.float32) + 0.5
 
     # Pad per-triangle tables with one sentinel row (id T -> never covers).

@@ -1,0 +1,212 @@
+"""End-to-end golden tests on the synthetic cube scene
+(BASELINE.json configs[0]) plus batched/sharded pipeline equivalence."""
+
+import numpy as np
+import pytest
+
+import semantic_meshes
+from semantic_meshes import distributed, fusion, testing
+from semantic_meshes.data import stack_cameras
+
+
+@pytest.fixture(scope="module")
+def cube_scene():
+    vertices, faces = testing.make_cube(subdivisions=5)  # 300 tris
+    cams = testing.make_ring_cameras(num_views=4, width=160, height=128)
+    return vertices, faces, cams
+
+
+def _write_cube(tmp_path, vertices, faces):
+    from semantic_meshes.io.ply import write_mesh
+
+    p = tmp_path / "cube.ply"
+    write_mesh(p, vertices, faces)
+    return semantic_meshes.data.Ply(str(p))
+
+
+class TestCubeEndToEnd:
+    def test_full_pipeline_recovers_face_classes(self, tmp_path, cube_scene):
+        """Each cube side gets its own class; after rendering 4 views and
+        fusing perfect one-hot masks, every triangle that was seen must
+        recover its side's class."""
+        vertices, faces, cams = cube_scene
+        mesh = _write_cube(tmp_path, vertices, faces)
+        renderer = semantic_meshes.render.triangles(mesh)
+        T = renderer.getPrimitivesNum()
+        tris_per_side = T // 6
+        tri_class = (np.arange(T) // tris_per_side).astype(np.int64)  # 0..5
+        C = 6
+
+        agg = semantic_meshes.fusion.MeshAggregator(
+            primitives=T, classes=C, aggregator="sum"
+        )
+        seen = np.zeros(T, bool)
+        for cam in cams:
+            idx, depth = renderer.render(cam)
+            idx_hw = np.asarray(idx).T
+            covered = idx_hw != 0xFFFFFFFF
+            assert covered.mean() > 0.05
+            ids = idx_hw[covered]
+            seen[ids] = True
+            mask = np.zeros(idx_hw.shape, np.int64)
+            mask[covered] = tri_class[ids]
+            probs = np.eye(C, dtype=np.float32)[mask]
+            probs[~covered] = 0.0  # background = don't care
+            agg.add(idx, probs.transpose(1, 0, 2))
+
+        fused = np.asarray(agg.get())
+        assert seen.sum() > T * 0.5  # 4 ring views see most sides
+        np.testing.assert_array_equal(
+            fused[seen].argmax(-1), tri_class[seen]
+        )
+        np.testing.assert_allclose(fused[seen].max(-1), 1.0, atol=1e-5)
+        # unseen primitives have empty distributions
+        assert np.all(fused[~seen].sum(-1) < 1e-6)
+
+        # save + reload colorized mesh
+        palette = (np.arange(1, 7)[:, None] * np.array([37, 59, 83])) % 256
+        colors = palette[fused.argmax(-1)].astype(np.uint8)
+        colors[~seen] = 0
+        mesh.save(str(tmp_path / "cube_colorized.ply"), colors)
+        m2 = semantic_meshes.data.Ply(str(tmp_path / "cube_colorized.ply"))
+        np.testing.assert_array_equal(m2.faces, np.asarray(mesh.faces))
+
+    def test_depth_is_cube_surface(self, tmp_path, cube_scene):
+        vertices, faces, cams = cube_scene
+        mesh = _write_cube(tmp_path, vertices, faces)
+        renderer = semantic_meshes.render.triangles(mesh)
+        _, depth = renderer.render(cams[0])
+        depth = np.asarray(depth).T
+        finite = np.isfinite(depth)
+        # camera ring radius 3, cube half-size 0.5 -> depth in [2.3, 3.7]
+        assert finite.any()
+        assert depth[finite].min() > 2.0
+        assert depth[finite].max() < 4.0
+
+    def test_texels_mode_end_to_end(self, tmp_path, cube_scene):
+        vertices, faces, cams = cube_scene
+        mesh = _write_cube(tmp_path, vertices, faces)
+        renderer = semantic_meshes.render.texels(mesh, cams, 2.0)
+        P = renderer.getPrimitivesNum()
+        assert P > len(faces)  # texels subdivide triangles
+        idx, depth = renderer.render(cams[0])
+        idx = np.asarray(idx)
+        valid = idx[idx != 0xFFFFFFFF]
+        assert valid.size > 0
+        assert valid.max() < P
+        agg = semantic_meshes.fusion.MeshAggregator(
+            primitives=P, classes=4, aggregator="mul"
+        )
+        rng = np.random.default_rng(0)
+        probs = testing.random_probs(rng, idx.shape[1], idx.shape[0], 4)
+        agg.add(idx, probs.transpose(1, 0, 2))
+        fused = np.asarray(agg.get())
+        assert np.isfinite(fused).all()
+
+
+class TestBatchedPipeline:
+    @pytest.mark.parametrize("agg_name", ["sum", "mul"])
+    def test_fuse_views_matches_sequential_api(self, tmp_path, cube_scene,
+                                               agg_name):
+        vertices, faces, cams = cube_scene
+        mesh = _write_cube(tmp_path, vertices, faces)
+        renderer = semantic_meshes.render.triangles(mesh)
+        T = renderer.getPrimitivesNum()
+        C = 5
+        rng = np.random.default_rng(7)
+        W, H = cams[0].resolution
+        probs = np.stack(
+            [testing.random_probs(rng, H, W, C, dont_care_frac=0.1)
+             for _ in cams]
+        )
+
+        # sequential public API
+        agg = semantic_meshes.fusion.MeshAggregator(
+            primitives=T, classes=C, aggregator=agg_name,
+            images_equal_weight=0.5,
+        )
+        for cam, pr in zip(cams, probs):
+            idx, _ = renderer.render(cam)
+            agg.add(idx, pr.transpose(1, 0, 2))
+
+        # batched pipeline
+        rot, trans, fl, pp = stack_cameras(cams)
+        acc = distributed.fuse_views(
+            vertices, faces, rot, trans, fl, pp, probs,
+            np.float32(0.5),
+            num_primitives=T, aggregator=agg_name, height=H, width=W,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(agg.state), rtol=2e-5, atol=1e-5
+        )
+
+
+class TestShardedPipeline:
+    def test_sharded_matches_single_chip(self, cube_scene):
+        import jax
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices())
+        if devices.size < 8:
+            pytest.skip("needs 8 devices (virtual cpu mesh)")
+        mesh = Mesh(devices[:8].reshape(4, 2), ("views", "pixels"))
+
+        vertices, faces, cams = cube_scene
+        T = len(faces)
+        C = 3
+        rng = np.random.default_rng(3)
+        W, H = cams[0].resolution
+        probs = np.stack(
+            [testing.random_probs(rng, H, W, C) for _ in cams]
+        )
+        rot, trans, fl, pp = stack_cameras(cams)
+
+        ref = np.asarray(
+            distributed.fuse_views(
+                vertices, faces, rot, trans, fl, pp, probs,
+                np.float32(0.5),
+                num_primitives=T, aggregator="sum", height=H, width=W,
+            )
+        )
+
+        fuse = distributed.make_sharded_fuse(
+            mesh, num_primitives=T, aggregator="sum", height=H, width=W
+        )
+        with mesh:
+            got = np.asarray(
+                fuse(vertices, faces, rot, trans, fl, pp, probs,
+                     np.float32(0.5))
+            )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+    def test_sharded_primitives_output(self, cube_scene):
+        import jax
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices[:8].reshape(2, 4), ("views", "pixels"))
+
+        vertices, faces, cams = cube_scene
+        T = len(faces)  # 300 -> divisible by 4
+        C = 3
+        rng = np.random.default_rng(4)
+        W, H = cams[0].resolution
+        probs = np.stack([testing.random_probs(rng, H, W, C) for _ in cams])
+        rot, trans, fl, pp = stack_cameras(cams)
+
+        ref = np.asarray(
+            distributed.fuse_views(
+                vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
+                num_primitives=T, aggregator="sum", height=H, width=W,
+            )
+        )
+        fuse = distributed.make_sharded_fuse(
+            mesh, num_primitives=T, aggregator="sum", height=H, width=W,
+            shard_primitives=True,
+        )
+        with mesh:
+            got = np.asarray(
+                fuse(vertices, faces, rot, trans, fl, pp, probs,
+                     np.float32(0.5))
+            )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
