@@ -31,56 +31,23 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .fusion import DONT_CARE_THRESHOLD, _NEG_LARGE
-from .rasterize import xla as rast
-
-
-def _contribution(probs_flat, w, aggregator):
-    """Per-pixel contribution vectors given final weights (0 = skip)."""
-    if aggregator == "sum":
-        return probs_flat * w[:, None]
-    if aggregator == "summax":
-        max_val = jnp.max(probs_flat, axis=-1, keepdims=True)
-        is_max = probs_flat == max_val
-        first_max = jnp.cumsum(is_max, axis=-1) == 1
-        return jnp.where(is_max & first_max, probs_flat, 0.0) * w[:, None]
-    if aggregator == "mul":
-        logp = jnp.maximum(jnp.log(jnp.maximum(probs_flat, 0.0)), _NEG_LARGE)
-        return logp * w[:, None]
-    raise ValueError(f"unknown aggregator {aggregator!r}")
+from . import fusion
+from . import rasterize as rast
 
 
 def view_accumulate(prim_image, probs, weights, images_equal_weight,
                     num_primitives, aggregator, axis_name=None):
     """Fusion contribution of one view: (H, W) x (H, W, C) -> (P, C).
 
-    If `axis_name` is given, the pixels-per-face counts are psum'd over that
-    mesh axis first (image rows sharded across chips).
-    """
-    npix = prim_image.size
-    C = probs.shape[-1]
-    prim_flat = prim_image.reshape(npix)
-    if prim_flat.dtype in (jnp.uint32, jnp.uint64):
-        in_range = prim_flat < jnp.asarray(num_primitives, prim_flat.dtype)
-    else:
-        in_range = (prim_flat >= 0) & (prim_flat < num_primitives)
-    idx = jnp.where(in_range, prim_flat, 0).astype(jnp.int32)
-    probs_flat = probs.reshape(npix, C)
-
-    counts = jax.ops.segment_sum(
-        in_range.astype(jnp.float32), idx, num_segments=num_primitives
+    Single fused segment reduction (MXU one-hot matmul for small P); see
+    fusion._accumulate_view. If `axis_name` is given, segmented sums and
+    pixels-per-face counts are psum'd together over that mesh axis (image
+    rows sharded across chips)."""
+    return fusion._accumulate_view(
+        prim_image, probs, weights, images_equal_weight,
+        num_primitives=num_primitives, aggregator=aggregator,
+        axis_name=axis_name,
     )
-    if axis_name is not None:
-        counts = jax.lax.psum(counts, axis_name)
-    image_weight = 1.0 / jnp.maximum(counts[idx], 1.0)
-    w_mix = images_equal_weight * image_weight + (1.0 - images_equal_weight)
-
-    not_dont_care = jnp.sum(probs_flat, axis=-1) > DONT_CARE_THRESHOLD
-    pixel_w = jnp.ones((npix,), jnp.float32) if weights is None else \
-        weights.reshape(npix)
-    w = jnp.where(in_range & not_dont_care, w_mix * pixel_w, 0.0)
-    contrib = _contribution(probs_flat, w, aggregator)
-    return jax.ops.segment_sum(contrib, idx, num_segments=num_primitives)
 
 
 def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
@@ -209,15 +176,15 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
             step, acc0,
             (rotations, translations, focal_lengths, principal_points, probs),
         )
-        # merge partial accumulators: + over both mesh axes
+        # Merge: each view's delta was already merged across 'pixels' inside
+        # _accumulate_view (counts need the full image), so acc is replicated
+        # along 'pixels' and only 'views' partials remain to sum.
         acc = jax.lax.psum(acc, "views")
         if shard_primitives:
-            # reduce-scatter over 'pixels': each chip keeps its P-rows block
-            acc = jax.lax.psum_scatter(
-                acc, "pixels", scatter_dimension=0, tiled=True
-            )
-        else:
-            acc = jax.lax.psum(acc, "pixels")
+            # keep only this chip's P-rows block (out_specs P('pixels'))
+            block = num_primitives // n_pixels
+            k = jax.lax.axis_index("pixels")
+            acc = jax.lax.dynamic_slice_in_dim(acc, k * block, block, axis=0)
         return acc
 
     return fuse

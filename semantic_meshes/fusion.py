@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import ops
+
 AGGREGATORS = ("sum", "summax", "mul")
 
 DONT_CARE_THRESHOLD = 0.5  # ref: Mesh.h:98
@@ -73,6 +75,73 @@ def _flatten_inputs(primitive_indices, probs, weights, classes):
     return prim, probs, weights
 
 
+def _pixel_values(probs_flat, base_w, aggregator):
+    """Per-pixel contribution rows (weight-mix NOT applied — it is linear,
+    so it is applied post-segmentation; see _accumulate_view)."""
+    if aggregator == "sum":
+        return probs_flat * base_w[:, None]
+    if aggregator == "summax":
+        # keep only the argmax component (Fusion.cu:51-55)
+        max_val = jnp.max(probs_flat, axis=-1, keepdims=True)
+        is_max = probs_flat == max_val
+        # exactly one winner per pixel: first max index (tt::argmax semantics)
+        first_max = jnp.cumsum(is_max, axis=-1) == 1
+        return jnp.where(is_max & first_max, probs_flat, 0.0) * base_w[:, None]
+    if aggregator == "mul":
+        # acc_log += w * log(probs); log(0) -> large negative, kept finite so
+        # masked pixels (w == 0) contribute exactly 0.
+        logp = jnp.maximum(jnp.log(jnp.maximum(probs_flat, 0.0)), _NEG_LARGE)
+        return logp * base_w[:, None]
+    raise ValueError(f"unknown aggregator {aggregator!r}")
+
+
+def _accumulate_view(prim, probs, weights, images_equal_weight, *,
+                     num_primitives, aggregator, axis_name=None):
+    """Fusion contribution of one view as a SINGLE segment reduction.
+
+    The reference weights each pixel by
+      w = iew * (1 / pixels_per_face) + (1 - iew)          (Mesh.h:100-102)
+    before accumulating. Every aggregator's accumulation is linear in w, and
+    w is constant within a primitive, so the equivalent formulation
+      S[p]     = sum over p's pixels of (pixel_w * value)
+      count[p] = all pixels whose primitive is p (don't-care included)
+      delta[p] = (iew / count[p] + (1 - iew)) * S[p]
+    needs one fused segment-sum over (values | count-column) — which runs on
+    the MXU for small P (ops.segment_sum). With `axis_name`, S and counts are
+    psum'd together over that mesh axis (image rows sharded across chips).
+    """
+    P = num_primitives
+    npix = prim.size
+    C = probs.shape[-1]
+    prim_flat = prim.reshape(npix)
+    # uint32 0xFFFFFFFF and any id >= P are out of range (Mesh.h:95)
+    if prim_flat.dtype in (jnp.uint32, jnp.uint64):
+        in_range = prim_flat < jnp.asarray(P, prim_flat.dtype)
+    else:
+        in_range = (prim_flat >= 0) & (prim_flat < P)
+    idx = jnp.where(in_range, prim_flat, P).astype(jnp.int32)
+
+    probs_flat = probs.reshape(npix, C)
+    not_dont_care = jnp.sum(probs_flat, axis=-1) > DONT_CARE_THRESHOLD
+    pixel_w = jnp.ones((npix,), jnp.float32) if weights is None else \
+        weights.reshape(npix)
+    base_w = jnp.where(in_range & not_dont_care, pixel_w, 0.0)
+
+    values = _pixel_values(probs_flat, base_w, aggregator)
+    # trailing column: pixels_per_face over ALL in-range pixels (Mesh.h:90-93)
+    data = jnp.concatenate(
+        [values, in_range.astype(jnp.float32)[:, None]], axis=1
+    )
+    seg = ops.segment_sum(data, idx, P)
+    if axis_name is not None:
+        seg = jax.lax.psum(seg, axis_name)
+    counts = seg[:, C]
+    mix = images_equal_weight / jnp.maximum(counts, 1.0) + (
+        1.0 - images_equal_weight
+    )
+    return mix[:, None] * seg[:, :C]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_primitives", "aggregator"),
@@ -81,51 +150,10 @@ def _flatten_inputs(primitive_indices, probs, weights, classes):
 def _add(acc, prim, probs, weights, images_equal_weight, *, num_primitives,
          aggregator):
     """One fused pass: pixel weights + don't-care mask + segment reduce."""
-    P = num_primitives
-    npix = prim.size
-    C = probs.shape[-1]
-    # uint32 0xFFFFFFFF and any id >= P are out of range (Mesh.h:95)
-    prim_flat = prim.reshape(npix)
-    if prim_flat.dtype in (jnp.uint32, jnp.uint64):
-        in_range = prim_flat < jnp.asarray(P, prim_flat.dtype)
-    else:
-        in_range = (prim_flat >= 0) & (prim_flat < P)
-    idx = jnp.where(in_range, prim_flat, 0).astype(jnp.int32)
-
-    probs_flat = probs.reshape(npix, C)
-
-    # pixels_per_face over ALL pixels of the image (Mesh.h:90-93)
-    ones = in_range.astype(jnp.float32)
-    counts = jax.ops.segment_sum(ones, idx, num_segments=P)
-    pixels_per_face = counts[idx]  # (npix,)
-    image_weight = 1.0 / jnp.maximum(pixels_per_face, 1.0)
-    w_mix = images_equal_weight * image_weight + (1.0 - images_equal_weight)
-
-    not_dont_care = jnp.sum(probs_flat, axis=-1) > DONT_CARE_THRESHOLD
-    pixel_w = jnp.ones((npix,), jnp.float32) if weights is None else \
-        weights.reshape(npix)
-    w = jnp.where(in_range & not_dont_care, w_mix * pixel_w, 0.0)  # (npix,)
-
-    if aggregator == "sum":
-        contrib = probs_flat * w[:, None]
-    elif aggregator == "summax":
-        # keep only the argmax component (Fusion.cu:51-55)
-        max_val = jnp.max(probs_flat, axis=-1, keepdims=True)
-        is_max = probs_flat == max_val
-        # exactly one winner per pixel: first max index (tt::argmax semantics)
-        first_max = jnp.cumsum(is_max, axis=-1) == 1
-        onehot = is_max & first_max
-        contrib = jnp.where(onehot, probs_flat, 0.0) * w[:, None]
-    elif aggregator == "mul":
-        # acc_log += w * log(probs); log(0) -> large negative, kept finite so
-        # masked pixels (w == 0) contribute exactly 0.
-        logp = jnp.log(jnp.maximum(probs_flat, 0.0))
-        logp = jnp.maximum(logp, _NEG_LARGE)
-        contrib = logp * w[:, None]
-    else:
-        raise ValueError(f"unknown aggregator {aggregator!r}")
-
-    return acc + jax.ops.segment_sum(contrib, idx, num_segments=P)
+    return acc + _accumulate_view(
+        prim, probs, weights, images_equal_weight,
+        num_primitives=num_primitives, aggregator=aggregator,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("aggregator",))

@@ -1,0 +1,81 @@
+"""Segment-reduction kernels tuned for TPU.
+
+`jax.ops.segment_sum` lowers to scatter-add, which serializes on TPU
+(~8 ms for a 0.8 MPix image on v5e). For the fusion workload the segment
+count P is often small (mesh faces), so the reduction is re-expressed as a
+chunked one-hot matmul on the MXU:
+
+    seg[p, c] = sum_px 1[idx_px == p] * data[px, c]
+             == (onehot(idx) ^T @ data)[p, c]
+
+which runs at MXU speed (~1 ms for the same image). For large P (texel mode
+can reach millions of primitives) the one-hot matrix would be too large, so
+the scatter path is kept; the dispatch threshold is SEGMENT_MXU_MAX_P.
+
+The weight-mix trick that makes a single pass sufficient lives in
+fusion/_distributed: every aggregator's contribution is linear in the
+per-pixel weight, so pixels-per-face normalization is applied to the
+segmented sums instead of per pixel (bit-compatible up to fp reassociation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SEGMENT_MXU_MAX_P = 8192
+_CHUNK = 4096
+
+
+def _segment_sum_mxu(data, idx, num_segments):
+    """One-hot matmul segment sum: data (N, D) f32, idx (N,) int32 in
+    [0, num_segments) (out-of-range rows contribute nothing)."""
+    n, d = data.shape
+    pad = (-n) % _CHUNK
+    if pad:
+        data = jnp.pad(data, ((0, pad), (0, 0)))
+        idx = jnp.pad(idx, (0, pad), constant_values=num_segments)
+    chunks = data.reshape(-1, _CHUNK, d)
+    idx_chunks = idx.reshape(-1, _CHUNK)
+    seg_ids = jnp.arange(num_segments, dtype=idx.dtype)
+
+    def step(acc, chunk):
+        cdata, cidx = chunk
+        onehot = (cidx[:, None] == seg_ids[None, :]).astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            onehot,
+            cdata,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((num_segments, d), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (chunks, idx_chunks))
+    return acc
+
+
+def segment_sum(data, idx, num_segments):
+    """TPU-tuned drop-in for jax.ops.segment_sum over rank-2 data.
+
+    data (N, D) float32; idx (N,) integer; out-of-range indices are dropped.
+    Dispatches to the MXU one-hot matmul for small segment counts and to
+    scatter-add otherwise.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    idx = jnp.asarray(idx)
+    squeeze = data.ndim == 1
+    if squeeze:
+        data = data[:, None]
+    if num_segments <= SEGMENT_MXU_MAX_P:
+        # MXU path masks out-of-range via the one-hot comparison itself
+        out = _segment_sum_mxu(data, idx.astype(jnp.int32), num_segments)
+    else:
+        valid = (idx >= 0) & (idx < num_segments)
+        safe = jnp.where(valid, idx, 0).astype(jnp.int32)
+        data = jnp.where(valid[:, None], data, 0.0)
+        out = jax.ops.segment_sum(data, safe, num_segments=num_segments)
+    return out[:, 0] if squeeze else out

@@ -1,1 +1,42 @@
+"""Rasterizer backends.
+
+- `xla`: pure-jnp tile-binned rasterizer (runs everywhere; CPU test oracle)
+- `pallas_kernel`: Pallas TPU kernel with VMEM z-buffers and dynamic
+  per-tile candidate counts (~5x the XLA path on v5e, bit-identical output)
+
+`rasterize(...)` dispatches by backend: Pallas on TPU, XLA otherwise.
+Override with backend="xla"|"pallas" or SM_RASTERIZER env var.
+"""
+
+import os
+
+import jax
+
 from . import xla  # noqa: F401
+
+
+def default_backend():
+    env = os.environ.get("SM_RASTERIZER")
+    if env in ("xla", "pallas"):
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def get(backend=None):
+    backend = backend or default_backend()
+    if backend == "pallas":
+        from . import pallas_kernel
+
+        return pallas_kernel
+    return xla
+
+
+def rasterize(*args, backend=None, **kwargs):
+    return get(backend).rasterize(*args, **kwargs)
+
+
+# shared helpers / contract constants re-exported
+Z_NEAR = xla.Z_NEAR
+INVALID_U32 = xla.INVALID_U32
+barycentrics_at_pixels = xla.barycentrics_at_pixels
+project_vertices = xla.project_vertices

@@ -155,7 +155,7 @@ def _bin_triangles(setup, height, width, max_tris_per_tile, y_offset):
     cand = -neg_top  # (B, N) ascending
     counts = jnp.sum(overlap, axis=1)
     overflow = jnp.sum(jnp.maximum(counts - n, 0))
-    return cand, overflow
+    return cand, jnp.minimum(counts, n).astype(jnp.int32), overflow
 
 
 @functools.partial(
@@ -194,7 +194,7 @@ def rasterize(
     )
     y_offset = jnp.asarray(y_offset, jnp.float32)
     setup = _triangle_setup(pix, z_cam, faces)
-    cand, overflow = _bin_triangles(
+    cand, _counts, overflow = _bin_triangles(
         setup, height, width, max_tris_per_tile, y_offset
     )
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from . import geometry
 from .data import Camera, Colmap, Ply, stack_cameras
-from .rasterize import xla as rast
+from . import rasterize as rast
 
 logger = logging.getLogger("semantic_meshes")
 
