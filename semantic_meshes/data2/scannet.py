@@ -86,13 +86,60 @@ class RGBDFrame:
         return zlib.decompress(self.depth_data)
 
 
+class _IndexedFrame:
+    """RGBDFrame view over the whole-file buffer (native fast path)."""
+
+    __slots__ = (
+        "camera_to_world",
+        "timestamp_color",
+        "timestamp_depth",
+        "color_size_bytes",
+        "depth_size_bytes",
+        "_buf",
+        "_color_off",
+        "_depth_off",
+    )
+
+    def __init__(self, buf, rec):
+        self.camera_to_world = (
+            np.asarray(rec["camera_to_world"], np.float32).reshape(4, 4)
+        )
+        self.timestamp_color = int(rec["timestamp_color"])
+        self.timestamp_depth = int(rec["timestamp_depth"])
+        self.color_size_bytes = int(rec["color_size"])
+        self.depth_size_bytes = int(rec["depth_size"])
+        self._buf = buf
+        self._color_off = int(rec["color_offset"])
+        self._depth_off = int(rec["depth_offset"])
+
+    @property
+    def color_data(self):
+        return self._buf[self._color_off:self._color_off + self.color_size_bytes]
+
+    @property
+    def depth_data(self):
+        return self._buf[self._depth_off:self._depth_off + self.depth_size_bytes]
+
+    decompress_color = RGBDFrame.decompress_color
+    decompress_color_jpeg = RGBDFrame.decompress_color_jpeg
+    decompress_depth = RGBDFrame.decompress_depth
+    decompress_depth_zlib = RGBDFrame.decompress_depth_zlib
+
+
 class SensFile:
-    """Parsed .sens stream (version 4)."""
+    """Parsed .sens stream (version 4).
+
+    Uses the native indexer (semantic_meshes.native, OpenMP C++) when
+    available: one pass over the mmapped buffer, frames as zero-copy views;
+    falls back to the pure-python reader otherwise.
+    """
 
     VERSION = 4
 
     def __init__(self, filename, max_frames=None):
         self.version = self.VERSION
+        if self._try_native(filename, max_frames):
+            return
         with open(filename, "rb") as f:
             (version,) = struct.unpack("<I", f.read(4))
             if version != self.VERSION:
@@ -120,6 +167,67 @@ class SensFile:
                 num_frames = min(num_frames, max_frames)
             self.frames = [RGBDFrame(f) for _ in range(num_frames)]
         self.frames.sort(key=lambda fr: fr.timestamp_color)
+
+    def _try_native(self, filename, max_frames):
+        from .. import native
+
+        if native.load() is None:
+            return False
+        with open(filename, "rb") as f:
+            data = f.read()
+        hdr = native.parse_header(data)
+        records = native.index_frames(
+            data, hdr.frames_start,
+            hdr.num_frames if max_frames is None
+            else min(hdr.num_frames, max_frames),
+        )
+        self.sensor_name = hdr.sensor_name.decode()
+        for attr in ("intrinsic_color", "extrinsic_color", "intrinsic_depth",
+                     "extrinsic_depth"):
+            setattr(
+                self, attr,
+                np.asarray(getattr(hdr, attr), np.float32).reshape(4, 4),
+            )
+        self.color_compression_type = COMPRESSION_TYPE_COLOR[
+            hdr.color_compression
+        ]
+        self.depth_compression_type = COMPRESSION_TYPE_DEPTH[
+            hdr.depth_compression
+        ]
+        self.color_width = hdr.color_width
+        self.color_height = hdr.color_height
+        self.depth_width = hdr.depth_width
+        self.depth_height = hdr.depth_height
+        self.depth_shift = hdr.depth_shift
+        self._buf = data
+        self._records = records
+        self.frames = [_IndexedFrame(data, r) for r in records]
+        self.frames.sort(key=lambda fr: fr.timestamp_color)
+        return True
+
+    def decode_all_depths(self):
+        """All depth frames as one (N, depth_height, depth_width) uint16
+        array; OpenMP-parallel zlib on the native path."""
+        from .. import native
+
+        pixels = self.depth_height * self.depth_width
+        if getattr(self, "_records", None) is not None and \
+                native.load() is not None:
+            order = np.argsort(self._records["timestamp_color"], kind="stable")
+            recs = self._records[order]
+            out = native.decode_depth_batch(
+                self._buf, recs["depth_offset"], recs["depth_size"], pixels
+            )
+            if out is not None:
+                return out.reshape(-1, self.depth_height, self.depth_width)
+        return np.stack(
+            [
+                np.frombuffer(
+                    fr.decompress_depth(self.depth_compression_type), "<u2"
+                ).reshape(self.depth_height, self.depth_width)
+                for fr in self.frames
+            ]
+        )
 
     # -- exporters (parity with the reference utility methods) ---------------
 

@@ -1,0 +1,157 @@
+"""ctypes bridge to the native IO accelerator (native/sens_io.cpp).
+
+Builds the shared library lazily with the in-tree Makefile on first use
+(g++/zlib only; no pybind11). All callers must handle `load() is None` and
+fall back to the pure-python path — the package works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger("semantic_meshes")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsens_io.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+# keep in sync with struct FrameRecord in native/sens_io.cpp
+FRAME_RECORD_DTYPE = np.dtype(
+    [
+        ("camera_to_world", "<f4", (16,)),
+        ("timestamp_color", "<u8"),
+        ("timestamp_depth", "<u8"),
+        ("color_offset", "<u8"),
+        ("color_size", "<u8"),
+        ("depth_offset", "<u8"),
+        ("depth_size", "<u8"),
+    ]
+)
+
+
+class SensHeaderC(ctypes.Structure):
+    _fields_ = [
+        ("version", ctypes.c_uint32),
+        ("intrinsic_color", ctypes.c_float * 16),
+        ("extrinsic_color", ctypes.c_float * 16),
+        ("intrinsic_depth", ctypes.c_float * 16),
+        ("extrinsic_depth", ctypes.c_float * 16),
+        ("color_compression", ctypes.c_int32),
+        ("depth_compression", ctypes.c_int32),
+        ("color_width", ctypes.c_uint32),
+        ("color_height", ctypes.c_uint32),
+        ("depth_width", ctypes.c_uint32),
+        ("depth_height", ctypes.c_uint32),
+        ("depth_shift", ctypes.c_float),
+        ("num_frames", ctypes.c_uint64),
+        ("frames_start", ctypes.c_uint64),
+        ("sensor_name", ctypes.c_char * 256),
+    ]
+
+
+def _build():
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, OSError) as e:
+        logger.info("native sens_io build failed (%s); using python path", e)
+        return False
+
+
+def load():
+    """Return the loaded ctypes library, building it if needed, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.isfile(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "sens_io.cpp")
+            if not os.path.isfile(src) or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            logger.info("native sens_io load failed (%s)", e)
+            return None
+        lib.sens_parse_header.restype = ctypes.c_int
+        lib.sens_parse_header.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.POINTER(SensHeaderC),
+        ]
+        lib.sens_index.restype = ctypes.c_int64
+        lib.sens_index.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64,
+        ]
+        lib.sens_decode_depth_batch.restype = ctypes.c_int64
+        lib.sens_decode_depth_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_uint64, ctypes.c_void_p,
+        ]
+        # sanity: record layout agreed between C++ and numpy
+        if lib.sens_record_size() != FRAME_RECORD_DTYPE.itemsize:
+            logger.warning(
+                "native sens_io record size mismatch (%d != %d); disabled",
+                lib.sens_record_size(), FRAME_RECORD_DTYPE.itemsize,
+            )
+            return None
+        _lib = lib
+        return _lib
+
+
+def parse_header(data: bytes):
+    lib = load()
+    if lib is None:
+        return None
+    hdr = SensHeaderC()
+    rc = lib.sens_parse_header(data, len(data), ctypes.byref(hdr))
+    if rc != 0:
+        raise ValueError(f".sens header parse failed (code {rc})")
+    return hdr
+
+
+def index_frames(data: bytes, frames_start: int, max_frames: int):
+    lib = load()
+    if lib is None:
+        return None
+    records = np.zeros(max_frames, dtype=FRAME_RECORD_DTYPE)
+    n = lib.sens_index(
+        data, len(data), frames_start,
+        records.ctypes.data_as(ctypes.c_void_p), max_frames,
+    )
+    if n < 0:
+        raise ValueError(f".sens frame index failed at frame {-n - 1}")
+    return records[:n]
+
+
+def decode_depth_batch(data: bytes, offsets, sizes, pixels: int):
+    """Inflate many zlib uint16 depth frames in parallel -> (N, pixels)."""
+    lib = load()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.uint64)
+    sizes = np.ascontiguousarray(sizes, np.uint64)
+    out = np.empty((len(offsets), pixels), np.uint16)
+    failed = lib.sens_decode_depth_batch(
+        data,
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p),
+        len(offsets), pixels,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if failed:
+        raise ValueError(f"zlib depth decode failed at frame {failed - 1}")
+    return out

@@ -1,0 +1,201 @@
+"""End-to-end test of the ScanNet eval harness on a synthetic scene.
+
+Builds a fake ScanNet directory (cube mesh with per-vertex labels, .sens
+stream with posed frames, label-filt gt images, label TSV), runs
+eval-scannet/eval_scannet.py with --model probs (perfect predictions), and
+checks the YAML results: near-perfect metrics + correct schema."""
+
+import io
+import os
+import subprocess
+import sys
+import zlib
+
+import numpy as np
+import pytest
+
+import semantic_meshes
+from semantic_meshes import testing
+from semantic_meshes.data2.scannet import write_sens
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLASSES = 40
+
+
+def _jpeg_bytes(img):
+    import imageio.v2 as imageio
+
+    buf = io.BytesIO()
+    imageio.imwrite(buf, img.astype(np.uint8), format="jpeg")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def scannet_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scannet")
+    scene = root / "scans" / "scene0000_00"
+    os.makedirs(scene / "label-filt")
+
+    W, H = 128, 96
+    vertices, faces = testing.make_cube(subdivisions=3)  # 108 tris
+    # per-face "ground truth" class: cube side -> nyu40 class (1..6 raw
+    # scannet ids mapping to nyu ids below)
+    tris_per_side = len(faces) // 6
+    face_class_nyu = (np.arange(len(faces)) // tris_per_side) + 1  # 1..6
+
+    # vertex labels (scannet raw ids 1..6): vertex takes class of any face
+    vertex_labels = np.zeros(len(vertices), np.int64)
+    for f, cls in zip(faces, face_class_nyu):
+        vertex_labels[f] = cls
+
+    # labels.ply: vertex x/y/z + label, face vertex_indices
+    ply_path = scene / "scene0000_00_vh_clean_2.labels.ply"
+    with open(ply_path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"property ushort label\n")
+        f.write(f"element face {len(faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\nend_header\n")
+        rec = np.empty(
+            len(vertices),
+            dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("l", "<u2")],
+        )
+        rec["x"], rec["y"], rec["z"] = vertices.T
+        rec["l"] = vertex_labels
+        f.write(rec.tobytes())
+        frec = np.empty(len(faces), dtype=[("n", "u1"), ("i", "<i4", (3,))])
+        frec["n"] = 3
+        frec["i"] = faces
+        f.write(frec.tobytes())
+
+    # scannet->nyu40 TSV: identity for ids 1..6
+    with open(root / "scannetv2-labels.combined.tsv", "w") as f:
+        f.write("id\traw_category\tcategory\tnyu40id\n")
+        for i in range(1, 7):
+            f.write(f"{i}\tc{i}\tc{i}\t{i}\n")
+
+    # cameras + frames
+    cams = testing.make_ring_cameras(num_views=4, width=W, height=H,
+                                     radius=3.0)
+    renderer = None
+    mesh_obj = semantic_meshes.data.Ply(str(ply_path))
+    renderer = semantic_meshes.render.triangles(mesh_obj)
+
+    frames = []
+    probs_dir = root / "probs" / "scene0000_00"
+    os.makedirs(probs_dir)
+    fx = fy = 0.9 * min(W, H)
+    intrinsic = np.eye(4, dtype=np.float32)
+    intrinsic[0, 0], intrinsic[1, 1] = fx, fy
+    intrinsic[0, 2], intrinsic[1, 2] = W / 2, H / 2
+
+    for i, cam in enumerate(cams):
+        # camera_to_world = inverse of world->cam
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = cam.rotation
+        w2c[:3, 3] = cam.translation
+        c2w = np.linalg.inv(w2c)
+
+        idx, _ = renderer.render(cam)
+        idx_hw = np.asarray(idx).T
+        covered = idx_hw != 0xFFFFFFFF
+        # gt label image: raw scannet ids (0 = unlabeled)
+        gt = np.zeros((H, W), np.uint16)
+        gt[covered] = face_class_nyu[idx_hw[covered].astype(np.int64)]
+        import imageio.v2 as imageio
+
+        imageio.imwrite(scene / "label-filt" / f"{i}.png", gt)
+
+        # perfect per-pixel probs: one-hot of nyu40 class (gt id - 1)
+        probs = np.zeros((H, W, CLASSES), np.float32)
+        ys, xs = np.nonzero(covered)
+        probs[ys, xs, gt[covered].astype(np.int64) - 1] = 1.0
+        np.save(probs_dir / f"{i}.npy", probs)
+
+        color = np.zeros((H, W, 3), np.uint8)
+        color[covered] = 128
+        depth = np.full((H, W), 1000, np.uint16)
+        frames.append(
+            dict(
+                camera_to_world=c2w,
+                timestamp_color=i,
+                timestamp_depth=i,
+                color_data=_jpeg_bytes(color),
+                depth_data=zlib.compress(depth.tobytes()),
+            )
+        )
+
+    write_sens(
+        str(scene / "scene0000_00.sens"),
+        "synthetic",
+        intrinsic, np.eye(4, dtype=np.float32),
+        intrinsic, np.eye(4, dtype=np.float32),
+        color_hw=(H, W), depth_hw=(H, W), depth_shift=1000.0,
+        frames=frames,
+    )
+    return root
+
+
+def test_eval_scannet_end_to_end(scannet_dir, tmp_path):
+    out = tmp_path / "results"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "eval-scannet", "eval_scannet.py"),
+            "--scannet", str(scannet_dir),
+            "--model", "probs",
+            "--probs_dir", str(scannet_dir / "probs"),
+            "--aggregator", "sum",
+            "--output", str(out),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    import yaml
+
+    files = [f for f in os.listdir(out) if f.endswith(".yaml")]
+    assert files == ["run-1.yaml"]
+    with open(out / files[0]) as f:
+        result = yaml.safe_load(f)
+    # schema parity with the reference (ref: eval_scannet.py:332-352)
+    assert set(result["metrics"]) == {"vertex", "image_network", "image_fused"}
+    assert result["params"]["aggregator"] == "sum"
+    for group in ("image_network", "image_fused", "vertex"):
+        m = result["metrics"][group]
+        assert set(m) == {"accuracy", "mean_iou", "confusion_matrix"}
+        cm = np.asarray(m["confusion_matrix"])
+        assert cm.shape == (CLASSES, CLASSES)
+    # perfect predictions -> perfect network metrics; fused is re-rendered
+    # from the same geometry -> also perfect
+    assert result["metrics"]["image_network"]["accuracy"] > 0.999
+    assert result["metrics"]["image_fused"]["accuracy"] > 0.999
+    # the ring cameras see 5 of 6 cube sides; the unseen side's vertices are
+    # don't-care predictions, counted as errors -> exactly 5/6 accuracy
+    assert abs(result["metrics"]["vertex"]["accuracy"] - 5 / 6) < 0.02
+
+    # second run with same parametrization is skipped (ref lines 70-78)
+    proc2 = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "eval-scannet", "eval_scannet.py"),
+            "--scannet", str(scannet_dir),
+            "--model", "probs",
+            "--probs_dir", str(scannet_dir / "probs"),
+            "--aggregator", "sum",
+            "--output", str(out),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc2.returncode == 0
+    assert "already exists" in proc2.stdout
