@@ -111,6 +111,50 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     return acc
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_primitives", "aggregator", "height", "width", "max_tris_per_tile"
+    ),
+)
+def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
+                      rotations, translations, focal_lengths,
+                      principal_points, probs, images_equal_weight, *,
+                      num_primitives, aggregator, height, width,
+                      max_tris_per_tile=256):
+    """Batched texel-mode pipeline: like fuse_views, but primitives are the
+    sub-triangle texels of a TexelsRenderer (pass its reordered `faces`,
+    `resolutions` and `first_texel_index`)."""
+
+    def prim_transform_factory(rot, trans, fl, pp):
+        def prim_transform(tri, camera_arrays):
+            from .render import _texel_prim_image
+
+            return _texel_prim_image(
+                vertices, faces, rot, trans, fl, pp, tri,
+                resolutions, first_texel_index, num_primitives,
+            )
+        return prim_transform
+
+    def step(acc, view):
+        rot, trans, fl, pp, pr = view
+        acc = acc + render_and_accumulate(
+            vertices, faces, (rot, trans, fl, pp), pr, None,
+            images_equal_weight,
+            num_primitives=num_primitives, aggregator=aggregator,
+            height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+            prim_transform=prim_transform_factory(rot, trans, fl, pp),
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
+    acc, _ = jax.lax.scan(
+        step, acc0,
+        (rotations, translations, focal_lengths, principal_points, probs),
+    )
+    return acc
+
+
 def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                       width, max_tris_per_tile=256,
                       shard_primitives=False):

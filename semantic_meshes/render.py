@@ -23,6 +23,7 @@ precompute — O(triangles x cameras) host projections in the reference
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import jax
@@ -190,21 +191,22 @@ class TexelsRenderer:
             tri,
             self.resolutions,
             self.first_texel_index,
+            self._primitive_num,
         )
         return indices.T, depth.T  # (W, H) contract
 
 
-@jax.jit
-def _texel_indices(vertices, faces, rotation, translation, focal_lengths,
-                   principal_point, tri_index, resolutions, first_texel_index):
-    """Map each covered pixel's triangle + barycentrics to its texel id.
+def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
+                      principal_point, tri_index, resolutions,
+                      first_texel_index, num_primitives):
+    """Texel primitive ids as int32 (invalid pixels -> num_primitives).
 
     Equivalent of TexturedTriangle::getTexelIndex in the CUDA shader
     (ref: TexturedTriangleRenderer.h:31-41), run as a post-pass over the
     winning fragments. Pixels on triangles with resolution 0 (never seen by
-    any setup camera) return INVALID rather than colliding with a neighbor's
-    first texel.
-    """
+    any setup camera) are invalid rather than colliding with a neighbor's
+    first texel. Shared by the public render API and the batched fusion
+    pipeline (distributed.fuse_views_texels)."""
     bary = rast.barycentrics_at_pixels(
         vertices, faces, rotation, translation, focal_lengths,
         principal_point, tri_index,
@@ -214,7 +216,25 @@ def _texel_indices(vertices, faces, rotation, translation, focal_lengths,
     rel = geometry.texel_index(bary, jnp.maximum(res, 1))
     prim = first_texel_index[tri] + rel
     valid = (tri_index >= 0) & (res >= 1)
-    return jnp.where(valid, prim.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    return jnp.where(valid, prim, num_primitives).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_primitives",))
+def _texel_indices(vertices, faces, rotation, translation, focal_lengths,
+                   principal_point, tri_index, resolutions, first_texel_index,
+                   num_primitives):
+    """uint32 texel image with the 0xFFFFFFFF background sentinel
+    (public render contract, ref: TriangleRenderer.h:75-78)."""
+    prim = _texel_prim_image(
+        vertices, faces, rotation, translation, focal_lengths,
+        principal_point, tri_index, resolutions, first_texel_index,
+        num_primitives,
+    )
+    return jnp.where(
+        prim < num_primitives,
+        prim.astype(jnp.uint32),
+        jnp.uint32(0xFFFFFFFF),
+    )
 
 
 def triangles(mesh: Ply, **kwargs) -> TrianglesRenderer:

@@ -1,0 +1,97 @@
+"""Batched texel-mode fusion must match the sequential public API, and
+checkpoint round trips must preserve fusion state exactly."""
+
+import numpy as np
+import pytest
+
+import semantic_meshes
+from semantic_meshes import checkpoint, distributed, testing
+from semantic_meshes.data import stack_cameras
+from semantic_meshes.io.ply import write_mesh
+
+
+@pytest.fixture(scope="module")
+def texel_scene(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("texels")
+    vertices, faces = testing.make_cube(subdivisions=3)
+    write_mesh(tmp / "cube.ply", vertices, faces)
+    mesh = semantic_meshes.data.Ply(str(tmp / "cube.ply"))
+    cams = testing.make_ring_cameras(num_views=3, width=128, height=96)
+    renderer = semantic_meshes.render.texels(mesh, cams, 1.5)
+    return mesh, cams, renderer
+
+
+def test_fuse_views_texels_matches_sequential(texel_scene):
+    mesh, cams, renderer = texel_scene
+    P = renderer.getPrimitivesNum()
+    C = 4
+    rng = np.random.default_rng(11)
+    W, H = cams[0].resolution
+    probs = np.stack([testing.random_probs(rng, H, W, C) for _ in cams])
+
+    agg = semantic_meshes.fusion.MeshAggregator(
+        primitives=P, classes=C, aggregator="sum"
+    )
+    for cam, pr in zip(cams, probs):
+        idx, _ = renderer.render(cam)
+        agg.add(idx, pr.transpose(1, 0, 2))
+
+    rot, trans, fl, pp = stack_cameras(cams)
+    acc = distributed.fuse_views_texels(
+        renderer.vertices, renderer.faces, renderer.resolutions,
+        renderer.first_texel_index, rot, trans, fl, pp, probs,
+        np.float32(0.5),
+        num_primitives=P, aggregator="sum", height=H, width=W,
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(agg.state), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, texel_scene):
+    mesh, cams, renderer = texel_scene
+    P = renderer.getPrimitivesNum()
+    C = 4
+    rng = np.random.default_rng(5)
+    W, H = cams[0].resolution
+
+    agg = semantic_meshes.fusion.MeshAggregator(
+        primitives=P, classes=C, aggregator="mul", images_equal_weight=0.7
+    )
+    idx, _ = renderer.render(cams[0])
+    agg.add(idx, testing.random_probs(rng, H, W, C).transpose(1, 0, 2))
+
+    path = tmp_path / "ckpt.npz"
+    checkpoint.save_aggregator(path, agg, views_done=1,
+                               extra={"scene": "cube"})
+    agg2, views_done, extra = checkpoint.load_aggregator(path)
+    assert views_done == 1
+    assert extra == {"scene": "cube"}
+    assert agg2.aggregator == "mul"
+    assert agg2.images_equal_weight == 0.7
+    np.testing.assert_array_equal(np.asarray(agg2.state), np.asarray(agg.state))
+
+    # resuming: one more view on both gives identical results
+    pr = testing.random_probs(rng, H, W, C)
+    idx1, _ = renderer.render(cams[1])
+    agg.add(idx1, pr.transpose(1, 0, 2))
+    agg2.add(idx1, pr.transpose(1, 0, 2))
+    np.testing.assert_allclose(
+        np.asarray(agg2.get()), np.asarray(agg.get()), atol=1e-6
+    )
+
+
+def test_profiling_phase_timers():
+    from semantic_meshes.profiling import PhaseTimers
+
+    t = PhaseTimers()
+    with t.phase("alpha"):
+        pass
+    with t.phase("alpha"):
+        pass
+    with t.phase("beta"):
+        pass
+    assert t.counts["alpha"] == 2
+    assert t.counts["beta"] == 1
+    rep = t.report()
+    assert "alpha" in rep and "beta" in rep
