@@ -53,7 +53,8 @@ def view_accumulate(prim_image, probs, weights, images_equal_weight,
 def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
                           images_equal_weight, *, num_primitives, aggregator,
                           height, width, max_tris_per_tile=256,
-                          prim_transform=None, axis_name=None, y_offset=None):
+                          prim_transform=None, axis_name=None, y_offset=None,
+                          face_vertices=None):
     """One fused render+aggregate step (stays entirely in HBM).
 
     camera_arrays: (rotation, translation, focal_lengths, principal_point).
@@ -66,6 +67,7 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
         vertices, faces, rot, trans, fl, pp,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         y_offset=0 if y_offset is None else y_offset,
+        face_vertices=face_vertices,
     )
     if prim_transform is None:
         prim = jnp.where(tri >= 0, tri, num_primitives).astype(jnp.int32)
@@ -93,6 +95,10 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     (N,2), probs (N,H,W,C). Returns the (P, C) accumulator (pair it with
     fusion._get / MeshAggregator.state to read out distributions).
     """
+    face_vertices = jnp.asarray(vertices, jnp.float32)[
+        jnp.asarray(faces, jnp.int32)
+    ]  # one gather for all views
+
     def step(acc, view):
         rot, trans, fl, pp, pr = view
         acc = acc + render_and_accumulate(
@@ -100,6 +106,7 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
             images_equal_weight,
             num_primitives=num_primitives, aggregator=aggregator,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+            face_vertices=face_vertices,
         )
         return acc, None
 
@@ -136,6 +143,10 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
             )
         return prim_transform
 
+    face_vertices = jnp.asarray(vertices, jnp.float32)[
+        jnp.asarray(faces, jnp.int32)
+    ]
+
     def step(acc, view):
         rot, trans, fl, pp, pr = view
         acc = acc + render_and_accumulate(
@@ -144,6 +155,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
             num_primitives=num_primitives, aggregator=aggregator,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
             prim_transform=prim_transform_factory(rot, trans, fl, pp),
+            face_vertices=face_vertices,
         )
         return acc, None
 
@@ -202,6 +214,9 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     def fuse(vertices, faces, rotations, translations, focal_lengths,
              principal_points, probs, images_equal_weight):
         row0 = jax.lax.axis_index("pixels") * local_h
+        face_vertices = jnp.asarray(vertices, jnp.float32)[
+            jnp.asarray(faces, jnp.int32)
+        ]
 
         def step(acc, view):
             rot, trans, fl, pp, pr = view
@@ -212,6 +227,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                 height=local_h, width=width,
                 max_tris_per_tile=max_tris_per_tile,
                 axis_name="pixels", y_offset=row0,
+                face_vertices=face_vertices,
             )
             return acc, None
 

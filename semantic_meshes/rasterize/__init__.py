@@ -3,9 +3,12 @@
 - `xla`: pure-jnp tile-binned rasterizer (runs everywhere; CPU test oracle)
 - `pallas_kernel`: Pallas TPU kernel with VMEM z-buffers and dynamic
   per-tile candidate counts (~5x the XLA path on v5e, bit-identical output)
+- `dense`: sort-based binning + micro-fragment path + HBM-streaming Pallas
+  kernel for large meshes (no per-tile candidate cap)
 
-`rasterize(...)` dispatches by backend: Pallas on TPU, XLA otherwise.
-Override with backend="xla"|"pallas" or SM_RASTERIZER env var.
+`rasterize(...)` dispatches: on TPU, `pallas` for small meshes and `dense`
+above DENSE_THRESHOLD triangles; `xla` elsewhere. Override with
+backend="xla"|"pallas"|"dense" or the SM_RASTERIZER env var.
 """
 
 import os
@@ -14,25 +17,40 @@ import jax
 
 from . import xla  # noqa: F401
 
+DENSE_THRESHOLD = int(os.environ.get("SM_DENSE_THRESHOLD", 16384))
 
-def default_backend():
+
+def default_backend(num_tris=None):
     env = os.environ.get("SM_RASTERIZER")
-    if env in ("xla", "pallas"):
+    if env in ("xla", "pallas", "dense"):
         return env
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if num_tris is not None and num_tris >= DENSE_THRESHOLD:
+        return "dense"
+    return "pallas"
 
 
-def get(backend=None):
-    backend = backend or default_backend()
+def get(backend=None, num_tris=None):
+    backend = backend or default_backend(num_tris)
     if backend == "pallas":
         from . import pallas_kernel
 
         return pallas_kernel
+    if backend == "dense":
+        from . import dense
+
+        return dense
     return xla
 
 
-def rasterize(*args, backend=None, **kwargs):
-    return get(backend).rasterize(*args, **kwargs)
+def rasterize(vertices, faces, *args, backend=None, **kwargs):
+    mod = get(backend, num_tris=faces.shape[0])
+    if mod is not xla:
+        # xla-only tuning knob; pallas paths have their own caps
+        if mod.__name__.endswith("dense"):
+            kwargs.pop("max_tris_per_tile", None)
+    return mod.rasterize(vertices, faces, *args, **kwargs)
 
 
 # shared helpers / contract constants re-exported

@@ -140,6 +140,7 @@ def rasterize(
     focal_lengths,
     principal_point,
     y_offset=0,
+    face_vertices=None,
     *,
     height,
     width,
@@ -148,15 +149,11 @@ def rasterize(
     """Drop-in replacement for rasterize.xla.rasterize on TPU."""
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
-    pix, z_cam = xla_rast.project_vertices(
-        vertices,
-        jnp.asarray(rotation, jnp.float32),
-        jnp.asarray(translation, jnp.float32),
-        jnp.asarray(focal_lengths, jnp.float32),
-        jnp.asarray(principal_point, jnp.float32),
-    )
     y_offset = jnp.asarray(y_offset, jnp.float32)
-    setup = xla_rast._triangle_setup(pix, z_cam, faces)
+    setup = xla_rast._make_setup(
+        vertices, faces, rotation, translation, focal_lengths,
+        principal_point, face_vertices,
+    )
     cand, counts, overflow = xla_rast._bin_triangles(
         setup, height, width, max_tris_per_tile, y_offset
     )

@@ -51,6 +51,9 @@ class TrianglesRenderer:
         self.mesh = mesh
         self.vertices = jnp.asarray(mesh.vertices, jnp.float32)
         self.faces = jnp.asarray(mesh.faces, jnp.int32)
+        # pre-expanded face-vertex positions: per-view setup becomes
+        # gather-free (rasterize.xla.setup_from_face_vertices)
+        self.face_vertices = self.vertices[self.faces]
         self.max_tris_per_tile = int(max_tris_per_tile)
 
     def getPrimitivesNum(self) -> int:
@@ -65,6 +68,7 @@ class TrianglesRenderer:
             camera.translation,
             camera.focal_lengths,
             camera.principal_point,
+            face_vertices=self.face_vertices,
             height=height,
             width=width,
             max_tris_per_tile=self.max_tris_per_tile,
@@ -143,6 +147,7 @@ class TexelsRenderer:
         self.faces = geometry.reorder_faces_for_texels(
             self.vertices, jnp.asarray(mesh.faces, jnp.int32)
         )
+        self.face_vertices = self.vertices[self.faces]
         self.resolutions = res  # (T,) int32
         counts = np.asarray(geometry.texel_count(res), np.int64)  # (T,)
         first = np.zeros(len(counts) + 1, np.int64)
@@ -169,6 +174,7 @@ class TexelsRenderer:
             camera.translation,
             camera.focal_lengths,
             camera.principal_point,
+            face_vertices=self.face_vertices,
             height=height,
             width=width,
             max_tris_per_tile=self.max_tris_per_tile,
