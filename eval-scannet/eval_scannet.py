@@ -169,10 +169,10 @@ if args.model == "tfcv":
 elif args.model == "jax-unet":
     from semantic_meshes.models import segmentation
 
-    _predict = segmentation.load_predictor(classes=classes_num)
+    _predict = segmentation.load_rgbd_predictor(classes=classes_num)
 
     def predict_probs(color, depth, out_hw):
-        probs = np.asarray(_predict(color))
+        probs = np.asarray(_predict(color, depth))
         if probs.shape[:2] != tuple(out_hw):
             import jax
 

@@ -28,11 +28,57 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from . import fusion
 from . import rasterize as rast
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Join the jax distributed runtime for multi-host pods.
+
+    The reference has no distributed backend at all (SURVEY.md §2c); here
+    multi-host scaling is the JAX runtime itself: ICI collectives within a
+    pod slice, DCN across hosts. Call once per process before building a
+    Mesh over jax.devices(). No-ops when already initialized or when env
+    auto-detection (TPU pods set the coordinator automatically) applies.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def make_device_mesh(views_axis=None, pixels_axis=1):
+    """Build a (views, pixels) Mesh over all global devices.
+
+    Defaults put every device on the 'views' (data-parallel) axis — the
+    right layout when images are plentiful; set pixels_axis > 1 to split
+    image rows across chips for very large frames.
+    """
+    import jax
+
+    devices = np.array(jax.devices())
+    n = devices.size
+    if views_axis is None:
+        views_axis = n // pixels_axis
+    if views_axis * pixels_axis != n:
+        raise ValueError(
+            f"views_axis * pixels_axis must equal device count {n}"
+        )
+    return Mesh(
+        devices.reshape(views_axis, pixels_axis), ("views", "pixels")
+    )
 
 
 def view_accumulate(prim_image, probs, weights, images_equal_weight,
@@ -86,23 +132,24 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
     ),
 )
 def fuse_views(vertices, faces, rotations, translations, focal_lengths,
-               principal_points, probs, images_equal_weight, *,
+               principal_points, probs, images_equal_weight, weights=None, *,
                num_primitives, aggregator, height, width,
                max_tris_per_tile=256):
     """Single-chip batched pipeline: scan render+fuse over N views.
 
     rotations (N,3,3), translations (N,3), focal_lengths/principal_points
-    (N,2), probs (N,H,W,C). Returns the (P, C) accumulator (pair it with
-    fusion._get / MeshAggregator.state to read out distributions).
+    (N,2), probs (N,H,W,C), optional per-pixel weights (N,H,W). Returns the
+    (P, C) accumulator (pair it with fusion._get / MeshAggregator.state to
+    read out distributions).
     """
     face_vertices = jnp.asarray(vertices, jnp.float32)[
         jnp.asarray(faces, jnp.int32)
     ]  # one gather for all views
 
     def step(acc, view):
-        rot, trans, fl, pp, pr = view
+        rot, trans, fl, pp, pr, wt = view
         acc = acc + render_and_accumulate(
-            vertices, faces, (rot, trans, fl, pp), pr, None,
+            vertices, faces, (rot, trans, fl, pp), pr, wt,
             images_equal_weight,
             num_primitives=num_primitives, aggregator=aggregator,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
@@ -113,7 +160,8 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
     acc, _ = jax.lax.scan(
         step, acc0,
-        (rotations, translations, focal_lengths, principal_points, probs),
+        (rotations, translations, focal_lengths, principal_points, probs,
+         weights),
     )
     return acc
 

@@ -79,6 +79,45 @@ if HAVE_FLAX:
             return logits
 
 
+if HAVE_FLAX:
+
+    class RGBDUNet(nn.Module):
+        """Dual-encoder RGB-D segmentation net (the ESANet role in the
+        reference's ScanNet eval, ref: eval-scannet/eval_scannet.py:84-86):
+        separate color/depth encoders, depth features added into the color
+        stream at each scale, shared U-Net decoder."""
+
+        classes: int = 40
+        widths: tuple = (64, 128, 256, 512)
+
+        @nn.compact
+        def __call__(self, rgb, depth):
+            # rgb: (B, H, W, 3), depth: (B, H, W, 1), both float32
+            skips = []
+            x = rgb
+            d = depth
+            for w in self.widths[:-1]:
+                x = ConvBlock(w)(x)
+                d = ConvBlock(w)(d)
+                x = x + d  # fuse depth into the color stream
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                d = nn.max_pool(d, (2, 2), strides=(2, 2))
+            x = ConvBlock(self.widths[-1])(x + d)
+            for w, skip in zip(reversed(self.widths[:-1]), reversed(skips)):
+                b, h, ww, c = x.shape
+                x = jax.image.resize(x, (b, h * 2, ww * 2, c), "nearest")
+                x = nn.Conv(
+                    w, (1, 1), dtype=jnp.bfloat16, param_dtype=jnp.float32
+                )(x)
+                x = jnp.concatenate([x.astype(jnp.float32), skip], axis=-1)
+                x = ConvBlock(w)(x)
+            return nn.Conv(
+                self.classes, (1, 1), dtype=jnp.float32,
+                param_dtype=jnp.float32,
+            )(x)
+
+
 def _resize_bilinear(img, hw):
     return jax.image.resize(
         img, (hw[0], hw[1]) + img.shape[2:], method="bilinear"
@@ -115,6 +154,44 @@ def load_predictor(classes=19, params_path=None, input_hw=(512, 512),
         x = image.astype(jnp.float32) / 255.0
         x = _resize_bilinear(x, input_hw)
         probs = run(params, x)
+        return _resize_bilinear(probs, orig_hw)
+
+    predict.params = params
+    predict.model = model
+    return predict
+
+
+def load_rgbd_predictor(classes=40, params_path=None, input_hw=(480, 640),
+                        widths=(64, 128, 256, 512), depth_scale=1e-3):
+    """Jitted RGB-D predictor: (color uint8 (H, W, 3), depth uint16/float
+    (H, W)) -> softmax probs (H, W, classes) at the color resolution."""
+    if not HAVE_FLAX:  # pragma: no cover
+        raise ImportError("flax is required for the bundled segmentation model")
+    model = RGBDUNet(classes=classes, widths=tuple(widths))
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng,
+        jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32),
+        jnp.zeros((1, input_hw[0], input_hw[1], 1), jnp.float32),
+    )
+    if params_path is not None:
+        with open(params_path, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+
+    @jax.jit
+    def run(params, rgb, depth):
+        logits = model.apply(params, rgb[None], depth[None])[0]
+        return jax.nn.softmax(logits, axis=-1)
+
+    def predict(color, depth):
+        color = jnp.asarray(color)
+        if color.shape[-1] == 4:
+            color = color[..., :3]
+        orig_hw = color.shape[:2]
+        rgb = _resize_bilinear(color.astype(jnp.float32) / 255.0, input_hw)
+        d = jnp.asarray(depth).astype(jnp.float32) * depth_scale
+        d = _resize_bilinear(d[..., None], input_hw)
+        probs = run(params, rgb, d)
         return _resize_bilinear(probs, orig_hw)
 
     predict.params = params

@@ -210,3 +210,34 @@ class TestShardedPipeline:
                      np.float32(0.5))
             )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+class TestBatchedWeights:
+    def test_fuse_views_with_weights_matches_sequential(self, tmp_path,
+                                                        cube_scene):
+        vertices, faces, cams = cube_scene
+        mesh = _write_cube(tmp_path, vertices, faces)
+        renderer = semantic_meshes.render.triangles(mesh)
+        T = renderer.getPrimitivesNum()
+        C = 4
+        rng = np.random.default_rng(21)
+        W, H = cams[0].resolution
+        probs = np.stack([testing.random_probs(rng, H, W, C) for _ in cams])
+        weights = rng.random((len(cams), H, W)).astype(np.float32) + 0.1
+
+        agg = semantic_meshes.fusion.MeshAggregator(
+            primitives=T, classes=C, aggregator="summax"
+        )
+        for cam, pr, wt in zip(cams, probs, weights):
+            idx, _ = renderer.render(cam)
+            agg.add(idx, pr.transpose(1, 0, 2), wt.T)
+
+        rot, trans, fl, pp = stack_cameras(cams)
+        acc = distributed.fuse_views(
+            vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
+            weights,
+            num_primitives=T, aggregator="summax", height=H, width=W,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(agg.state), rtol=2e-5, atol=1e-5
+        )

@@ -1,0 +1,55 @@
+import numpy as np
+import pytest
+
+flax = pytest.importorskip("flax")
+
+from semantic_meshes.models import segmentation  # noqa: E402
+
+
+def test_unet_predictor_shapes_and_softmax():
+    predict = segmentation.load_predictor(
+        classes=7, input_hw=(64, 64), widths=(16, 32, 64)
+    )
+    img = np.random.default_rng(0).integers(
+        0, 256, (50, 70, 3)
+    ).astype(np.uint8)
+    probs = np.asarray(predict(img))
+    assert probs.shape == (50, 70, 7)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+    assert (probs >= 0).all()
+
+
+def test_unet_grayscale_and_rgba():
+    predict = segmentation.load_predictor(
+        classes=4, input_hw=(32, 32), widths=(8, 16, 32)
+    )
+    gray = np.zeros((40, 40), np.uint8)
+    assert np.asarray(predict(gray)).shape == (40, 40, 4)
+    rgba = np.zeros((40, 40, 4), np.uint8)
+    assert np.asarray(predict(rgba)).shape == (40, 40, 4)
+
+
+def test_rgbd_predictor():
+    predict = segmentation.load_rgbd_predictor(
+        classes=5, input_hw=(32, 32), widths=(8, 16, 32)
+    )
+    rng = np.random.default_rng(1)
+    color = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    depth = rng.integers(0, 5000, (24, 32)).astype(np.uint16)  # lower res
+    probs = np.asarray(predict(color, depth))
+    assert probs.shape == (48, 64, 5)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+
+
+def test_device_mesh_helper():
+    import jax
+
+    from semantic_meshes import distributed
+
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    mesh = distributed.make_device_mesh(pixels_axis=2)
+    assert mesh.shape["views"] * mesh.shape["pixels"] == n
+    with pytest.raises(ValueError):
+        distributed.make_device_mesh(views_axis=3, pixels_axis=n)
