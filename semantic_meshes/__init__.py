@@ -6,10 +6,16 @@ Public surface mirrors the reference package
 `data2`, plus TPU-native extensions (`distributed`, `metrics`, `geometry`).
 """
 
+from . import checkpoint  # noqa: F401
 from . import data  # noqa: F401
 from . import data2  # noqa: F401
+from . import distributed  # noqa: F401
 from . import fusion  # noqa: F401
 from . import geometry  # noqa: F401
+from . import metrics  # noqa: F401
+from . import ops  # noqa: F401
+from . import parallel  # noqa: F401
+from . import profiling  # noqa: F401
 from . import render  # noqa: F401
 
 __version__ = "0.1.0"

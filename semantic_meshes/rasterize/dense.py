@@ -262,16 +262,28 @@ def _make_dense_kernel(nbx, n_b, n_global):
             count = jnp.maximum(raw_end - start, 0)
             nchunks = pl.cdiv(count, CHUNK)
 
+            def get_dma(slot, ci):
+                row0 = (start + ci * CHUNK) // PACK
+                return pltpu.make_async_copy(
+                    sorted_hbm_ref.at[pl.ds(row0, CHUNK_ROWS)],
+                    scratch.at[slot],
+                    sem.at[slot],
+                )
+
+            # double-buffered: fetch chunk ci+1 while testing chunk ci
+            @pl.when(nchunks > 0)
+            def _():
+                get_dma(0, 0).start()
+
             def chunk_body(ci, carry2):
                 z, idx = carry2
-                row0 = (start + ci * CHUNK) // PACK
-                dma = pltpu.make_async_copy(
-                    sorted_hbm_ref.at[pl.ds(row0, CHUNK_ROWS)],
-                    scratch,
-                    sem,
-                )
-                dma.start()
-                dma.wait()
+                slot = jax.lax.rem(ci, 2)
+
+                @pl.when(ci + 1 < nchunks)
+                def _():
+                    get_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+                get_dma(slot, ci).wait()
                 rows_in_chunk = pl.cdiv(
                     jnp.minimum(count - ci * CHUNK, CHUNK), PACK
                 )
@@ -280,7 +292,7 @@ def _make_dense_kernel(nbx, n_b, n_global):
                     zr, idxr = carry3
                     for c in range(PACK):  # unrolled: static lane offsets
                         zr, idxr = _candidate_test(
-                            lambda k, c=c: scratch[r, c * 16 + k],
+                            lambda k, c=c: scratch[slot, r, c * 16 + k],
                             px, py, zr, idxr,
                         )
                     return zr, idxr
@@ -372,8 +384,8 @@ def rasterize(
             jax.ShapeDtypeStruct((B, TILE_H, TILE_W), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK_ROWS, PACK * _N_PARAMS), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CHUNK_ROWS, PACK * _N_PARAMS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(y_offset.reshape(1, 1), starts, table)
