@@ -16,11 +16,9 @@ random init otherwise (pipeline testing / finetuning starting point).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:
     import flax.linen as nn

@@ -20,7 +20,6 @@ segmented sums instead of per pixel (bit-compatible up to fp reassociation).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ ref: python/scripts/debug_render_texels.py:25).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
