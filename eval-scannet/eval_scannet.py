@@ -444,8 +444,18 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
     # ---------------- fused 2D metrics (ref: eval_scannet.py:300-316)
     model_renderer = aggregator.renderer()
     for index, frame in tqdm(frames):
-        primitive_indices, _ = renderer.render(frame_camera(frame))
-        primitive_indices = np.asarray(primitive_indices).T
+        cached = None
+        if cache_dir is not None:
+            cf = os.path.join(cache_dir, f"frame-{index}.npz")
+            if os.path.isfile(cf):
+                data = np.load(cf)
+                if "data" in data:
+                    cached = data["data"]
+        if cached is not None:
+            primitive_indices = cached
+        else:
+            primitive_indices, _ = renderer.render(frame_camera(frame))
+            primitive_indices = np.asarray(primitive_indices).T
         gt_probs = load_gt_probs(scene, index)
         pred_probs = np.asarray(
             model_renderer.render(primitive_indices, background=0.0)

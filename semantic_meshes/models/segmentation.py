@@ -79,6 +79,51 @@ if HAVE_FLAX:
 
 if HAVE_FLAX:
 
+    class PSPNet(nn.Module):
+        """Pyramid-scene-parsing segmentation net (the PSPNet role in the
+        reference's Cityscapes demo, ref:
+        python/scripts/colorize_cityscapes_mesh.py:40-43): conv encoder +
+        pyramid pooling module + upsampling head. MXU-friendly bf16 convs."""
+
+        classes: int = 19
+        widths: tuple = (64, 128, 256, 512)
+        bins: tuple = (1, 2, 4, 8)
+
+        @nn.compact
+        def __call__(self, x):
+            # encoder (stride 8)
+            for w in self.widths[:-1]:
+                x = ConvBlock(w)(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = ConvBlock(self.widths[-1])(x)
+            b, h, w_, c = x.shape
+            # pyramid pooling: global context at multiple bin sizes
+            branches = [x]
+            for nbins in self.bins:
+                p = nn.avg_pool(
+                    x, (max(h // nbins, 1), max(w_ // nbins, 1)),
+                    strides=(max(h // nbins, 1), max(w_ // nbins, 1)),
+                )
+                p = nn.Conv(
+                    c // len(self.bins), (1, 1), dtype=jnp.bfloat16,
+                    param_dtype=jnp.float32,
+                )(p)
+                p = jax.image.resize(
+                    p.astype(jnp.float32),
+                    (b, h, w_, c // len(self.bins)), "bilinear",
+                )
+                branches.append(p)
+            x = jnp.concatenate(branches, axis=-1)
+            x = ConvBlock(self.widths[-2])(x)
+            logits = nn.Conv(
+                self.classes, (1, 1), dtype=jnp.float32,
+                param_dtype=jnp.float32,
+            )(x)
+            return jax.image.resize(
+                logits, (b, h * 8, w_ * 8, self.classes), "bilinear"
+            )
+
+
     class RGBDUNet(nn.Module):
         """Dual-encoder RGB-D segmentation net (the ESANet role in the
         reference's ScanNet eval, ref: eval-scannet/eval_scannet.py:84-86):
@@ -123,12 +168,13 @@ def _resize_bilinear(img, hw):
 
 
 def load_predictor(classes=19, params_path=None, input_hw=(512, 512),
-                   widths=(64, 128, 256, 512)):
+                   widths=(64, 128, 256, 512), arch="unet"):
     """Build a jitted predictor: uint8 RGB (H, W, 3) -> softmax probs
-    (H, W, classes) at the original resolution."""
+    (H, W, classes) at the original resolution. arch: "unet" | "pspnet"."""
     if not HAVE_FLAX:  # pragma: no cover
         raise ImportError("flax is required for the bundled segmentation model")
-    model = UNet(classes=classes, widths=tuple(widths))
+    cls = {"unet": UNet, "pspnet": PSPNet}[arch]
+    model = cls(classes=classes, widths=tuple(widths))
     rng = jax.random.PRNGKey(0)
     params = model.init(
         rng, jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)

@@ -84,6 +84,27 @@ class TrianglesRenderer:
         indices = tri.astype(jnp.uint32)  # -1 -> 0xFFFFFFFF
         return indices.T, depth.T  # (W, H) contract
 
+    def render_many(self, cameras):
+        """Render a batch of same-resolution cameras in one compiled scan.
+
+        Returns (indices (N, W, H) uint32, depth (N, W, H) f32). TPU-native
+        extension: amortizes dispatch and keeps the whole batch on device.
+        """
+        cams = list(cameras)
+        height, width = _camera_hw(cams[0])
+        if any(_camera_hw(c) != (height, width) for c in cams):
+            raise ValueError("render_many needs equal camera resolutions")
+        rot, trans, fl, pp = stack_cameras(cams)
+        tri, depth = _render_scan(
+            self.vertices, self.faces, self.face_vertices, rot, trans, fl,
+            pp, height=height, width=width,
+            max_tris_per_tile=self.max_tris_per_tile,
+        )
+        return (
+            tri.astype(jnp.uint32).transpose(0, 2, 1),
+            depth.transpose(0, 2, 1),
+        )
+
 
 def _texel_resolutions(vertices, faces, cameras, texels_per_pixel):
     """Per-triangle texel grid resolution r = ceil(tpp * sqrt(max screen area)).
@@ -241,6 +262,23 @@ def _texel_indices(vertices, faces, rotation, translation, focal_lengths,
         prim.astype(jnp.uint32),
         jnp.uint32(0xFFFFFFFF),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "max_tris_per_tile")
+)
+def _render_scan(vertices, faces, face_vertices, rot, trans, fl, pp, *,
+                 height, width, max_tris_per_tile):
+    def step(_, cam):
+        r, t, f, p = cam
+        tri, depth, _ov = rast.rasterize(
+            vertices, faces, r, t, f, p, face_vertices=face_vertices,
+            height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+        )
+        return None, (tri, depth)
+
+    _, (tris, depths) = jax.lax.scan(step, None, (rot, trans, fl, pp))
+    return tris, depths
 
 
 def triangles(mesh: Ply, **kwargs) -> TrianglesRenderer:

@@ -53,3 +53,34 @@ def test_device_mesh_helper():
     assert mesh.shape["views"] * mesh.shape["pixels"] == n
     with pytest.raises(ValueError):
         distributed.make_device_mesh(views_axis=3, pixels_axis=n)
+
+
+def test_pspnet_predictor():
+    predict = segmentation.load_predictor(
+        classes=6, input_hw=(64, 64), widths=(8, 16, 32, 32), arch="pspnet"
+    )
+    img = np.zeros((48, 80, 3), np.uint8)
+    probs = np.asarray(predict(img))
+    assert probs.shape == (48, 80, 6)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+
+
+def test_render_many_matches_single():
+    import semantic_meshes
+    from semantic_meshes import testing
+    from semantic_meshes.io.ply import write_mesh
+    import tempfile, os
+
+    vertices, faces = testing.make_cube(4)
+    d = tempfile.mkdtemp()
+    write_mesh(os.path.join(d, "c.ply"), vertices, faces)
+    mesh = semantic_meshes.data.Ply(os.path.join(d, "c.ply"))
+    renderer = semantic_meshes.render.triangles(mesh)
+    cams = testing.make_ring_cameras(num_views=3, width=128, height=96)
+    idx_b, depth_b = renderer.render_many(cams)
+    for i, cam in enumerate(cams):
+        idx, depth = renderer.render(cam)
+        np.testing.assert_array_equal(np.asarray(idx_b[i]), np.asarray(idx))
+        np.testing.assert_array_equal(
+            np.asarray(depth_b[i]), np.asarray(depth)
+        )
