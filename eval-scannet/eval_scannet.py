@@ -73,8 +73,9 @@ from tqdm import tqdm  # noqa: E402
 
 dont_care_threshold = 0.9
 classes_num = 40
-rng = np.random.default_rng(0)
-class_to_color = rng.integers(0, 256, (classes_num, 3)).astype(np.uint8)
+from semantic_meshes.utils import class_palette  # noqa: E402
+
+class_to_color = class_palette(classes_num)
 
 # ---------------------------------------------------------------- scenes
 scans_dir = os.path.join(args.scannet, "scans")

@@ -141,4 +141,52 @@ int64_t sens_decode_depth_batch(const uint8_t* buf,
 int sens_header_size() { return (int)sizeof(SensHeader); }
 int sens_record_size() { return (int)sizeof(FrameRecord); }
 
+// ---------------------------------------------------------------------
+// COLMAP images.bin indexer. Python parses this file with a per-image
+// loop (variable-length names + 2D-point skips defeat numpy
+// vectorization); one native pass returns fixed records + name spans.
+// Format: u64 count, then per image: i32 id | 4 f64 qvec | 3 f64 tvec |
+// i32 camera_id | name\0 | u64 npoints | npoints * (f64 x, f64 y, i64 id).
+
+struct ColmapImageRecord {
+  int32_t image_id;
+  int32_t camera_id;
+  double qvec[4];
+  double tvec[3];
+  uint64_t name_offset;
+  uint64_t name_length;
+};
+
+// Returns number of images parsed, or -(1 + failed_index) on error.
+int64_t colmap_index_images(const uint8_t* buf, uint64_t size,
+                            ColmapImageRecord* recs, uint64_t max_n) {
+  uint64_t off = 0;
+  if (size < 8) return -1;
+  uint64_t count;
+  memcpy(&count, buf + off, 8);
+  off += 8;
+  if (count > max_n) count = max_n;
+  for (uint64_t i = 0; i < count; i++) {
+    ColmapImageRecord& r = recs[i];
+    if (off + 4 + 32 + 24 + 4 > size) return -(int64_t)(i + 1);
+    memcpy(&r.image_id, buf + off, 4); off += 4;
+    memcpy(r.qvec, buf + off, 32); off += 32;
+    memcpy(r.tvec, buf + off, 24); off += 24;
+    memcpy(&r.camera_id, buf + off, 4); off += 4;
+    r.name_offset = off;
+    while (off < size && buf[off] != 0) off++;
+    if (off >= size) return -(int64_t)(i + 1);
+    r.name_length = off - r.name_offset;
+    off++;  // null terminator
+    if (off + 8 > size) return -(int64_t)(i + 1);
+    uint64_t npoints;
+    memcpy(&npoints, buf + off, 8); off += 8;
+    off += npoints * 24;
+    if (off > size) return -(int64_t)(i + 1);
+  }
+  return (int64_t)count;
+}
+
+int colmap_image_record_size() { return (int)sizeof(ColmapImageRecord); }
+
 }  // extern "C"

@@ -107,17 +107,9 @@ if args.remap:
         f"{[class_to_color[c].tolist() for c in sorted(color_to_class.values())]}"
     )
 else:
-    try:
-        from distinctipy import distinctipy
+    from semantic_meshes.utils import class_palette
 
-        class_to_color = (
-            np.asarray(distinctipy.get_colors(args.classes)) * 255.0
-        ).astype(np.uint8)
-    except ImportError:
-        rng = np.random.default_rng(0)
-        class_to_color = rng.integers(
-            0, 256, (args.classes, 3)
-        ).astype(np.uint8)
+    class_to_color = class_palette(args.classes)
     print(f"Generated {args.classes} unique colors")
 
 print("Computing primitive colors...")

@@ -120,6 +120,29 @@ def read_cameras_txt(path):
 
 
 def read_images_bin(path):
+    # native one-pass indexer when available (variable-length names defeat
+    # numpy vectorization; the python loop below is the fallback)
+    from .. import native
+
+    if native.load() is not None:
+        with open(path, "rb") as f:
+            data = f.read()
+        recs = native.index_colmap_images(data)
+        if recs is not None:
+            return {
+                int(r["image_id"]): ColmapImage(
+                    int(r["image_id"]),
+                    np.asarray(r["qvec"], np.float64),
+                    np.asarray(r["tvec"], np.float64),
+                    int(r["camera_id"]),
+                    data[
+                        int(r["name_offset"]):
+                        int(r["name_offset"]) + int(r["name_length"])
+                    ].decode("utf-8"),
+                )
+                for r in recs
+            }
+
     images = {}
     with open(path, "rb") as f:
         (num,) = struct.unpack("<Q", f.read(8))

@@ -101,6 +101,19 @@ def load():
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_uint64, ctypes.c_void_p,
         ]
+        try:
+            lib.colmap_index_images.restype = ctypes.c_int64
+            lib.colmap_index_images.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p,
+                ctypes.c_uint64,
+            ]
+            colmap_ok = (
+                lib.colmap_image_record_size() == COLMAP_IMAGE_DTYPE.itemsize
+            )
+        except AttributeError:
+            colmap_ok = False
+        if not colmap_ok:
+            logger.info("native colmap indexer unavailable; python fallback")
         # sanity: record layout agreed between C++ and numpy
         if lib.sens_record_size() != FRAME_RECORD_DTYPE.itemsize:
             logger.warning(
@@ -110,6 +123,37 @@ def load():
             return None
         _lib = lib
         return _lib
+
+
+# keep in sync with struct ColmapImageRecord in native/sens_io.cpp
+COLMAP_IMAGE_DTYPE = np.dtype(
+    [
+        ("image_id", "<i4"),
+        ("camera_id", "<i4"),
+        ("qvec", "<f8", (4,)),
+        ("tvec", "<f8", (3,)),
+        ("name_offset", "<u8"),
+        ("name_length", "<u8"),
+    ]
+)
+
+
+def index_colmap_images(data: bytes):
+    """Parse images.bin into a structured array (names decoded separately
+    via the offset/length spans). Returns None when native is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "colmap_index_images"):
+        return None
+    if len(data) < 8:
+        raise ValueError("images.bin truncated")
+    count = int(np.frombuffer(data, "<u8", count=1)[0])
+    recs = np.zeros(count, dtype=COLMAP_IMAGE_DTYPE)
+    n = lib.colmap_index_images(
+        data, len(data), recs.ctypes.data_as(ctypes.c_void_p), count
+    )
+    if n < 0:
+        raise ValueError(f"images.bin parse failed at image {-n - 1}")
+    return recs[:n]
 
 
 def parse_header(data: bytes):

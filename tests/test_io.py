@@ -224,3 +224,31 @@ class TestDataLayer:
         m.save(tmp_path / "o.ply", np.zeros((len(faces), 3)))
         m2 = Ply(str(tmp_path / "o.ply"))
         np.testing.assert_array_equal(m2.faces, faces)
+
+
+class TestNativeColmap:
+    def test_images_bin_native_matches_python(self, workspace):
+        tmp_path, cameras, images = workspace
+        _write_images_bin(tmp_path / "images.bin", images)
+        import semantic_meshes.native as native
+        from semantic_meshes.io.colmap import read_images_bin
+
+        path = str(tmp_path / "images.bin")
+        got_native = None
+        if native.load() is not None:
+            got_native = read_images_bin(path)
+        # force the python fallback
+        old_lib, old_tried = native._lib, native._tried
+        native._lib, native._tried = None, True
+        try:
+            got_py = read_images_bin(path)
+        finally:
+            native._lib, native._tried = old_lib, old_tried
+        if got_native is None:
+            pytest.skip("native lib unavailable")
+        assert set(got_native) == set(got_py)
+        for iid in got_py:
+            np.testing.assert_allclose(
+                got_native[iid].qvec, got_py[iid].qvec
+            )
+            assert got_native[iid].name == got_py[iid].name
