@@ -47,7 +47,8 @@ def _camera_hw(camera: Camera):
 class TrianglesRenderer:
     """Whole-triangle primitive renderer (primitive index == triangle index)."""
 
-    def __init__(self, mesh: Ply, max_tris_per_tile: int = 256):
+    def __init__(self, mesh: Ply, max_tris_per_tile: int = 256,
+                 backend: str | None = None):
         self.mesh = mesh
         self.vertices = jnp.asarray(mesh.vertices, jnp.float32)
         self.faces = jnp.asarray(mesh.faces, jnp.int32)
@@ -55,6 +56,7 @@ class TrianglesRenderer:
         # gather-free (rasterize.xla.setup_from_face_vertices)
         self.face_vertices = self.vertices[self.faces]
         self.max_tris_per_tile = int(max_tris_per_tile)
+        self.backend = backend  # None = auto (xla/pallas/dense by size)
 
     def getPrimitivesNum(self) -> int:
         return int(self.faces.shape[0])
@@ -69,6 +71,7 @@ class TrianglesRenderer:
             camera.focal_lengths,
             camera.principal_point,
             face_vertices=self.face_vertices,
+            backend=self.backend,
             height=height,
             width=width,
             max_tris_per_tile=self.max_tris_per_tile,
@@ -148,7 +151,8 @@ class TexelsRenderer:
     resolution from triangle size (the paper's texel mode)."""
 
     def __init__(self, mesh: Ply, cameras, texels_per_pixel: float = 0.1,
-                 max_tris_per_tile: int = 256):
+                 max_tris_per_tile: int = 256, backend: str | None = None):
+        self.backend = backend
         if isinstance(cameras, Colmap):
             cameras = cameras.getCameras()
         cameras = list(cameras)
@@ -196,6 +200,7 @@ class TexelsRenderer:
             camera.focal_lengths,
             camera.principal_point,
             face_vertices=self.face_vertices,
+            backend=self.backend,
             height=height,
             width=width,
             max_tris_per_tile=self.max_tris_per_tile,
