@@ -6,6 +6,15 @@ Public surface mirrors the reference package
 `data2`, plus TPU-native extensions (`distributed`, `metrics`, `geometry`).
 """
 
+import os as _os
+
+if _os.environ.get("SM_PLATFORM"):
+    # The axon TPU plugin re-asserts itself over JAX_PLATFORMS; this forces
+    # the platform through jax.config (used by tests/subprocesses to pin CPU)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SM_PLATFORM"])
+
 from . import checkpoint  # noqa: F401
 from . import data  # noqa: F401
 from . import data2  # noqa: F401

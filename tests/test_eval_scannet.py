@@ -141,6 +141,7 @@ def test_eval_scannet_end_to_end(scannet_dir, tmp_path):
     out = tmp_path / "results"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [

@@ -1,0 +1,133 @@
+"""End-to-end subprocess tests of the user-facing scripts."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import semantic_meshes
+from semantic_meshes import testing
+from semantic_meshes.io import colmap as cio
+from semantic_meshes.io.ply import read_ply, write_mesh
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rot_to_quat(m):
+    w = np.sqrt(max(0, 1 + m[0, 0] + m[1, 1] + m[2, 2])) / 2
+    if w < 1e-6:
+        i = int(np.argmax(np.diagonal(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + m[i, i] - m[j, j] - m[k, k], 0.0)) * 2
+        q = np.empty(4)
+        q[0] = (m[k, j] - m[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (m[j, i] + m[i, j]) / s
+        q[1 + k] = (m[k, i] + m[i, k]) / s
+        return q
+    return np.array(
+        [w, (m[2, 1] - m[1, 2]) / (4 * w), (m[0, 2] - m[2, 0]) / (4 * w),
+         (m[1, 0] - m[0, 1]) / (4 * w)]
+    )
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    """Cube mesh + COLMAP workspace + per-view 19-class probs + images."""
+    root = tmp_path_factory.mktemp("cityscapes_scene")
+    W, H, C = 128, 96, 19
+    vertices, faces = testing.make_cube(4)
+    write_mesh(root / "mesh.ply", vertices, faces)
+    cams = testing.make_ring_cameras(num_views=3, width=W, height=H)
+
+    ws = root / "ws"
+    os.makedirs(ws)
+    cameras = {
+        1: cio.ColmapCamera(
+            1, "PINHOLE", W, H, np.array([0.9 * H, 0.9 * H]),
+            np.array([W / 2, H / 2]),
+        )
+    }
+    images = {}
+    for i, c in enumerate(cams, 1):
+        images[i] = cio.ColmapImage(
+            i, _rot_to_quat(np.asarray(c.rotation, np.float64)),
+            np.asarray(c.translation, np.float64), 1, f"v{i}.png",
+        )
+    cio.write_cameras_txt(ws / "cameras.txt", cameras)
+    cio.write_images_txt(ws / "images.txt", images)
+
+    mesh = semantic_meshes.data.Ply(str(root / "mesh.ply"))
+    renderer = semantic_meshes.render.triangles(mesh)
+    T = renderer.getPrimitivesNum()
+    tri_class = (np.arange(T) * 7) % C  # known class per triangle
+
+    import imageio.v2 as imageio
+
+    imgdir = root / "images"
+    probsdir = root / "probs"
+    os.makedirs(imgdir)
+    os.makedirs(probsdir)
+    workspace = semantic_meshes.data.Colmap(str(ws))
+    for i in range(1, 4):
+        cam = workspace.getCamera(f"v{i}.png")
+        idx, _ = renderer.render(cam)
+        idx_hw = np.asarray(idx).T
+        cov = idx_hw != 0xFFFFFFFF
+        probs = np.zeros((H, W, C), np.float32)
+        ys, xs = np.nonzero(cov)
+        probs[ys, xs, tri_class[idx_hw[cov].astype(np.int64)]] = 1.0
+        np.save(probsdir / f"v{i}.npy", probs)
+        img = np.zeros((H, W, 3), np.uint8)
+        img[cov] = 120
+        imageio.imwrite(imgdir / f"v{i}.png", img)
+    return root, tri_class
+
+
+def test_colorize_cityscapes_mesh_probs_backend(scene, tmp_path):
+    root, tri_class = scene
+    out = tmp_path / "colorized.ply"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "colorize_cityscapes_mesh.py"),
+            "--colmap", str(root / "ws"),
+            "--input_ply", str(root / "mesh.ply"),
+            "--images", str(root / "images"),
+            "--output_ply", str(out),
+            "--probs", str(root / "probs"),
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    # verify colors: seen faces must get exactly their class's Cityscapes
+    # palette color, unseen faces black (palette per
+    # scripts/colorize_cityscapes_mesh.py; importing the script would run
+    # its argparse, so the constant is duplicated here)
+    CLASS_TO_COLOR = np.asarray(
+        [
+            (128, 64, 128), (244, 35, 232), (70, 70, 70), (102, 102, 156),
+            (190, 153, 153), (153, 153, 153), (250, 170, 30), (220, 220, 0),
+            (107, 142, 35), (152, 251, 152), (70, 130, 180), (220, 20, 60),
+            (255, 0, 0), (0, 0, 142), (0, 0, 70), (0, 60, 100), (0, 80, 100),
+            (0, 0, 230), (119, 11, 32),
+        ],
+        dtype=np.uint8,
+    )
+
+    e = read_ply(str(out))
+    cols = np.stack(
+        [e["face"].data["red"], e["face"].data["green"],
+         e["face"].data["blue"]], -1,
+    )
+    colored = cols.any(-1)
+    assert colored.sum() > len(cols) * 0.5
+    expected = CLASS_TO_COLOR[tri_class]
+    np.testing.assert_array_equal(cols[colored], expected[colored])
