@@ -184,10 +184,8 @@ elif args.model == "jax-unet":
             )
         return probs
 
-else:  # precomputed probs
-
-    def predict_probs(color, depth, out_hw, _scene=[None], _index=[0]):
-        raise RuntimeError("probs mode resolves per frame; see loop below")
+else:  # precomputed probs: resolved per frame in the loader (see load_frame)
+    predict_probs = None
 
 
 # ---------------------------------------------------------------- labels

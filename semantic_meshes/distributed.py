@@ -217,7 +217,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
 
 def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                       width, max_tris_per_tile=256,
-                      shard_primitives=False):
+                      shard_primitives=False, texel_params=None):
     """Build a pjit-able multi-chip fuse step over `mesh`.
 
     Mesh axes used (any subset may have size 1):
@@ -227,11 +227,15 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     Input/output sharding contract of the returned function:
       rotations (N,3,3) etc. sharded P('views'); probs (N,H,W,C) sharded
       P('views', 'pixels'); returns the fully-merged (P, C) accumulator —
-      replicated, or sharded P('pixels') over rows of P when
-      shard_primitives=True (psum_scatter keeps the merge on ICI).
+      replicated, or each chip's block of P rows when
+      shard_primitives=True (out_specs P('pixels')).
+
+    texel_params: optional (resolutions, first_texel_index) from a
+    TexelsRenderer — primitives become sub-triangle texels (pass the
+    renderer's reordered faces as `faces`).
 
     Requires: N % mesh.shape['views'] == 0, H % mesh.shape['pixels'] == 0,
-    and P % total_devices == 0 when shard_primitives.
+    and P % mesh.shape['pixels'] == 0 when shard_primitives.
     """
     n_pixels = mesh.shape["pixels"]
     local_h = height // n_pixels
@@ -268,6 +272,21 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
 
         def step(acc, view):
             rot, trans, fl, pp, pr = view
+            prim_transform = None
+            if texel_params is not None:
+                resolutions, first_texel_index = texel_params
+
+                def prim_transform(tri, camera_arrays):
+                    from .render import _texel_prim_image
+
+                    # the barycentric post-pass must sample GLOBAL pixel
+                    # rows (band-local tri image + row0 offset)
+                    return _texel_prim_image(
+                        vertices, faces, rot, trans, fl, pp, tri,
+                        resolutions, first_texel_index, num_primitives,
+                        y_offset=row0,
+                    )
+
             acc = acc + render_and_accumulate(
                 vertices, faces, (rot, trans, fl, pp), pr, None,
                 images_equal_weight,
@@ -276,6 +295,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                 max_tris_per_tile=max_tris_per_tile,
                 axis_name="pixels", y_offset=row0,
                 face_vertices=face_vertices,
+                prim_transform=prim_transform,
             )
             return acc, None
 

@@ -51,7 +51,7 @@ def _cdiv(a, b):
 
 
 def _build_sorted_bins(setup, height, width, y_offset, e_cap):
-    """Returns (tri_sorted (e_cap + CHUNK,), starts (B + 3,), overflow).
+    """Returns (tri_sorted (e_cap + CHUNK,), starts (B + 2,), overflow, micro).
 
     starts indexes the sorted pair array: tile b's candidates are
     [starts[b], starts[b+1]); the global (big-triangle) bucket is

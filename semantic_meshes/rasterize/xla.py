@@ -309,9 +309,10 @@ def rasterize(
     return iimg, zimg, overflow
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def barycentrics_at_pixels(vertices, faces, rotation, translation,
-                           focal_lengths, principal_point, tri_index):
+                           focal_lengths, principal_point, tri_index,
+                           y_offset=0):
     """Perspective-correct barycentrics of each pixel's winning triangle.
 
     Second pass of the texel pipeline: the z-resolve carries only
@@ -333,7 +334,10 @@ def barycentrics_at_pixels(vertices, faces, rotation, translation,
     f = faces[tri]  # (H, W, 3)
     p = pix[f]  # (H, W, 3, 2)
     z = z_cam[f]  # (H, W, 3)
-    yy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+    yy = (
+        jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+        + jnp.asarray(y_offset, jnp.float32)
+    )
     xx = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
     pt = jnp.stack([xx, yy], axis=-1)
     b2 = geometry.barycentric_2d(

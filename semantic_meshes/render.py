@@ -230,7 +230,7 @@ class TexelsRenderer:
 
 def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
                       principal_point, tri_index, resolutions,
-                      first_texel_index, num_primitives):
+                      first_texel_index, num_primitives, y_offset=0):
     """Texel primitive ids as int32 (invalid pixels -> num_primitives).
 
     Equivalent of TexturedTriangle::getTexelIndex in the CUDA shader
@@ -241,7 +241,7 @@ def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
     pipeline (distributed.fuse_views_texels)."""
     bary = rast.barycentrics_at_pixels(
         vertices, faces, rotation, translation, focal_lengths,
-        principal_point, tri_index,
+        principal_point, tri_index, y_offset,
     )  # (H, W, 3)
     tri = jnp.maximum(tri_index, 0)
     res = resolutions[tri]  # (H, W)

@@ -95,3 +95,43 @@ def test_profiling_phase_timers():
     assert t.counts["beta"] == 1
     rep = t.report()
     assert "alpha" in rep and "beta" in rep
+
+
+def test_sharded_texels_matches_single_chip(texel_scene):
+    import jax
+    import pytest as _pytest
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices())
+    if devices.size < 8:
+        _pytest.skip("needs 8 devices (virtual cpu mesh)")
+    mesh_dev = Mesh(devices[:8].reshape(2, 4), ("views", "pixels"))
+
+    mesh, cams, renderer = texel_scene
+    P = renderer.getPrimitivesNum()
+    C = 3
+    rng = np.random.default_rng(9)
+    W, H = cams[0].resolution
+    # 2 views to match the 'views' axis
+    use_cams = cams[:2]
+    probs = np.stack([testing.random_probs(rng, H, W, C) for _ in use_cams])
+    rot, trans, fl, pp = stack_cameras(use_cams)
+
+    ref = np.asarray(
+        distributed.fuse_views_texels(
+            renderer.vertices, renderer.faces, renderer.resolutions,
+            renderer.first_texel_index, rot, trans, fl, pp, probs,
+            np.float32(0.5),
+            num_primitives=P, aggregator="sum", height=H, width=W,
+        )
+    )
+    fuse = distributed.make_sharded_fuse(
+        mesh_dev, num_primitives=P, aggregator="sum", height=H, width=W,
+        texel_params=(renderer.resolutions, renderer.first_texel_index),
+    )
+    with mesh_dev:
+        got = np.asarray(
+            fuse(renderer.vertices, renderer.faces, rot, trans, fl, pp,
+                 probs, np.float32(0.5))
+        )
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
