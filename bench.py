@@ -23,7 +23,7 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="default",
-                        choices=["small", "default", "large"])
+                        choices=["small", "default", "large", "dense"])
     parser.add_argument("--repeats", type=int, default=5)
     args = parser.parse_args()
 
@@ -32,6 +32,8 @@ def main():
         "small": (5, 4, 256, 192, 19),
         "default": (9, 8, 1024, 768, 19),
         "large": (16, 8, 2048, 1536, 19),
+        # ScanNet-scale mesh density: 500k triangles (dense rasterizer path)
+        "dense": (204, 4, 1024, 768, 19),
     }
     sub, n_views, width, height, classes = presets[args.preset]
 
