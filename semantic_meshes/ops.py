@@ -38,6 +38,16 @@ _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
 }[os.environ.get("SM_FUSION_PRECISION", "highest")]
 
+# XLA's TPU row-scatter has a fast path for 16-bit element types (~6x
+# faster than f32 at 0.5M segments: 16ms vs 94ms per 0.8MPix view).
+# SM_SCATTER_DTYPE=bfloat16 opts the large-P fallback into it — the
+# accumulator then rounds in bf16 (~1% error on big per-primitive pixel
+# counts), so it is off by default; exact f32 is the parity mode.
+_SCATTER_DTYPE = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+}[os.environ.get("SM_SCATTER_DTYPE", "float32")]
+
 
 def _segment_sum_mxu(data, idx, num_segments):
     """One-hot matmul segment sum: data (N, D) f32, idx (N,) int32 in
@@ -87,5 +97,7 @@ def segment_sum(data, idx, num_segments):
         valid = (idx >= 0) & (idx < num_segments)
         safe = jnp.where(valid, idx, 0).astype(jnp.int32)
         data = jnp.where(valid[:, None], data, 0.0)
-        out = jax.ops.segment_sum(data, safe, num_segments=num_segments)
+        out = jax.ops.segment_sum(
+            data.astype(_SCATTER_DTYPE), safe, num_segments=num_segments
+        ).astype(jnp.float32)
     return out[:, 0] if squeeze else out

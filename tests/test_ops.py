@@ -24,14 +24,20 @@ def test_mxu_path_matches_oracle(P):
 
 
 def test_scatter_path_matches_oracle():
+    import os
+
     P = ops.SEGMENT_MXU_MAX_P + 10  # force the scatter fallback
     rng = np.random.default_rng(1)
     N, D = 3000, 4
     data = rng.normal(size=(N, D)).astype(np.float32)
     idx = rng.integers(-2, P + 3, size=N).astype(np.int64)
     got = np.asarray(ops.segment_sum(data, idx, P))
-    np.testing.assert_allclose(got, _oracle(data, idx, P), rtol=1e-5,
-                               atol=1e-4)
+    # the opt-in bf16 scatter mode trades exactness for the fast path
+    loose = os.environ.get("SM_SCATTER_DTYPE") == "bfloat16"
+    np.testing.assert_allclose(
+        got, _oracle(data, idx, P),
+        rtol=2e-2 if loose else 1e-5, atol=2e-2 if loose else 1e-4,
+    )
 
 
 def test_both_paths_agree():
