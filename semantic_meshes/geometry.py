@@ -189,6 +189,17 @@ def texel_count(resolution):
 TEXEL_UV_EPS = 1e-6  # ref: TexturedTriangleRenderer.h:38 subtracts 1e-6 from uv
 
 
+def texel_index_uv(u, v, resolution):
+    """texel_index on raw uv parameter coordinates (u = bary1, v = bary2)."""
+    r = jnp.asarray(resolution)
+    rf = r.astype(jnp.float32)
+    iu = jnp.clip(jnp.floor((u - TEXEL_UV_EPS) * rf).astype(jnp.int32), 0, r - 1)
+    iv = jnp.clip(jnp.floor((v - TEXEL_UV_EPS) * rf).astype(jnp.int32), 0, r - 1)
+    k = jnp.minimum(iu + iv, r - 1)
+    iv = jnp.minimum(iv, k)
+    return (k * (k + 1)) // 2 + iv
+
+
 def texel_index(bary3d, resolution):
     """Map perspective-correct barycentrics to a texel index within a triangle.
 
@@ -201,18 +212,7 @@ def texel_index(bary3d, resolution):
     bary3d: (..., 3); resolution: (...,) int32. Returns (...,) int32 in
     [0, r(r+1)/2).
     """
-    r = jnp.asarray(resolution)
-    u = bary3d[..., 1]
-    v = bary3d[..., 2]
-    rf = r.astype(jnp.float32)
-    iu = jnp.floor((u - TEXEL_UV_EPS) * rf).astype(jnp.int32)
-    iv = jnp.floor((v - TEXEL_UV_EPS) * rf).astype(jnp.int32)
-    iu = jnp.clip(iu, 0, r - 1)
-    iv = jnp.clip(iv, 0, r - 1)
-    # On the hypotenuse, floating error can land iu+iv == r; clamp into band.
-    k = jnp.minimum(iu + iv, r - 1)
-    iv = jnp.minimum(iv, k)
-    return (k * (k + 1)) // 2 + iv
+    return texel_index_uv(bary3d[..., 1], bary3d[..., 2], resolution)
 
 
 def reorder_faces_for_texels(vertices, faces):

@@ -44,6 +44,37 @@ def _camera_hw(camera: Camera):
     return camera.resolution[1], camera.resolution[0]
 
 
+class _OverflowPolicy:
+    """Overflow reporting without stalling dispatch.
+
+    A hard int(overflow) sync on every render() blocks async dispatch
+    (25 ms through a tunneled TPU; a pipeline bubble everywhere), and
+    jax.debug.callback serializes dispatch as well. Overflow is a
+    configuration property (candidate cap too small for this mesh at this
+    resolution), so "first" checks synchronously once per resolution —
+    catching misconfiguration on frame one — and stays async afterwards.
+    Modes: "first" (default) | "always" | "never".
+    """
+
+    def __init__(self, mode="first"):
+        self.mode = mode
+        self._seen = set()
+
+    def check(self, overflow, key, max_tris_per_tile):
+        if self.mode == "never":
+            return
+        if self.mode == "first" and key in self._seen:
+            return
+        self._seen.add(key)
+        ov = int(overflow)
+        if ov:
+            logger.warning(
+                "rasterizer tile overflow: %d (tile, triangle) pairs "
+                "dropped; raise max_tris_per_tile (current %d)",
+                ov, max_tris_per_tile,
+            )
+
+
 class TrianglesRenderer:
     """Whole-triangle primitive renderer (primitive index == triangle index)."""
 
@@ -57,35 +88,25 @@ class TrianglesRenderer:
         self.face_vertices = self.vertices[self.faces]
         self.max_tris_per_tile = int(max_tris_per_tile)
         self.backend = backend  # None = auto (xla/pallas/dense by size)
+        self.overflow_policy = _OverflowPolicy()
 
     def getPrimitivesNum(self) -> int:
         return int(self.faces.shape[0])
 
     def render(self, camera: Camera):
         height, width = _camera_hw(camera)
-        tri, depth, overflow = rast.rasterize(
-            self.vertices,
-            self.faces,
-            camera.rotation,
-            camera.translation,
-            camera.focal_lengths,
+        indices, depth, overflow = _render_triangles_jit(
+            self.vertices, self.faces, self.face_vertices,
+            camera.rotation, camera.translation, camera.focal_lengths,
             camera.principal_point,
-            face_vertices=self.face_vertices,
-            backend=self.backend,
-            height=height,
-            width=width,
+            height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
+            backend=self.backend,
         )
-        ov = int(overflow)
-        if ov:
-            logger.warning(
-                "rasterizer tile overflow: %d (tile, triangle) pairs dropped; "
-                "raise max_tris_per_tile (current %d)",
-                ov,
-                self.max_tris_per_tile,
-            )
-        indices = tri.astype(jnp.uint32)  # -1 -> 0xFFFFFFFF
-        return indices.T, depth.T  # (W, H) contract
+        self.overflow_policy.check(
+            overflow, (height, width), self.max_tris_per_tile
+        )
+        return indices, depth  # (W, H) contract
 
     def render_many(self, cameras):
         """Render a batch of same-resolution cameras in one compiled scan.
@@ -153,6 +174,7 @@ class TexelsRenderer:
     def __init__(self, mesh: Ply, cameras, texels_per_pixel: float = 0.1,
                  max_tris_per_tile: int = 256, backend: str | None = None):
         self.backend = backend
+        self.overflow_policy = _OverflowPolicy()
         if isinstance(cameras, Colmap):
             cameras = cameras.getCameras()
         cameras = list(cameras)
@@ -192,40 +214,19 @@ class TexelsRenderer:
 
     def render(self, camera: Camera):
         height, width = _camera_hw(camera)
-        tri, depth, overflow = rast.rasterize(
-            self.vertices,
-            self.faces,
-            camera.rotation,
-            camera.translation,
-            camera.focal_lengths,
+        indices, depth, overflow = _render_texels_jit(
+            self.vertices, self.faces, self.face_vertices,
+            self.resolutions, self.first_texel_index,
+            camera.rotation, camera.translation, camera.focal_lengths,
             camera.principal_point,
-            face_vertices=self.face_vertices,
-            backend=self.backend,
-            height=height,
-            width=width,
+            height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
+            backend=self.backend, num_primitives=self._primitive_num,
         )
-        ov = int(overflow)
-        if ov:
-            logger.warning(
-                "rasterizer tile overflow: %d (tile, triangle) pairs dropped; "
-                "raise max_tris_per_tile (current %d)",
-                ov,
-                self.max_tris_per_tile,
-            )
-        indices = _texel_indices(
-            self.vertices,
-            self.faces,
-            camera.rotation,
-            camera.translation,
-            camera.focal_lengths,
-            camera.principal_point,
-            tri,
-            self.resolutions,
-            self.first_texel_index,
-            self._primitive_num,
+        self.overflow_policy.check(
+            overflow, (height, width), self.max_tris_per_tile
         )
-        return indices.T, depth.T  # (W, H) contract
+        return indices, depth  # (W, H) contract
 
 
 def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
@@ -238,15 +239,66 @@ def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
     winning fragments. Pixels on triangles with resolution 0 (never seen by
     any setup camera) are invalid rather than colliding with a neighbor's
     first texel. Shared by the public render API and the batched fusion
-    pipeline (distributed.fuse_views_texels)."""
-    bary = rast.barycentrics_at_pixels(
-        vertices, faces, rotation, translation, focal_lengths,
-        principal_point, tri_index, y_offset,
-    )  # (H, W, 3)
+    pipeline (distributed.fuse_views_texels).
+
+    Layout: the perspective-correct uv of a pixel is a ratio of affine
+    forms, u = A1(x,y)/S(x,y), v = A2(x,y)/S(x,y) with A_i = w_i * inv_z_i
+    and S = sum_j A_j, so the whole shader needs ONE packed 12-lane row per
+    pixel (vs 6 separate gathers of faces/vertices/z, which dominated texel
+    render time ~4x).
+    """
+    from .rasterize import xla as rx
+
+    pix, z_cam = rx.project_vertices(
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(rotation, jnp.float32),
+        jnp.asarray(translation, jnp.float32),
+        jnp.asarray(focal_lengths, jnp.float32),
+        jnp.asarray(principal_point, jnp.float32),
+    )
+    faces = jnp.asarray(faces, jnp.int32)
+    setup = rx._triangle_setup(pix, z_cam, faces)
+    inv_z = 1.0 / jnp.maximum(z_cam[faces], rx.Z_NEAR)  # (T, 3)
+
+    def aff(i):  # A_i coefficients: (a_i, b_i, c_i) * inv_z_i
+        return (
+            setup["a"][:, i] * inv_z[:, i],
+            setup["b"][:, i] * inv_z[:, i],
+            setup["c"][:, i] * inv_z[:, i],
+        )
+
+    a0 = aff(0)
+    a1 = aff(1)
+    a2 = aff(2)
+    s = tuple(a0[k] + a1[k] + a2[k] for k in range(3))
+    cols = list(a1) + list(a2) + list(s)
+    cols.append(
+        jax.lax.bitcast_convert_type(
+            jnp.asarray(resolutions, jnp.int32), jnp.float32
+        )
+    )
+    cols.append(
+        jax.lax.bitcast_convert_type(
+            jnp.asarray(first_texel_index, jnp.int32), jnp.float32
+        )
+    )
+    table = jnp.stack(cols, axis=-1)  # (T, 11)
+
+    height, width = tri_index.shape
     tri = jnp.maximum(tri_index, 0)
-    res = resolutions[tri]  # (H, W)
-    rel = geometry.texel_index(bary, jnp.maximum(res, 1))
-    prim = first_texel_index[tri] + rel
+    row = table[tri]  # (H, W, 11) — the single per-pixel gather
+    py = (
+        jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+        + jnp.asarray(y_offset, jnp.float32)
+    )
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+    s_val = row[..., 6] * px + row[..., 7] * py + row[..., 8]
+    u = (row[..., 0] * px + row[..., 1] * py + row[..., 2]) / s_val
+    v = (row[..., 3] * px + row[..., 4] * py + row[..., 5]) / s_val
+    res = jax.lax.bitcast_convert_type(row[..., 9], jnp.int32)
+    first = jax.lax.bitcast_convert_type(row[..., 10], jnp.int32)
+    rel = geometry.texel_index_uv(u, v, jnp.maximum(res, 1))
+    prim = first + rel
     valid = (tri_index >= 0) & (res >= 1)
     return jnp.where(valid, prim, num_primitives).astype(jnp.int32)
 
@@ -267,6 +319,45 @@ def _texel_indices(vertices, faces, rotation, translation, focal_lengths,
         prim.astype(jnp.uint32),
         jnp.uint32(0xFFFFFFFF),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile", "backend"),
+)
+def _render_triangles_jit(vertices, faces, face_vertices, rot, trans, fl,
+                          pp, *, height, width, max_tris_per_tile, backend):
+    """Whole triangle-mode render in ONE compiled program (rasterize +
+    uint32 cast + (W, H) transpose): a single dispatch per frame instead of
+    several, which matters when dispatch rides a tunneled transport."""
+    tri, depth, overflow = rast.rasterize(
+        vertices, faces, rot, trans, fl, pp,
+        face_vertices=face_vertices, backend=backend,
+        height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+    )
+    return tri.astype(jnp.uint32).T, depth.T, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile", "backend",
+                     "num_primitives"),
+)
+def _render_texels_jit(vertices, faces, face_vertices, resolutions,
+                       first_texel_index, rot, trans, fl, pp, *, height,
+                       width, max_tris_per_tile, backend, num_primitives):
+    """Texel-mode render (rasterize + barycentric texel shader + transpose)
+    as one compiled program."""
+    tri, depth, overflow = rast.rasterize(
+        vertices, faces, rot, trans, fl, pp,
+        face_vertices=face_vertices, backend=backend,
+        height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+    )
+    indices = _texel_indices(
+        vertices, faces, rot, trans, fl, pp, tri, resolutions,
+        first_texel_index, num_primitives,
+    )
+    return indices.T, depth.T, overflow
 
 
 @functools.partial(
