@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -252,3 +254,72 @@ class TestNativeColmap:
                 got_native[iid].qvec, got_py[iid].qvec
             )
             assert got_native[iid].name == got_py[iid].name
+
+
+class TestSensExporters:
+    def test_exporters_roundtrip(self, tmp_path):
+        import io as _io
+        import zlib
+
+        import imageio.v2 as imageio
+
+        from semantic_meshes.data2 import SensFile
+        from semantic_meshes.data2.scannet import write_sens
+
+        rng = np.random.default_rng(3)
+        H, W = 16, 24
+        frames = []
+        depths = []
+        for i in range(3):
+            depth = rng.integers(0, 5000, (H, W)).astype("<u2")
+            depths.append(depth)
+            color = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+            buf = _io.BytesIO()
+            imageio.imwrite(buf, color, format="jpeg")
+            frames.append(dict(
+                camera_to_world=np.eye(4) + i * 0.125,
+                timestamp_color=i, timestamp_depth=i,
+                color_data=buf.getvalue(),
+                depth_data=zlib.compress(depth.tobytes()),
+            ))
+        path = tmp_path / "s.sens"
+        write_sens(str(path), "x", np.eye(4), np.eye(4), np.eye(4),
+                   np.eye(4), (H, W), (H, W), 1000.0, frames)
+        s = SensFile(str(path))
+
+        s.export_depth_images(str(tmp_path / "d"))
+        s.export_color_images(str(tmp_path / "c"))
+        s.export_poses(str(tmp_path / "p"))
+        s.export_intrinsics(str(tmp_path / "i"))
+        assert sorted(os.listdir(tmp_path / "d")) == ["0.png", "1.png", "2.png"]
+        got = imageio.imread(tmp_path / "d" / "1.png")
+        np.testing.assert_array_equal(got, depths[1])
+        pose = np.loadtxt(tmp_path / "p" / "2.txt")
+        np.testing.assert_allclose(pose, np.eye(4) + 2 * 0.125, atol=1e-6)
+        assert (tmp_path / "i" / "intrinsic_color.txt").exists()
+        # batch depth decode equals per-frame decode
+        batch = s.decode_all_depths()
+        np.testing.assert_array_equal(batch, np.stack(depths))
+
+
+class TestCameraPytree:
+    def test_camera_traces_through_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        from semantic_meshes.data import Camera
+
+        cam = Camera(np.eye(3), np.zeros(3), np.array([64, 48]),
+                     np.array([50.0, 50.0]), np.array([32.0, 24.0]))
+
+        @jax.jit
+        def f(c):
+            return jnp.sum(c.rotation) + jnp.sum(c.translation)
+
+        assert float(f(cam)) == 3.0
+        leaves, treedef = jax.tree_util.tree_flatten(cam)
+        cam2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert cam2.resolution == cam.resolution
+        np.testing.assert_array_equal(
+            np.asarray(cam2.rotation), np.asarray(cam.rotation)
+        )
