@@ -228,6 +228,23 @@ class TexelsRenderer:
         )
         return indices, depth  # (W, H) contract
 
+    def render_many(self, cameras):
+        """Batched texel-mode render (one compiled scan; see
+        TrianglesRenderer.render_many)."""
+        cams = list(cameras)
+        height, width = _camera_hw(cams[0])
+        if any(_camera_hw(c) != (height, width) for c in cams):
+            raise ValueError("render_many needs equal camera resolutions")
+        rot, trans, fl, pp = stack_cameras(cams)
+        idx, depth = _render_texels_scan(
+            self.vertices, self.faces, self.face_vertices,
+            self.resolutions, self.first_texel_index, rot, trans, fl, pp,
+            height=height, width=width,
+            max_tris_per_tile=self.max_tris_per_tile,
+            num_primitives=self._primitive_num,
+        )
+        return idx, depth
+
 
 def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
                       principal_point, tri_index, resolutions,
@@ -358,6 +375,28 @@ def _render_texels_jit(vertices, faces, face_vertices, resolutions,
         first_texel_index, num_primitives,
     )
     return indices.T, depth.T, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile",
+                     "num_primitives"),
+)
+def _render_texels_scan(vertices, faces, face_vertices, resolutions,
+                        first_texel_index, rot, trans, fl, pp, *, height,
+                        width, max_tris_per_tile, num_primitives):
+    def step(_, cam):
+        r, t, f, p = cam
+        idx, depth, _ov = _render_texels_jit(
+            vertices, faces, face_vertices, resolutions, first_texel_index,
+            r, t, f, p, height=height, width=width,
+            max_tris_per_tile=max_tris_per_tile, backend=None,
+            num_primitives=num_primitives,
+        )
+        return None, (idx, depth)
+
+    _, (idxs, depths) = jax.lax.scan(step, None, (rot, trans, fl, pp))
+    return idxs, depths
 
 
 @functools.partial(

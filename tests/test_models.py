@@ -84,3 +84,24 @@ def test_render_many_matches_single():
         np.testing.assert_array_equal(
             np.asarray(depth_b[i]), np.asarray(depth)
         )
+
+
+def test_texels_render_many_matches_single():
+    import semantic_meshes
+    from semantic_meshes import testing
+    from semantic_meshes.io.ply import write_mesh
+    import tempfile, os
+
+    vertices, faces = testing.make_cube(3)
+    d = tempfile.mkdtemp()
+    write_mesh(os.path.join(d, "c.ply"), vertices, faces)
+    mesh = semantic_meshes.data.Ply(os.path.join(d, "c.ply"))
+    cams = testing.make_ring_cameras(num_views=3, width=128, height=96)
+    renderer = semantic_meshes.render.texels(mesh, cams, 1.5)
+    idx_b, depth_b = renderer.render_many(cams)
+    for i, cam in enumerate(cams):
+        idx, depth = renderer.render(cam)
+        np.testing.assert_array_equal(np.asarray(idx_b[i]), np.asarray(idx))
+        np.testing.assert_array_equal(
+            np.asarray(depth_b[i]), np.asarray(depth)
+        )
