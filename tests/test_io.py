@@ -323,3 +323,33 @@ class TestCameraPytree:
         np.testing.assert_array_equal(
             np.asarray(cam2.rotation), np.asarray(cam.rotation)
         )
+
+
+class TestPlyBigEndian:
+    def test_big_endian_read(self, tmp_path, mesh):
+        vertices, faces = mesh
+        path = tmp_path / "be.ply"
+        with open(path, "wb") as f:
+            f.write(b"ply\nformat binary_big_endian 1.0\n")
+            f.write(f"element vertex {len(vertices)}\n".encode())
+            f.write(b"property float x\nproperty float y\nproperty float z\n")
+            f.write(f"element face {len(faces)}\n".encode())
+            f.write(b"property list uchar int vertex_indices\nend_header\n")
+            f.write(vertices.astype(">f4").tobytes())
+            rec = np.empty(len(faces), dtype=[("n", "u1"), ("i", ">i4", (3,))])
+            rec["n"] = 3
+            rec["i"] = faces
+            f.write(rec.tobytes())
+        v2, f2 = ply_io.read_mesh(path)
+        np.testing.assert_allclose(v2, vertices, atol=1e-6)
+        np.testing.assert_array_equal(f2, faces)
+
+    def test_truncated_binary_raises_or_errors(self, tmp_path, mesh):
+        vertices, faces = mesh
+        good = tmp_path / "good.ply"
+        ply_io.write_mesh(good, vertices, faces)
+        data = good.read_bytes()
+        bad = tmp_path / "bad.ply"
+        bad.write_bytes(data[: len(data) // 2])
+        with pytest.raises(Exception):
+            ply_io.read_mesh(bad)
