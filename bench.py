@@ -23,7 +23,8 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="default",
-                        choices=["small", "default", "large", "dense"])
+                        choices=["small", "default", "large", "dense",
+                                 "scannet"])
     parser.add_argument("--repeats", type=int, default=5)
     args = parser.parse_args()
 
@@ -34,6 +35,8 @@ def main():
         "large": (16, 8, 2048, 1536, 19),
         # ScanNet-scale mesh density: 500k triangles (dense rasterizer path)
         "dense": (204, 4, 1024, 768, 19),
+        # ScanNet eval frame: ~100k tris, 1296x968 color, 40 NYU classes
+        "scannet": (91, 8, 1296, 968, 40),
     }
     sub, n_views, width, height, classes = presets[args.preset]
 
