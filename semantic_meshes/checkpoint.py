@@ -33,11 +33,14 @@ def save_aggregator(path, aggregator: MeshAggregator, views_done: int = 0,
         views_done=int(views_done),
         extra=extra or {},
     )
-    np.savez_compressed(
-        path,
-        state=np.asarray(aggregator.state),
-        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-    )
+    # write through a file handle: np.savez_compressed(path, ...) silently
+    # appends ".npz" to extensionless paths, breaking load(path)
+    with open(path, "wb") as f:
+        np.savez_compressed(
+            f,
+            state=np.asarray(aggregator.state),
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
 
 
 def load_aggregator(path):

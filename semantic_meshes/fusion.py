@@ -141,10 +141,12 @@ def _accumulate_view(prim, probs, weights, images_equal_weight, *,
     return mix[:, None] * seg[:, :C]
 
 
+# NOTE: no buffer donation here — users may hold references to `.state`
+# across add() calls (checkpointing, sharding), and donating the
+# accumulator would invalidate them for a negligible memory win.
 @functools.partial(
     jax.jit,
     static_argnames=("num_primitives", "aggregator"),
-    donate_argnums=(0,),
 )
 def _add(acc, prim, probs, weights, images_equal_weight, *, num_primitives,
          aggregator):

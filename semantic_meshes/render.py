@@ -123,6 +123,7 @@ class TrianglesRenderer:
             self.vertices, self.faces, self.face_vertices, rot, trans, fl,
             pp, height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
+            backend=self.backend,
         )
         return (
             tri.astype(jnp.uint32).transpose(0, 2, 1),
@@ -241,7 +242,7 @@ class TexelsRenderer:
             self.resolutions, self.first_texel_index, rot, trans, fl, pp,
             height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
-            num_primitives=self._primitive_num,
+            num_primitives=self._primitive_num, backend=self.backend,
         )
         return idx, depth
 
@@ -380,17 +381,18 @@ def _render_texels_jit(vertices, faces, face_vertices, resolutions,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_tris_per_tile",
-                     "num_primitives"),
+                     "num_primitives", "backend"),
 )
 def _render_texels_scan(vertices, faces, face_vertices, resolutions,
                         first_texel_index, rot, trans, fl, pp, *, height,
-                        width, max_tris_per_tile, num_primitives):
+                        width, max_tris_per_tile, num_primitives,
+                        backend=None):
     def step(_, cam):
         r, t, f, p = cam
         idx, depth, _ov = _render_texels_jit(
             vertices, faces, face_vertices, resolutions, first_texel_index,
             r, t, f, p, height=height, width=width,
-            max_tris_per_tile=max_tris_per_tile, backend=None,
+            max_tris_per_tile=max_tris_per_tile, backend=backend,
             num_primitives=num_primitives,
         )
         return None, (idx, depth)
@@ -400,14 +402,16 @@ def _render_texels_scan(vertices, faces, face_vertices, resolutions,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "max_tris_per_tile")
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile", "backend"),
 )
 def _render_scan(vertices, faces, face_vertices, rot, trans, fl, pp, *,
-                 height, width, max_tris_per_tile):
+                 height, width, max_tris_per_tile, backend=None):
     def step(_, cam):
         r, t, f, p = cam
         tri, depth, _ov = rast.rasterize(
             vertices, faces, r, t, f, p, face_vertices=face_vertices,
+            backend=backend,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         )
         return None, (tri, depth)

@@ -135,3 +135,31 @@ def test_sharded_texels_matches_single_chip(texel_scene):
                  probs, np.float32(0.5))
         )
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_checkpoint_extensionless_path(tmp_path, texel_scene):
+    from semantic_meshes import checkpoint
+    import semantic_meshes
+
+    agg = semantic_meshes.fusion.MeshAggregator(4, 3)
+    path = tmp_path / "ckpt"  # no .npz extension
+    checkpoint.save_aggregator(str(path), agg)
+    agg2, _, _ = checkpoint.load_aggregator(str(path))
+    assert agg2.primitives == 4
+
+
+def test_state_reference_survives_add(texel_scene):
+    """Holding .state across add() must stay valid (no buffer donation)."""
+    import semantic_meshes
+    from semantic_meshes import testing as sm_testing
+
+    mesh, cams, renderer = texel_scene
+    P = renderer.getPrimitivesNum()
+    agg = semantic_meshes.fusion.MeshAggregator(P, 3)
+    old_state = agg.state
+    rng = np.random.default_rng(0)
+    W, H = cams[0].resolution
+    idx, _ = renderer.render(cams[0])
+    agg.add(idx, sm_testing.random_probs(rng, H, W, 3).transpose(1, 0, 2))
+    # old snapshot still readable and all zeros
+    assert float(np.asarray(old_state).sum()) == 0.0
