@@ -174,7 +174,8 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
 )
 def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
                       rotations, translations, focal_lengths,
-                      principal_points, probs, images_equal_weight, *,
+                      principal_points, probs, images_equal_weight,
+                      weights=None, *,
                       num_primitives, aggregator, height, width,
                       max_tris_per_tile=256):
     """Batched texel-mode pipeline: like fuse_views, but primitives are the
@@ -196,9 +197,9 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
     ]
 
     def step(acc, view):
-        rot, trans, fl, pp, pr = view
+        rot, trans, fl, pp, pr, wt = view
         acc = acc + render_and_accumulate(
-            vertices, faces, (rot, trans, fl, pp), pr, None,
+            vertices, faces, (rot, trans, fl, pp), pr, wt,
             images_equal_weight,
             num_primitives=num_primitives, aggregator=aggregator,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
@@ -210,7 +211,8 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
     acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
     acc, _ = jax.lax.scan(
         step, acc0,
-        (rotations, translations, focal_lengths, principal_points, probs),
+        (rotations, translations, focal_lengths, principal_points, probs,
+         weights),
     )
     return acc
 
