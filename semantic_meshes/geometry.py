@@ -236,11 +236,12 @@ def reorder_faces_for_texels(vertices, faces):
         c = p[:, (i + 2) % 3]
         e1 = b - a
         e2 = c - a
-        cosang = jnp.sum(e1 * e2, axis=-1) / (
-            jnp.linalg.norm(e1, axis=-1) * jnp.linalg.norm(e2, axis=-1)
-        )
+        denom = jnp.linalg.norm(e1, axis=-1) * jnp.linalg.norm(e2, axis=-1)
+        cosang = jnp.sum(e1 * e2, axis=-1) / jnp.maximum(denom, 1e-20)
         ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
-        return jnp.abs(ang - jnp.pi / 2)
+        # degenerate (zero-length edge) vertices never win the right-angle
+        # contest instead of poisoning argmin with NaN
+        return jnp.where(denom > 0, jnp.abs(ang - jnp.pi / 2), jnp.inf)
 
     diffs = jnp.stack([angle_diff(0), angle_diff(1), angle_diff(2)], axis=-1)  # (T,3)
     best = jnp.argmin(diffs, axis=-1)  # (T,)

@@ -181,3 +181,18 @@ class TestReorderFaces:
             )
         )
         assert out[0][0] == 0  # the right angle is at vertex 0
+
+
+class TestReorderDegenerate:
+    def test_degenerate_triangle_no_nan(self):
+        # two identical vertices -> zero-length edges
+        vertices = np.array(
+            [[0, 0, 0], [0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32
+        )
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        out = np.asarray(
+            geometry.reorder_faces_for_texels(vertices, faces)
+        )
+        # a permutation of each input face, no garbage indices
+        for i in range(2):
+            assert sorted(out[i].tolist()) == sorted(faces[i].tolist())
