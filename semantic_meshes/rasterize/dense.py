@@ -366,7 +366,7 @@ def rasterize(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # y_offset (1, 1)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # starts (B + 2,)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed params (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # packed params (HBM)
         ],
         out_specs=[
             pl.BlockSpec(
