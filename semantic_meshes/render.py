@@ -145,21 +145,31 @@ def _texel_resolutions(vertices, faces, cameras, texels_per_pixel):
 
     @jax.jit
     def compute(vertices, faces, rot, trans, fl, pp, resolutions):
-        def per_camera(rot, trans, fl, pp, res):
-            cam = geometry.rigid_transform(rot, trans, vertices)  # (V, 3)
-            pix = geometry.pinhole_project(fl, pp, cam)  # (V, 2)
-            p = pix[faces]  # (T, 3, 2)
-            z = cam[..., 2][faces]  # (T, 3)
+        face_vertices = vertices[faces]  # (T, 3, 3), gathered once
+
+        def per_camera(max_area, cam_args):
+            rot, trans, fl, pp, res = cam_args
+            flat = face_vertices.reshape(-1, 3)
+            cam = geometry.rigid_transform(rot, trans, flat)
+            p = geometry.pinhole_project(fl, pp, cam).reshape(-1, 3, 2)
+            z = cam[..., 2].reshape(-1, 3)
             in_front = jnp.any(z > 0, axis=-1)
             border = 0.5
             lo = -border * res
             hi = (1.0 + border) * res
             inside = jnp.all((p >= lo) & (p < hi), axis=(-2, -1))
             area = geometry.triangle_screen_area(p)
-            return jnp.where(in_front & inside, area, 0.0)  # (T,)
+            area = jnp.where(in_front & inside, area, 0.0)
+            # scan with a running max: memory stays O(T) however many
+            # cameras the workspace has (the vmap formulation materializes
+            # (cameras, T) — gigabytes for eval-scale camera sets)
+            return jnp.maximum(max_area, area), None
 
-        areas = jax.vmap(per_camera)(rot, trans, fl, pp, resolutions)  # (C, T)
-        max_area = jnp.max(areas, axis=0)
+        max_area, _ = jax.lax.scan(
+            per_camera,
+            jnp.zeros(faces.shape[0], jnp.float32),
+            (rot, trans, fl, pp, resolutions),
+        )
         return jnp.ceil(
             texels_per_pixel * jnp.sqrt(max_area)
         ).astype(jnp.int32)
