@@ -353,3 +353,33 @@ class TestPlyBigEndian:
         bad.write_bytes(data[: len(data) // 2])
         with pytest.raises(Exception):
             ply_io.read_mesh(bad)
+
+
+class TestNativeSensRobustness:
+    def test_truncated_sens_raises(self, tmp_path):
+        import zlib
+
+        from semantic_meshes.data2 import SensFile
+        from semantic_meshes.data2.scannet import write_sens
+
+        frames = [dict(camera_to_world=np.eye(4), timestamp_color=0,
+                       timestamp_depth=0, color_data=b"x" * 100,
+                       depth_data=zlib.compress(b"\x00" * 200))]
+        path = tmp_path / "t.sens"
+        write_sens(str(path), "x", np.eye(4), np.eye(4), np.eye(4),
+                   np.eye(4), (10, 10), (10, 10), 1000.0, frames)
+        data = path.read_bytes()
+        bad = tmp_path / "bad.sens"
+        bad.write_bytes(data[:-50])  # cut into the last frame payload
+        with pytest.raises(Exception):
+            SensFile(str(bad))
+
+    def test_wrong_version_raises(self, tmp_path):
+        import struct
+
+        from semantic_meshes.data2 import SensFile
+
+        path = tmp_path / "v9.sens"
+        path.write_bytes(struct.pack("<I", 9) + b"\x00" * 64)
+        with pytest.raises(ValueError):
+            SensFile(str(path))
