@@ -173,14 +173,12 @@ elif args.model == "jax-unet":
     _predict = segmentation.load_rgbd_predictor(classes=classes_num)
 
     def predict_probs(color, depth, out_hw):
-        probs = np.asarray(_predict(color, depth))
-        if probs.shape[:2] != tuple(out_hw):
-            import jax
+        import jax
 
-            probs = np.asarray(
-                jax.image.resize(
-                    probs, tuple(out_hw) + (classes_num,), "bilinear"
-                )
+        probs = _predict(color, depth)  # device-resident
+        if probs.shape[:2] != tuple(out_hw):
+            probs = jax.image.resize(
+                probs, tuple(out_hw) + (classes_num,), "bilinear"
             )
         return probs
 
@@ -212,11 +210,12 @@ scannet_to_nyu40 = scannet_to_nyu40 - 1  # -1 == don't care
 assert np.all(scannet_to_nyu40 < 40)
 
 
-def load_gt_probs(scene, index):
+def load_gt_labels(scene, index):
+    """Ground-truth as int32 labels (-1 = ignore): ~40x less device traffic
+    than one-hot tensors, which dominates wall-clock on tunneled TPUs."""
     gt = imageio.imread(os.path.join(scene, "label-filt", f"{index}.png"))
     gt = np.clip(gt, 0, max_id)
-    labels = scannet_to_nyu40[gt.astype(np.int64)]
-    return np.asarray(sm_metrics.one_hot_with_ignore(labels, classes_num))
+    return scannet_to_nyu40[gt.astype(np.int64)].astype(np.int32)
 
 
 # ---------------------------------------------------------------- metrics
@@ -317,39 +316,46 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
         depth = np.frombuffer(
             frame.decompress_depth(sens.depth_compression_type), dtype="<u2"
         ).reshape(sens.depth_height, sens.depth_width)
-        gt_probs = load_gt_probs(scene, index)
+        gt_labels = load_gt_labels(scene, index)
         probs = None
         if args.model == "probs":
             probs = np.load(
                 os.path.join(args.probs_dir, name, f"{index}.npy")
             ).astype(np.float32)
-        return index, frame, cached, cache_file, color, depth, gt_probs, probs
+        return (index, frame, cached, cache_file, color, depth, gt_labels,
+                probs)
+
+    import jax.numpy as jnp
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        for (index, frame, cached, cache_file, color, depth, gt_probs,
+        for (index, frame, cached, cache_file, color, depth, gt_labels,
              probs) in tqdm(pool.map(load_frame, frames), total=len(frames)):
-            # render (or reuse cached primitive image, (H, W) layout)
+            # render (or reuse cached primitive image); the whole frame
+            # pipeline stays on device — only labels/jpegs cross the host
+            # boundary
             if cached is None:
                 primitive_indices_wh, _depth_r = renderer.render(
                     frame_camera(frame)
                 )
-                primitive_indices = np.asarray(primitive_indices_wh).T
                 if cache_file is not None and args.mesh == "scannet":
-                    np.savez_compressed(cache_file, data=primitive_indices)
+                    np.savez_compressed(
+                        cache_file, data=np.asarray(primitive_indices_wh).T
+                    )
             else:
-                primitive_indices = cached
+                primitive_indices_wh = jnp.asarray(cached).T
 
             # predict
             if probs is None:
                 probs = predict_probs(color, depth, tuple(resolution))
+            probs = jnp.asarray(probs)
 
-            # 2D network metrics
+            # 2D network metrics (labels path: no one-hot transfers)
             for m in image_metrics_network:
-                m.update_state(gt_probs, probs)
+                m.update_state_labels(gt_labels, probs)
 
             # fuse
             aggregator.add(
-                primitive_indices.T, np.transpose(probs, (1, 0, 2))
+                primitive_indices_wh, jnp.transpose(probs, (1, 0, 2))
             )
 
             if args.debug is not None and index % 100 == 0:
@@ -359,14 +365,14 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
                 imageio.imwrite(
                     os.path.join(args.debug, f"{index}_gt.png"),
                     sm_metrics.colorize_classes(
-                        gt_probs.argmax(-1), class_to_color,
-                        gt_probs.sum(-1) < 0.5,
+                        np.maximum(gt_labels, 0), class_to_color,
+                        gt_labels < 0,
                     ),
                 )
                 imageio.imwrite(
                     os.path.join(args.debug, f"{index}_pred.png"),
                     sm_metrics.colorize_classes(
-                        probs.argmax(-1), class_to_color
+                        np.asarray(probs).argmax(-1), class_to_color
                     ),
                 )
 
@@ -441,6 +447,8 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
             mesh.save(os.path.join(args.debug, "mesh_gt.ply"), gc)
 
     # ---------------- fused 2D metrics (ref: eval_scannet.py:300-316)
+    import jax.numpy as jnp
+
     model_renderer = aggregator.renderer()
     for index, frame in tqdm(frames):
         cached = None
@@ -451,22 +459,20 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
                 if "data" in data:
                     cached = data["data"]
         if cached is not None:
-            primitive_indices = cached
+            prim_hw = jnp.asarray(cached)
         else:
             primitive_indices, _ = renderer.render(frame_camera(frame))
-            primitive_indices = np.asarray(primitive_indices).T
-        gt_probs = load_gt_probs(scene, index)
-        pred_probs = np.asarray(
-            model_renderer.render(primitive_indices, background=0.0)
-        )
+            prim_hw = primitive_indices.T
+        gt_labels = load_gt_labels(scene, index)
+        pred_probs = model_renderer.render(prim_hw, background=0.0)
         for m in image_metrics_fused:
-            m.update_state(gt_probs, pred_probs)
+            m.update_state_labels(gt_labels, pred_probs)
         if args.debug is not None and index % 100 == 0:
+            pp = np.asarray(pred_probs)
             imageio.imwrite(
                 os.path.join(args.debug, f"{index}_fused.png"),
                 sm_metrics.colorize_classes(
-                    pred_probs.argmax(-1), class_to_color,
-                    pred_probs.sum(-1) < 0.5,
+                    pp.argmax(-1), class_to_color, pp.sum(-1) < 0.5,
                 ),
             )
 

@@ -123,3 +123,19 @@ def test_colorize_classes():
         np.array([[0, 1]]), pal, dont_care_mask=np.array([[False, True]])
     )
     np.testing.assert_array_equal(img, [[[255, 0, 0], [0, 0, 0]]])
+
+
+def test_update_state_labels_matches_probs():
+    rng = np.random.default_rng(7)
+    C = 5
+    gt = rng.integers(-1, C, 300)
+    pred = rng.random((300, C)).astype(np.float32)
+    pred[rng.random(300) < 0.1] = 0.0  # some pred don't-cares
+    for mode in ("error", "forbidden"):
+        m1 = metrics.ConfusionMatrix(C, mode)
+        m1.update_state(_oh(gt, C), pred)
+        m2 = metrics.ConfusionMatrix(C, mode)
+        m2.update_state_labels(gt, pred)
+        np.testing.assert_array_equal(
+            np.asarray(m1.full_matrix), np.asarray(m2.full_matrix)
+        )
