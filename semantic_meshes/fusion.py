@@ -157,6 +157,26 @@ def _add(acc, prim, probs, weights, images_equal_weight, *, num_primitives,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_primitives", "aggregator"),
+)
+def _add_many(acc, prims, probs, weights, images_equal_weight, *,
+              num_primitives, aggregator):
+    """Scan a batch of views through the fused per-view reduction."""
+
+    def step(a, view):
+        prim, pr, wt = view
+        a = a + _accumulate_view(
+            prim, pr, wt, images_equal_weight,
+            num_primitives=num_primitives, aggregator=aggregator,
+        )
+        return a, None
+
+    acc, _ = jax.lax.scan(step, acc, (prims, probs, weights))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("aggregator",))
 def _get(acc, *, aggregator):
     """Read out fused distributions: post-chain per Fusion.cu:46-92."""
@@ -250,6 +270,36 @@ class MeshAggregator:
             jnp.float32(self.images_equal_weight),
             num_primitives=self.primitives,
             aggregator=self.aggregator,
+        )
+
+    def add_many(self, primitive_indices, probs, weights=None):
+        """Fuse a batch of views in one compiled scan: primitive_indices
+        (N, W, H), probs (N, W, H, C), optional weights (N, W, H). Same
+        result as N sequential add() calls, one dispatch total."""
+        prims = jnp.asarray(primitive_indices)
+        probs = jnp.asarray(probs, jnp.float32)
+        if prims.ndim != 3 or probs.ndim != 4 or \
+                probs.shape[:3] != prims.shape:
+            raise ValueError(
+                f"add_many expects (N, W, H) + (N, W, H, C), got "
+                f"{prims.shape} and {probs.shape}"
+            )
+        if probs.shape[-1] != self.classes:
+            raise ValueError(
+                f"probs batch has {probs.shape[-1]} classes, aggregator "
+                f"expects {self.classes}"
+            )
+        if weights is not None:
+            weights = jnp.asarray(weights, jnp.float32)
+            if weights.shape != prims.shape:
+                raise ValueError(
+                    f"weights batch {weights.shape} must match "
+                    f"{prims.shape}"
+                )
+        self._acc = _add_many(
+            self._acc, prims, probs, weights,
+            jnp.float32(self.images_equal_weight),
+            num_primitives=self.primitives, aggregator=self.aggregator,
         )
 
     def reset(self):

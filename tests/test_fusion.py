@@ -212,3 +212,42 @@ def test_mul_zero_prob_component():
     got = np.asarray(ma.get())
     assert got[0, 0] < 1e-6
     np.testing.assert_allclose(got[0].sum(), 1.0, atol=1e-5)
+
+
+def test_add_many_matches_sequential():
+    rng = np.random.default_rng(13)
+    P, C = 9, 4
+    adds = [rand_inputs(rng, P, C) for _ in range(3)]
+    seq = fusion.MeshAggregator(P, C, aggregator="sum")
+    for prim, probs, weights in adds:
+        seq.add(prim, probs, weights)
+    batched = fusion.MeshAggregator(P, C, aggregator="sum")
+    batched.add_many(
+        np.stack([a[0] for a in adds]),
+        np.stack([a[1] for a in adds]),
+        np.stack([a[2] for a in adds]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched.state), np.asarray(seq.state), rtol=1e-6,
+        atol=1e-6,
+    )
+    # no-weights variant
+    seq2 = fusion.MeshAggregator(P, C, aggregator="mul")
+    b2 = fusion.MeshAggregator(P, C, aggregator="mul")
+    for prim, probs, _ in adds:
+        seq2.add(prim, probs)
+    b2.add_many(np.stack([a[0] for a in adds]),
+                np.stack([a[1] for a in adds]))
+    np.testing.assert_allclose(
+        np.asarray(b2.state), np.asarray(seq2.state), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_add_many_shape_errors():
+    ma = fusion.MeshAggregator(4, 3)
+    with pytest.raises(ValueError, match="add_many expects"):
+        ma.add_many(np.zeros((2, 2), np.int32),
+                    np.zeros((2, 2, 3), np.float32))
+    with pytest.raises(ValueError, match="classes"):
+        ma.add_many(np.zeros((1, 2, 2), np.int32),
+                    np.zeros((1, 2, 2, 5), np.float32))
