@@ -65,11 +65,17 @@ parser.add_argument("--model", type=str, default="tfcv",
 parser.add_argument("--probs_dir", type=str, default=None,
                     help="With --model probs: <scene>/<frame>.npy prob maps")
 parser.add_argument("--max_frames", type=int, default=None)
+parser.add_argument("--timings", action="store_true",
+                    help="Print per-phase wall-clock timings at the end")
 args = parser.parse_args()
 
 import yaml  # noqa: E402
 import imageio.v2 as imageio  # noqa: E402
 from tqdm import tqdm  # noqa: E402
+
+from semantic_meshes.profiling import PhaseTimers  # noqa: E402
+
+timers = PhaseTimers()
 
 dont_care_threshold = 0.9
 classes_num = 40
@@ -333,30 +339,32 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
             # render (or reuse cached primitive image); the whole frame
             # pipeline stays on device — only labels/jpegs cross the host
             # boundary
-            if cached is None:
-                primitive_indices_wh, _depth_r = renderer.render(
-                    frame_camera(frame)
-                )
-                if cache_file is not None and args.mesh == "scannet":
-                    np.savez_compressed(
-                        cache_file, data=np.asarray(primitive_indices_wh).T
+            with timers.phase("render"):
+                if cached is None:
+                    primitive_indices_wh, _depth_r = renderer.render(
+                        frame_camera(frame)
                     )
-            else:
-                primitive_indices_wh = jnp.asarray(cached).T
+                    if cache_file is not None and args.mesh == "scannet":
+                        np.savez_compressed(
+                            cache_file,
+                            data=np.asarray(primitive_indices_wh).T,
+                        )
+                else:
+                    primitive_indices_wh = jnp.asarray(cached).T
 
-            # predict
-            if probs is None:
-                probs = predict_probs(color, depth, tuple(resolution))
-            probs = jnp.asarray(probs)
+            with timers.phase("predict"):
+                if probs is None:
+                    probs = predict_probs(color, depth, tuple(resolution))
+                probs = jnp.asarray(probs)
 
-            # 2D network metrics (labels path: no one-hot transfers)
-            for m in image_metrics_network:
-                m.update_state_labels(gt_labels, probs)
+            with timers.phase("metrics_network"):
+                for m in image_metrics_network:
+                    m.update_state_labels(gt_labels, probs)
 
-            # fuse
-            aggregator.add(
-                primitive_indices_wh, jnp.transpose(probs, (1, 0, 2))
-            )
+            with timers.phase("fuse"):
+                aggregator.add(
+                    primitive_indices_wh, jnp.transpose(probs, (1, 0, 2))
+                )
 
             if args.debug is not None and index % 100 == 0:
                 imageio.imwrite(
@@ -521,5 +529,10 @@ if args.output:
     with open(file, "w") as f:
         yaml.dump(result, f, default_flow_style=False)
 
+if args.timings:
+    print(timers.report())
 print("Results:")
-print(result)
+print({"metrics": {k: {m: ("<matrix>" if isinstance(v2, list) else v2)
+                       for m, v2 in v.items()}
+                   for k, v in result["metrics"].items()},
+       "params": result["params"]})
