@@ -30,10 +30,8 @@ def _jpeg_bytes(img):
     return buf.getvalue()
 
 
-@pytest.fixture(scope="module")
-def scannet_dir(tmp_path_factory):
-    root = tmp_path_factory.mktemp("scannet")
-    scene = root / "scans" / "scene0000_00"
+def _build_scene(root, name, seed):
+    scene = root / "scans" / name
     os.makedirs(scene / "label-filt")
 
     W, H = 128, 96
@@ -49,7 +47,7 @@ def scannet_dir(tmp_path_factory):
         vertex_labels[f] = cls
 
     # labels.ply: vertex x/y/z + label, face vertex_indices
-    ply_path = scene / "scene0000_00_vh_clean_2.labels.ply"
+    ply_path = scene / f"{name}_vh_clean_2.labels.ply"
     with open(ply_path, "wb") as f:
         f.write(b"ply\nformat binary_little_endian 1.0\n")
         f.write(f"element vertex {len(vertices)}\n".encode())
@@ -69,21 +67,15 @@ def scannet_dir(tmp_path_factory):
         frec["i"] = faces
         f.write(frec.tobytes())
 
-    # scannet->nyu40 TSV: identity for ids 1..6
-    with open(root / "scannetv2-labels.combined.tsv", "w") as f:
-        f.write("id\traw_category\tcategory\tnyu40id\n")
-        for i in range(1, 7):
-            f.write(f"{i}\tc{i}\tc{i}\t{i}\n")
-
     # cameras + frames
     cams = testing.make_ring_cameras(num_views=4, width=W, height=H,
-                                     radius=3.0)
+                                     radius=3.0 + 0.1 * seed)
     renderer = None
     mesh_obj = semantic_meshes.data.Ply(str(ply_path))
     renderer = semantic_meshes.render.triangles(mesh_obj)
 
     frames = []
-    probs_dir = root / "probs" / "scene0000_00"
+    probs_dir = root / "probs" / name
     os.makedirs(probs_dir)
     fx = fy = 0.9 * min(W, H)
     intrinsic = np.eye(4, dtype=np.float32)
@@ -127,13 +119,26 @@ def scannet_dir(tmp_path_factory):
         )
 
     write_sens(
-        str(scene / "scene0000_00.sens"),
+        str(scene / f"{name}.sens"),
         "synthetic",
         intrinsic, np.eye(4, dtype=np.float32),
         intrinsic, np.eye(4, dtype=np.float32),
         color_hw=(H, W), depth_hw=(H, W), depth_shift=1000.0,
         frames=frames,
     )
+
+
+@pytest.fixture(scope="module")
+def scannet_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scannet")
+    with open(root / "scannetv2-labels.combined.tsv", "w") as f:
+        # scannet->nyu40 TSV: identity for ids 1..6
+        f.write("id\traw_category\tcategory\tnyu40id\n")
+        for i in range(1, 7):
+            f.write(f"{i}\tc{i}\tc{i}\t{i}\n")
+    os.makedirs(root / "scans")
+    _build_scene(root, "scene0000_00", 0)
+    _build_scene(root, "scene0001_00", 1)
     return root
 
 
@@ -169,6 +174,7 @@ def test_eval_scannet_end_to_end(scannet_dir, tmp_path):
     # schema parity with the reference (ref: eval_scannet.py:332-352)
     assert set(result["metrics"]) == {"vertex", "image_network", "image_fused"}
     assert result["params"]["aggregator"] == "sum"
+    assert result["params"]["num"] == 2  # metrics aggregated across scenes
     for group in ("image_network", "image_fused", "vertex"):
         m = result["metrics"][group]
         assert set(m) == {"accuracy", "mean_iou", "confusion_matrix"}
