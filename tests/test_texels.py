@@ -135,3 +135,55 @@ class TestResolutionPrecompute:
             res[0] * (res[0] + 1) // 2
         )
         assert first[1] == renderer.getPrimitivesNum()
+
+
+class TestAffineShaderEquivalence:
+    def test_affine_texel_path_matches_barycentric_oracle(self, tmp_path,
+                                                          camera):
+        """The packed-affine texel shader (one row gather per pixel) must
+        agree with the direct barycentric formulation."""
+        import jax.numpy as jnp
+
+        from semantic_meshes import geometry
+        from semantic_meshes.render import _texel_prim_image
+        from semantic_meshes.rasterize import xla as rx
+
+        rng = np.random.default_rng(4)
+        vertices = rng.normal(size=(30, 3)).astype(np.float32) * 0.4
+        vertices[:, 2] -= 0.0  # camera looks from z=4 toward 0
+        faces = np.stack(
+            [rng.choice(30, 3, replace=False) for _ in range(20)]
+        ).astype(np.int32)
+        h, w = SIZE, SIZE
+        tri, _, _ = rx.rasterize(
+            vertices, faces, camera.rotation, camera.translation,
+            camera.focal_lengths, camera.principal_point,
+            height=h, width=w,
+        )
+        resolutions = rng.integers(1, 5, len(faces)).astype(np.int32)
+        counts = resolutions * (resolutions + 1) // 2
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+        P = int(counts.sum())
+
+        got = np.asarray(_texel_prim_image(
+            vertices, faces, camera.rotation, camera.translation,
+            camera.focal_lengths, camera.principal_point, tri,
+            jnp.asarray(resolutions), jnp.asarray(first), P,
+        ))
+
+        bary = np.asarray(rx.barycentrics_at_pixels(
+            vertices, faces, camera.rotation, camera.translation,
+            camera.focal_lengths, camera.principal_point, tri,
+        ))
+        tri_np = np.asarray(tri)
+        covered = tri_np >= 0
+        res_px = resolutions[np.maximum(tri_np, 0)]
+        rel = np.asarray(geometry.texel_index(
+            jnp.asarray(bary), jnp.asarray(np.maximum(res_px, 1))
+        ))
+        want = np.where(covered, first[np.maximum(tri_np, 0)] + rel, P)
+
+        diff = got != want
+        # both formulations round differently exactly on texel-grid
+        # boundaries; a tiny fraction of pixels may differ
+        assert diff[covered].mean() < 0.002, int(diff[covered].sum())
