@@ -131,3 +131,60 @@ def test_colorize_cityscapes_mesh_probs_backend(scene, tmp_path):
     assert colored.sum() > len(cols) * 0.5
     expected = CLASS_TO_COLOR[tri_class]
     np.testing.assert_array_equal(cols[colored], expected[colored])
+
+
+def test_colorize_mesh_remap_backend(scene, tmp_path):
+    """colorize_mesh.py --remap: color masks -> discovered class ids ->
+    colorized PLY reusing the discovered palette."""
+    root, tri_class = scene
+    import imageio.v2 as imageio
+
+    # build color masks from the probs fixtures: class -> a distinct color
+    C = 19
+    palette = np.stack(
+        [np.arange(C) * 13 % 256, np.arange(C) * 29 % 256,
+         np.arange(C) * 53 % 256], -1,
+    ).astype(np.uint8)
+    palette[0] = [7, 7, 7]  # avoid all-zero (background) collision
+    masks = tmp_path / "masks"
+    os.makedirs(masks)
+    for i in range(1, 4):
+        probs = np.load(root / "probs" / f"v{i}.npy")
+        cls = probs.argmax(-1)
+        covered = probs.sum(-1) > 0.5
+        img = np.zeros(cls.shape + (3,), np.uint8)
+        img[covered] = palette[cls[covered]]
+        imageio.imwrite(masks / f"v{i}.png", img)
+
+    out = tmp_path / "remap.ply"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "colorize_mesh.py"),
+            "--colmap", str(root / "ws"),
+            "--input_ply", str(root / "mesh.ply"),
+            "--masks", str(masks),
+            "--classes", "24",  # >= number of discovered colors
+            "--output_ply", str(out),
+            "--remap",
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "unique colors" in proc.stdout
+
+    e = read_ply(str(out))
+    cols = np.stack(
+        [e["face"].data["red"], e["face"].data["green"],
+         e["face"].data["blue"]], -1,
+    )
+    colored = cols.any(-1)
+    assert colored.sum() > len(cols) * 0.5
+    # every output color must be one of the mask palette colors (+ black
+    # background color discovered from uncovered pixels)
+    valid_colors = {tuple(c) for c in palette} | {(0, 0, 0)}
+    got_colors = {tuple(c) for c in np.unique(cols[colored], axis=0)}
+    assert got_colors <= valid_colors, got_colors - valid_colors
