@@ -251,3 +251,21 @@ def test_add_many_shape_errors():
     with pytest.raises(ValueError, match="classes"):
         ma.add_many(np.zeros((1, 2, 2), np.int32),
                     np.zeros((1, 2, 2, 5), np.float32))
+
+
+def test_bfloat16_probs_input():
+    """bf16 probability inputs promote to f32 accumulation (half the HBM
+    traffic for the biggest input of the batched pipelines)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    P, C = 8, 4
+    prim, probs, weights = rand_inputs(rng, P, C)
+    ma32 = fusion.MeshAggregator(P, C)
+    ma32.add(prim, probs, weights)
+    ma16 = fusion.MeshAggregator(P, C)
+    ma16.add(prim, jnp.asarray(probs, jnp.bfloat16), weights)
+    assert np.asarray(ma16.state).dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(ma16.get()), np.asarray(ma32.get()), atol=2e-2
+    )
