@@ -241,3 +241,17 @@ class TestBatchedWeights:
         np.testing.assert_allclose(
             np.asarray(acc), np.asarray(agg.state), rtol=2e-5, atol=1e-5
         )
+
+
+class TestDlpackInterop:
+    def test_render_output_via_dlpack(self, tmp_path, cube_scene):
+        """The reference hands render results to TF via DLPack
+        (ref: Renderer.h:37-38); jax arrays expose __dlpack__ natively."""
+        vertices, faces, cams = cube_scene
+        mesh = _write_cube(tmp_path, vertices, faces)
+        renderer = semantic_meshes.render.triangles(mesh)
+        idx, depth = renderer.render(cams[0])
+        idx_np = np.from_dlpack(idx)
+        depth_np = np.from_dlpack(depth)
+        np.testing.assert_array_equal(idx_np, np.asarray(idx))
+        np.testing.assert_array_equal(depth_np, np.asarray(depth))

@@ -206,3 +206,40 @@ def test_eval_scannet_end_to_end(scannet_dir, tmp_path):
     )
     assert proc2.returncode == 0
     assert "already exists" in proc2.stdout
+
+
+def test_eval_scannet_texels_mode(scannet_dir, tmp_path):
+    """Texels-mode eval: renderer built from all frame cameras, texel
+    primitives fused, YAML params include texel_resolution."""
+    out = tmp_path / "results_texels"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "eval-scannet", "eval_scannet.py"),
+            "--scannet", str(scannet_dir),
+            "--model", "probs",
+            "--probs_dir", str(scannet_dir / "probs"),
+            "--aggregator", "sum",
+            "--mode", "texels",
+            "--texel_resolution", "2.0",
+            "--num", "1",
+            "--output", str(out),
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    import yaml
+
+    with open(out / "run-1.yaml") as f:
+        result = yaml.safe_load(f)
+    assert result["params"]["mode"] == "texels"
+    assert result["params"]["texel_resolution"] == 2.0
+    # fused 2D metrics still near-perfect with texel primitives
+    assert result["metrics"]["image_fused"]["accuracy"] > 0.99
+    # vertex metrics skipped in texels mode (reference parity)
+    assert result["metrics"]["vertex"]["accuracy"] == 0.0
