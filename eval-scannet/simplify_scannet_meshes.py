@@ -8,6 +8,7 @@ runs meshlabserver under xvfb for each scene.
 
 import argparse
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -68,10 +69,14 @@ for factor in args.factor:
         with tempfile.NamedTemporaryFile("w", suffix=".mlx") as tmp:
             tmp.write(FILTER_TEMPLATE.format(faces_num=faces_num))
             tmp.flush()
+            # meshlabserver needs a display; wrap in xvfb-run when available
+            prefix = (
+                'xvfb-run -a -s "-screen 0 800x600x24" '
+                if shutil.which("xvfb-run") else ""
+            )
             cmd = (
-                f'xvfb-run -a -s "-screen 0 800x600x24" '
-                f"{args.meshlabserver} -i {input_mesh} -s {tmp.name} "
-                f"-o {output_mesh}"
+                f"{prefix}{args.meshlabserver} -i {input_mesh} "
+                f"-s {tmp.name} -o {output_mesh}"
             )
             subprocess.run(["bash", "-c", cmd], check=True,
                            stdout=subprocess.DEVNULL)

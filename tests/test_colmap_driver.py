@@ -162,3 +162,42 @@ def test_colmap_driver_skips_failed_scene(scannet_with_stub):
     assert proc.returncode == 0
     assert "failed" in proc.stdout
     assert not (root / "scans" / "scene0000_00" / "colmap").exists()
+
+
+def test_simplify_driver_with_stub(tmp_path):
+    """simplify_scannet_meshes.py against a stub meshlabserver: verifies
+    target-face computation, filter XML generation, and output naming."""
+    from semantic_meshes.io.ply import write_mesh
+
+    scene = tmp_path / "scans" / "scene0000_00"
+    os.makedirs(scene)
+    vertices, faces = testing.make_cube(3)  # 108 faces
+    write_mesh(scene / "scene0000_00_vh_clean_2.labels.ply", vertices, faces)
+
+    stub = tmp_path / "meshlabserver"
+    stub.write_text(r'''#!/usr/bin/env python3
+import sys
+opts = dict(zip(sys.argv[1::2], sys.argv[2::2]))
+script = open(opts["-s"]).read()
+assert "TargetFaceNum" in script
+import re
+n = re.search(r'value="(\d+)" name="TargetFaceNum"', script).group(1)
+with open(opts["-o"], "w") as f:
+    f.write(f"stub simplified to {n} faces from {opts['-i']}\n")
+''')
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "eval-scannet", "simplify_scannet_meshes.py"),
+            "--scannet", str(tmp_path),
+            "--factor", "0.5",
+            "--meshlabserver", str(stub),
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = scene / "scene0000_00_vh_clean_2.labels_simplified-0.5.ply"
+    assert out.exists()
+    assert "simplified to 54 faces" in out.read_text()  # 0.5 * 108
