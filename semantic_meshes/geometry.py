@@ -215,6 +215,74 @@ def texel_index(bary3d, resolution):
     return texel_index_uv(bary3d[..., 1], bary3d[..., 2], resolution)
 
 
+def clip_triangles_near(cam_verts, znear):
+    """Clip camera-space triangles against the z = znear plane.
+
+    cam_verts: (T, 3, 3). Each input triangle yields up to TWO output
+    pieces (a triangle crossing the plane with 2 vertices in front clips to
+    a quad). Returns (pieces (T, 2, 3, 3), valid (T, 2)): piece vertices are
+    all at z >= znear where valid; the winding of each piece preserves the
+    input's cyclic orientation.
+    """
+    z = cam_verts[..., 2]
+    in_front = z > znear  # (T, 3)
+    pattern = (
+        in_front[:, 0].astype(jnp.int32)
+        + 2 * in_front[:, 1].astype(jnp.int32)
+        + 4 * in_front[:, 2].astype(jnp.int32)
+    )
+    # cyclic rotation per pattern so that the in-front vertices come first:
+    # n_in==1 -> [A in front]; n_in==2 -> [A, B in front]
+    perm_table = jnp.asarray(
+        [
+            [0, 1, 2],  # 0: none
+            [0, 1, 2],  # 1: v0
+            [1, 2, 0],  # 2: v1
+            [0, 1, 2],  # 3: v0, v1
+            [2, 0, 1],  # 4: v2
+            [2, 0, 1],  # 5: v2, v0
+            [1, 2, 0],  # 6: v1, v2
+            [0, 1, 2],  # 7: all
+        ],
+        dtype=jnp.int32,
+    )
+    perm = perm_table[pattern]  # (T, 3)
+    p = jnp.take_along_axis(cam_verts, perm[..., None], axis=1)  # (T, 3, 3)
+    a, b, c = p[:, 0], p[:, 1], p[:, 2]
+    za, zb, zc = a[..., 2], b[..., 2], c[..., 2]
+
+    def isect(p0, p1, z0, z1):
+        t = (znear - z0) / jnp.where(z1 == z0, 1.0, z1 - z0)
+        t = jnp.clip(t, 0.0, 1.0)[..., None]
+        out = p0 + t * (p1 - p0)
+        # pin z exactly to the plane (guards fp residue below znear)
+        return out.at[..., 2].set(znear)
+
+    ab = isect(a, b, za, zb)
+    ac = isect(a, c, za, zc)
+    bc = isect(b, c, zb, zc)
+
+    n_in = jnp.sum(in_front, axis=-1)  # (T,)
+    full = (n_in == 3)[:, None, None]
+    one = (n_in == 1)[:, None, None]
+    # piece 0: full triangle | (A, AB, AC) | (A, B, BC)
+    p0 = jnp.where(
+        full,
+        p,
+        jnp.where(
+            one,
+            jnp.stack([a, ab, ac], axis=1),
+            jnp.stack([a, b, bc], axis=1),
+        ),
+    )
+    # piece 1 (only for n_in == 2): (A, BC, AC)
+    p1 = jnp.stack([a, bc, ac], axis=1)
+    pieces = jnp.stack([p0, p1], axis=1)  # (T, 2, 3, 3)
+    valid0 = n_in >= 1
+    valid1 = n_in == 2
+    return pieces, jnp.stack([valid0, valid1], axis=1)
+
+
 def reorder_faces_for_texels(vertices, faces):
     """Reorder each face so the most-right-angled vertex maps to uv (0, 0).
 

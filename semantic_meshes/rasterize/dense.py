@@ -316,7 +316,8 @@ def _make_dense_kernel(nbx, n_b, n_global):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "n_global", "e_cap_factor"),
+    static_argnames=("height", "width", "n_global", "e_cap_factor",
+                     "clip_near"),
 )
 def rasterize(
     vertices,
@@ -332,6 +333,7 @@ def rasterize(
     width,
     n_global=1024,
     e_cap_factor=3,
+    clip_near=False,
 ):
     """Dense-mesh drop-in for rasterize.xla.rasterize (no per-tile cap)."""
     vertices = jnp.asarray(vertices, jnp.float32)
@@ -339,10 +341,10 @@ def rasterize(
     y_offset = jnp.asarray(y_offset, jnp.float32)
     setup = xla_rast._make_setup(
         vertices, faces, rotation, translation, focal_lengths,
-        principal_point, face_vertices,
+        principal_point, face_vertices, clip_near,
     )
 
-    T = faces.shape[0]
+    T = setup["denom"].shape[0]  # 2x faces when clip_near
     nby = _cdiv(height, TILE_H)
     nbx = _cdiv(width, TILE_W)
     B = nby * nbx
@@ -407,4 +409,6 @@ def rasterize(
     take_micro = (z_micro < zimg) | ((z_micro == zimg) & (imicro < itile))
     zimg = jnp.where(take_micro, z_micro, zimg)
     iimg = jnp.where(take_micro, idx_micro, iimg)
+    if clip_near:  # piece id -> original triangle id
+        iimg = jnp.where(iimg >= 0, iimg >> 1, -1)
     return iimg, zimg, overflow

@@ -129,7 +129,8 @@ def _use_interpret():
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "max_tris_per_tile")
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile", "clip_near"),
 )
 def rasterize(
     vertices,
@@ -144,6 +145,7 @@ def rasterize(
     height,
     width,
     max_tris_per_tile=256,
+    clip_near=False,
 ):
     """Drop-in replacement for rasterize.xla.rasterize on TPU."""
     vertices = jnp.asarray(vertices, jnp.float32)
@@ -151,7 +153,7 @@ def rasterize(
     y_offset = jnp.asarray(y_offset, jnp.float32)
     setup = xla_rast._make_setup(
         vertices, faces, rotation, translation, focal_lengths,
-        principal_point, face_vertices,
+        principal_point, face_vertices, clip_near,
     )
     cand, counts, overflow = xla_rast._bin_triangles(
         setup, height, width, max_tris_per_tile, y_offset
@@ -193,8 +195,7 @@ def rasterize(
         interpret=_use_interpret(),
     )(y_offset.reshape(1, 1), counts, params)
 
-    return (
-        iimg[:height, :width],
-        zimg[:height, :width],
-        overflow,
-    )
+    iimg = iimg[:height, :width]
+    if clip_near:  # piece id -> original triangle id
+        iimg = jnp.where(iimg >= 0, iimg >> 1, -1)
+    return iimg, zimg[:height, :width], overflow

@@ -62,6 +62,29 @@ def _triangle_setup(pix, z_cam, faces):
     return _setup_from_projected(pix[faces], z_cam[faces])
 
 
+def _face_vertices_cam(face_vertices, rotation, translation):
+    """(T, 3, 3) world face-vertex positions -> camera space.
+
+    Explicit elementwise rigid transform: a (3, 3) matmul over 3T points
+    belongs on the VPU, and spelling it out keeps the TPU compiler away
+    from pathological dot strategies."""
+    fv = face_vertices
+    x, y, z = fv[..., 0], fv[..., 1], fv[..., 2]
+    cx = rotation[0, 0] * x + rotation[0, 1] * y + rotation[0, 2] * z + \
+        translation[0]
+    cy = rotation[1, 0] * x + rotation[1, 1] * y + rotation[1, 2] * z + \
+        translation[1]
+    cz = rotation[2, 0] * x + rotation[2, 1] * y + rotation[2, 2] * z + \
+        translation[2]
+    return jnp.stack([cx, cy, cz], axis=-1)
+
+
+def _project_cam(cam, focal_lengths, principal_point):
+    px = focal_lengths[0] * (cam[..., 0] / cam[..., 2]) + principal_point[0]
+    py = focal_lengths[1] * (cam[..., 1] / cam[..., 2]) + principal_point[1]
+    return jnp.stack([px, py], axis=-1)
+
+
 def setup_from_face_vertices(face_vertices, rotation, translation,
                              focal_lengths, principal_point):
     """Gather-free setup from pre-expanded (T, 3, 3) face-vertex positions.
@@ -71,20 +94,35 @@ def setup_from_face_vertices(face_vertices, rotation, translation,
     per-view work into pure streaming transforms (3x the FLOPs, no gathers —
     a big net win, the FLOPs are trivial).
     """
-    fv = face_vertices  # (T, 3, 3)
-    # explicit elementwise rigid transform + projection: a (3, 3) matmul on
-    # (3T,) points belongs on the VPU, and spelling it out keeps the TPU
-    # compiler away from pathological dot strategies
-    x, y, z = fv[..., 0], fv[..., 1], fv[..., 2]
-    cx = rotation[0, 0] * x + rotation[0, 1] * y + rotation[0, 2] * z + \
-        translation[0]
-    cy = rotation[1, 0] * x + rotation[1, 1] * y + rotation[1, 2] * z + \
-        translation[1]
-    cz = rotation[2, 0] * x + rotation[2, 1] * y + rotation[2, 2] * z + \
-        translation[2]
-    px = focal_lengths[0] * (cx / cz) + principal_point[0]
-    py = focal_lengths[1] * (cy / cz) + principal_point[1]
-    return _setup_from_projected(jnp.stack([px, py], axis=-1), cz)
+    cam = _face_vertices_cam(face_vertices, rotation, translation)
+    pix = _project_cam(cam, focal_lengths, principal_point)
+    return _setup_from_projected(pix, cam[..., 2])
+
+
+CLIP_Z_NEAR = 1e-4
+
+
+def setup_clipped(face_vertices, rotation, translation, focal_lengths,
+                  principal_point):
+    """Setup with true near-plane CLIPPING: each triangle yields up to two
+    pieces with interleaved ids (piece ids 2i and 2i+1 for triangle i, so
+    ascending piece order preserves the lowest-original-index tie-break).
+    Callers map winner ids back with id >> 1.
+
+    The v1 contract culls near-plane-crossing triangles (static shapes,
+    cameras outside the mesh); this opt-in path renders their in-front
+    parts — important when the camera is inside the scene (indoor ScanNet).
+    """
+    from .. import geometry
+
+    cam = _face_vertices_cam(face_vertices, rotation, translation)
+    pieces, valid = geometry.clip_triangles_near(cam, CLIP_Z_NEAR)
+    t = cam.shape[0]
+    cam2 = pieces.reshape(2 * t, 3, 3)
+    pix2 = _project_cam(cam2, focal_lengths, principal_point)
+    setup = _setup_from_projected(pix2, cam2[..., 2])
+    setup["valid"] = setup["valid"] & valid.reshape(2 * t)
+    return setup
 
 
 def _setup_from_projected(p, z):
@@ -139,12 +177,21 @@ def _setup_from_projected(p, z):
 
 
 def _make_setup(vertices, faces, rotation, translation, focal_lengths,
-                principal_point, face_vertices):
-    """Setup dispatch: gather-free when pre-expanded face vertices exist."""
+                principal_point, face_vertices, clip_near=False):
+    """Setup dispatch: gather-free when pre-expanded face vertices exist;
+    clip_near routes through the near-plane clipper (2 pieces/triangle)."""
     rot = jnp.asarray(rotation, jnp.float32)
     trans = jnp.asarray(translation, jnp.float32)
     fl = jnp.asarray(focal_lengths, jnp.float32)
     pp = jnp.asarray(principal_point, jnp.float32)
+    if clip_near:
+        if face_vertices is None:
+            face_vertices = jnp.asarray(vertices, jnp.float32)[
+                jnp.asarray(faces, jnp.int32)
+            ]
+        return setup_clipped(
+            jnp.asarray(face_vertices, jnp.float32), rot, trans, fl, pp
+        )
     if face_vertices is not None:
         return setup_from_face_vertices(
             jnp.asarray(face_vertices, jnp.float32), rot, trans, fl, pp
@@ -201,7 +248,8 @@ def _bin_triangles(setup, height, width, max_tris_per_tile, y_offset):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "max_tris_per_tile")
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile", "clip_near"),
 )
 def rasterize(
     vertices,
@@ -216,6 +264,7 @@ def rasterize(
     height,
     width,
     max_tris_per_tile=256,
+    clip_near=False,
 ):
     """Rasterize a triangle mesh into (tri_index (H, W) int32, depth (H, W)
     f32, overflow int32).
@@ -231,13 +280,13 @@ def rasterize(
     y_offset = jnp.asarray(y_offset, jnp.float32)
     setup = _make_setup(
         vertices, faces, rotation, translation, focal_lengths,
-        principal_point, face_vertices,
+        principal_point, face_vertices, clip_near,
     )
     cand, _counts, overflow = _bin_triangles(
         setup, height, width, max_tris_per_tile, y_offset
     )
 
-    T = faces.shape[0]
+    T = setup["denom"].shape[0]  # 2x faces when clip_near
     nby = _cdiv(height, TILE_H)
     nbx = _cdiv(width, TILE_W)
     B = nby * nbx
@@ -306,6 +355,8 @@ def rasterize(
         .transpose(0, 2, 1, 3)
         .reshape(nby * TILE_H, nbx * TILE_W)[:height, :width]
     )
+    if clip_near:  # piece id -> original triangle id
+        iimg = jnp.where(iimg >= 0, iimg >> 1, -1)
     return iimg, zimg, overflow
 
 

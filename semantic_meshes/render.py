@@ -79,8 +79,9 @@ class TrianglesRenderer:
     """Whole-triangle primitive renderer (primitive index == triangle index)."""
 
     def __init__(self, mesh: Ply, max_tris_per_tile: int = 256,
-                 backend: str | None = None):
+                 backend: str | None = None, clip_near: bool = False):
         self.mesh = mesh
+        self.clip_near = bool(clip_near)
         self.vertices = jnp.asarray(mesh.vertices, jnp.float32)
         self.faces = jnp.asarray(mesh.faces, jnp.int32)
         # pre-expanded face-vertex positions: per-view setup becomes
@@ -101,7 +102,7 @@ class TrianglesRenderer:
             camera.principal_point,
             height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
-            backend=self.backend,
+            backend=self.backend, clip_near=self.clip_near,
         )
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile
@@ -123,7 +124,7 @@ class TrianglesRenderer:
             self.vertices, self.faces, self.face_vertices, rot, trans, fl,
             pp, height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
-            backend=self.backend,
+            backend=self.backend, clip_near=self.clip_near,
         )
         return (
             tri.astype(jnp.uint32).transpose(0, 2, 1),
@@ -183,7 +184,13 @@ class TexelsRenderer:
     resolution from triangle size (the paper's texel mode)."""
 
     def __init__(self, mesh: Ply, cameras, texels_per_pixel: float = 0.1,
-                 max_tris_per_tile: int = 256, backend: str | None = None):
+                 max_tris_per_tile: int = 256, backend: str | None = None,
+                 clip_near: bool = False):
+        if clip_near:
+            raise NotImplementedError(
+                "clip_near is not yet supported in texel mode (the texel "
+                "shader needs clipped-piece barycentric remapping)"
+            )
         self.backend = backend
         self.overflow_policy = _OverflowPolicy()
         if isinstance(cameras, Colmap):
@@ -351,10 +358,12 @@ def _texel_indices(vertices, faces, rotation, translation, focal_lengths,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "max_tris_per_tile", "backend"),
+    static_argnames=("height", "width", "max_tris_per_tile", "backend",
+                     "clip_near"),
 )
 def _render_triangles_jit(vertices, faces, face_vertices, rot, trans, fl,
-                          pp, *, height, width, max_tris_per_tile, backend):
+                          pp, *, height, width, max_tris_per_tile, backend,
+                          clip_near=False):
     """Whole triangle-mode render in ONE compiled program (rasterize +
     uint32 cast + (W, H) transpose): a single dispatch per frame instead of
     several, which matters when dispatch rides a tunneled transport."""
@@ -362,6 +371,7 @@ def _render_triangles_jit(vertices, faces, face_vertices, rot, trans, fl,
         vertices, faces, rot, trans, fl, pp,
         face_vertices=face_vertices, backend=backend,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+        clip_near=clip_near,
     )
     return tri.astype(jnp.uint32).T, depth.T, overflow
 
@@ -413,15 +423,17 @@ def _render_texels_scan(vertices, faces, face_vertices, resolutions,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "max_tris_per_tile", "backend"),
+    static_argnames=("height", "width", "max_tris_per_tile", "backend",
+                     "clip_near"),
 )
 def _render_scan(vertices, faces, face_vertices, rot, trans, fl, pp, *,
-                 height, width, max_tris_per_tile, backend=None):
+                 height, width, max_tris_per_tile, backend=None,
+                 clip_near=False):
     def step(_, cam):
         r, t, f, p = cam
         tri, depth, _ov = rast.rasterize(
             vertices, faces, r, t, f, p, face_vertices=face_vertices,
-            backend=backend,
+            backend=backend, clip_near=clip_near,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         )
         return None, (tri, depth)
