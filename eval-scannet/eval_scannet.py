@@ -67,6 +67,10 @@ parser.add_argument("--probs_dir", type=str, default=None,
 parser.add_argument("--max_frames", type=int, default=None)
 parser.add_argument("--timings", action="store_true",
                     help="Print per-phase wall-clock timings at the end")
+parser.add_argument("--clip_near", action="store_true",
+                    help="Near-plane clip instead of culling triangles that "
+                    "cross z=0 (recommended for indoor scenes; triangles "
+                    "mode only)")
 args = parser.parse_args()
 
 import yaml  # noqa: E402
@@ -273,7 +277,9 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
     print("Initializing semantic-meshes...")
     mesh = semantic_meshes.data.Ply(input_mesh_file)
     if args.mode == "triangles":
-        renderer = semantic_meshes.render.triangles(mesh)
+        renderer = semantic_meshes.render.triangles(
+            mesh, clip_near=args.clip_near
+        )
     else:
         cameras = [
             frame_camera(fr) for fr in sens.frames[:: args.frames_step]
