@@ -69,8 +69,7 @@ parser.add_argument("--timings", action="store_true",
                     help="Print per-phase wall-clock timings at the end")
 parser.add_argument("--clip_near", action="store_true",
                     help="Near-plane clip instead of culling triangles that "
-                    "cross z=0 (recommended for indoor scenes; triangles "
-                    "mode only)")
+                    "cross z=0 (recommended for indoor scenes)")
 args = parser.parse_args()
 
 import yaml  # noqa: E402
@@ -285,7 +284,7 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
             frame_camera(fr) for fr in sens.frames[:: args.frames_step]
         ]
         renderer = semantic_meshes.render.texels(
-            mesh, cameras, args.texel_resolution
+            mesh, cameras, args.texel_resolution, clip_near=args.clip_near
         )
     aggregator = semantic_meshes.fusion.MeshAggregator(
         primitives=renderer.getPrimitivesNum(),

@@ -100,7 +100,7 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
                           images_equal_weight, *, num_primitives, aggregator,
                           height, width, max_tris_per_tile=256,
                           prim_transform=None, axis_name=None, y_offset=None,
-                          face_vertices=None):
+                          face_vertices=None, clip_near=False):
     """One fused render+aggregate step (stays entirely in HBM).
 
     camera_arrays: (rotation, translation, focal_lengths, principal_point).
@@ -113,7 +113,7 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
         vertices, faces, rot, trans, fl, pp,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         y_offset=0 if y_offset is None else y_offset,
-        face_vertices=face_vertices,
+        face_vertices=face_vertices, clip_near=clip_near,
     )
     if prim_transform is None:
         prim = jnp.where(tri >= 0, tri, num_primitives).astype(jnp.int32)
@@ -128,13 +128,14 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_primitives", "aggregator", "height", "width", "max_tris_per_tile"
+        "num_primitives", "aggregator", "height", "width",
+        "max_tris_per_tile", "clip_near"
     ),
 )
 def fuse_views(vertices, faces, rotations, translations, focal_lengths,
                principal_points, probs, images_equal_weight, weights=None, *,
                num_primitives, aggregator, height, width,
-               max_tris_per_tile=256):
+               max_tris_per_tile=256, clip_near=False):
     """Single-chip batched pipeline: scan render+fuse over N views.
 
     rotations (N,3,3), translations (N,3), focal_lengths/principal_points
@@ -153,7 +154,7 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
             images_equal_weight,
             num_primitives=num_primitives, aggregator=aggregator,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
-            face_vertices=face_vertices,
+            face_vertices=face_vertices, clip_near=clip_near,
         )
         return acc, None
 
@@ -169,7 +170,8 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_primitives", "aggregator", "height", "width", "max_tris_per_tile"
+        "num_primitives", "aggregator", "height", "width",
+        "max_tris_per_tile", "clip_near"
     ),
 )
 def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
@@ -177,7 +179,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
                       principal_points, probs, images_equal_weight,
                       weights=None, *,
                       num_primitives, aggregator, height, width,
-                      max_tris_per_tile=256):
+                      max_tris_per_tile=256, clip_near=False):
     """Batched texel-mode pipeline: like fuse_views, but primitives are the
     sub-triangle texels of a TexelsRenderer (pass its reordered `faces`,
     `resolutions` and `first_texel_index`)."""
@@ -189,6 +191,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
             return _texel_prim_image(
                 vertices, faces, rot, trans, fl, pp, tri,
                 resolutions, first_texel_index, num_primitives,
+                clip_near=clip_near,
             )
         return prim_transform
 
@@ -204,7 +207,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
             num_primitives=num_primitives, aggregator=aggregator,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
             prim_transform=prim_transform_factory(rot, trans, fl, pp),
-            face_vertices=face_vertices,
+            face_vertices=face_vertices, clip_near=clip_near,
         )
         return acc, None
 
@@ -219,7 +222,8 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
 
 def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                       width, max_tris_per_tile=256,
-                      shard_primitives=False, texel_params=None):
+                      shard_primitives=False, texel_params=None,
+                      clip_near=False):
     """Build a pjit-able multi-chip fuse step over `mesh`.
 
     Mesh axes used (any subset may have size 1):
@@ -286,7 +290,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                     return _texel_prim_image(
                         vertices, faces, rot, trans, fl, pp, tri,
                         resolutions, first_texel_index, num_primitives,
-                        y_offset=row0,
+                        y_offset=row0, clip_near=clip_near,
                     )
 
             acc = acc + render_and_accumulate(
@@ -297,7 +301,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                 max_tris_per_tile=max_tris_per_tile,
                 axis_name="pixels", y_offset=row0,
                 face_vertices=face_vertices,
-                prim_transform=prim_transform,
+                prim_transform=prim_transform, clip_near=clip_near,
             )
             return acc, None
 

@@ -132,7 +132,8 @@ class TrianglesRenderer:
         )
 
 
-def _texel_resolutions(vertices, faces, cameras, texels_per_pixel):
+def _texel_resolutions(vertices, faces, cameras, texels_per_pixel,
+                       clip_near=False):
     """Per-triangle texel grid resolution r = ceil(tpp * sqrt(max screen area)).
 
     Vectorized equivalent of the reference's host OpenMP loop over
@@ -140,6 +141,13 @@ def _texel_resolutions(vertices, faces, cameras, texels_per_pixel):
     contributes a triangle's screen-space area iff any vertex is in front of
     it and all three projected vertices fall within the 0.5-resolution border
     around the image.
+
+    clip_near: size triangles that straddle the near plane by the projected
+    area of their clipped (in-front) pieces, with coordinates clamped to the
+    same 0.5-resolution border box (a straddling triangle's raw projection
+    is unbounded). Without this, straddling-everywhere triangles would get
+    resolution 0 and render as invalid even though the clipped rasterizer
+    covers them.
     """
     rot, trans, fl, pp = stack_cameras(cameras)
     resolutions = np.asarray([c.resolution for c in cameras], np.float32)  # (C,2)
@@ -152,15 +160,47 @@ def _texel_resolutions(vertices, faces, cameras, texels_per_pixel):
             rot, trans, fl, pp, res = cam_args
             flat = face_vertices.reshape(-1, 3)
             cam = geometry.rigid_transform(rot, trans, flat)
-            p = geometry.pinhole_project(fl, pp, cam).reshape(-1, 3, 2)
-            z = cam[..., 2].reshape(-1, 3)
-            in_front = jnp.any(z > 0, axis=-1)
             border = 0.5
             lo = -border * res
             hi = (1.0 + border) * res
-            inside = jnp.all((p >= lo) & (p < hi), axis=(-2, -1))
-            area = geometry.triangle_screen_area(p)
-            area = jnp.where(in_front & inside, area, 0.0)
+            if clip_near:
+                from .rasterize.xla import CLIP_Z_NEAR
+
+                p = geometry.pinhole_project(fl, pp, cam).reshape(-1, 3, 2)
+                z = cam[..., 2].reshape(-1, 3)
+                all_front = jnp.all(z > CLIP_Z_NEAR, axis=-1)
+                inside = jnp.all((p >= lo) & (p < hi), axis=(-2, -1))
+                area_ref = jnp.where(
+                    all_front & inside, geometry.triangle_screen_area(p), 0.0
+                )
+                pieces, valid = geometry.clip_triangles_near(
+                    cam.reshape(-1, 3, 3), CLIP_Z_NEAR
+                )  # (T, 2, 3, 3), (T, 2)
+                pc = geometry.pinhole_project(
+                    fl, pp, pieces.reshape(-1, 3)
+                ).reshape(-1, 2, 3, 2)
+                # clamp into the border box: a straddling triangle's clipped
+                # piece can project arbitrarily far outside the image; the
+                # clamped area is a bounded proxy for its on-screen footprint
+                pc = jnp.clip(pc, lo, hi)
+                piece_area = geometry.triangle_screen_area(
+                    pc.reshape(-1, 3, 2)
+                ).reshape(-1, 2)
+                area_clip = jnp.sum(
+                    jnp.where(valid, piece_area, 0.0), axis=-1
+                )
+                # triangles the reference rule can size keep its sizing;
+                # straddlers AND partially-out-of-frame triangles (which the
+                # reference rule zeroes, leaving visible pixels invalid when
+                # the camera is inside the scene) use the clamped-piece proxy
+                area = jnp.where(area_ref > 0, area_ref, area_clip)
+            else:
+                p = geometry.pinhole_project(fl, pp, cam).reshape(-1, 3, 2)
+                z = cam[..., 2].reshape(-1, 3)
+                in_front = jnp.any(z > 0, axis=-1)
+                inside = jnp.all((p >= lo) & (p < hi), axis=(-2, -1))
+                area = geometry.triangle_screen_area(p)
+                area = jnp.where(in_front & inside, area, 0.0)
             # scan with a running max: memory stays O(T) however many
             # cameras the workspace has (the vmap formulation materializes
             # (cameras, T) — gigabytes for eval-scale camera sets)
@@ -186,11 +226,7 @@ class TexelsRenderer:
     def __init__(self, mesh: Ply, cameras, texels_per_pixel: float = 0.1,
                  max_tris_per_tile: int = 256, backend: str | None = None,
                  clip_near: bool = False):
-        if clip_near:
-            raise NotImplementedError(
-                "clip_near is not yet supported in texel mode (the texel "
-                "shader needs clipped-piece barycentric remapping)"
-            )
+        self.clip_near = bool(clip_near)
         self.backend = backend
         self.overflow_policy = _OverflowPolicy()
         if isinstance(cameras, Colmap):
@@ -204,7 +240,7 @@ class TexelsRenderer:
 
         res = _texel_resolutions(
             self.vertices, jnp.asarray(mesh.faces, jnp.int32), cameras,
-            float(texels_per_pixel),
+            float(texels_per_pixel), clip_near=self.clip_near,
         )
         # Reorder face vertices so the most-right-angled vertex maps to
         # uv (0, 0) (ref: TexturedTriangleRenderer.h:129-146). Internal only:
@@ -240,6 +276,7 @@ class TexelsRenderer:
             height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
             backend=self.backend, num_primitives=self._primitive_num,
+            clip_near=self.clip_near,
         )
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile
@@ -260,13 +297,15 @@ class TexelsRenderer:
             height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
             num_primitives=self._primitive_num, backend=self.backend,
+            clip_near=self.clip_near,
         )
         return idx, depth
 
 
 def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
                       principal_point, tri_index, resolutions,
-                      first_texel_index, num_primitives, y_offset=0):
+                      first_texel_index, num_primitives, y_offset=0,
+                      clip_near=False):
     """Texel primitive ids as int32 (invalid pixels -> num_primitives).
 
     Equivalent of TexturedTriangle::getTexelIndex in the CUDA shader
@@ -281,30 +320,59 @@ def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
     and S = sum_j A_j, so the whole shader needs ONE packed 12-lane row per
     pixel (vs 6 separate gathers of faces/vertices/z, which dominated texel
     render time ~4x).
+
+    clip_near: build the affine forms from camera-space vertices instead of
+    projected ones. For the pixel ray d(x,y) = ((x-cx)/fx, (y-cy)/fy, 1) the
+    unnormalized barycentric of the hit point w.r.t. vertex i is
+    d . (V_j x V_k) — affine in (x, y) and valid even when a vertex sits
+    behind the camera (where the projected-vertex form is meaningless). So
+    no clipped-piece barycentric remapping is needed: the rasterizer's
+    original-triangle ids index a per-TRIANGLE table as usual.
     """
     from .rasterize import xla as rx
 
-    pix, z_cam = rx.project_vertices(
-        jnp.asarray(vertices, jnp.float32),
-        jnp.asarray(rotation, jnp.float32),
-        jnp.asarray(translation, jnp.float32),
-        jnp.asarray(focal_lengths, jnp.float32),
-        jnp.asarray(principal_point, jnp.float32),
-    )
     faces = jnp.asarray(faces, jnp.int32)
-    setup = rx._triangle_setup(pix, z_cam, faces)
-    inv_z = 1.0 / jnp.maximum(z_cam[faces], rx.Z_NEAR)  # (T, 3)
-
-    def aff(i):  # A_i coefficients: (a_i, b_i, c_i) * inv_z_i
-        return (
-            setup["a"][:, i] * inv_z[:, i],
-            setup["b"][:, i] * inv_z[:, i],
-            setup["c"][:, i] * inv_z[:, i],
+    if clip_near:
+        cam = geometry.rigid_transform(
+            jnp.asarray(rotation, jnp.float32),
+            jnp.asarray(translation, jnp.float32),
+            jnp.asarray(vertices, jnp.float32),
         )
+        v_cam = cam[faces]  # (T, 3, 3)
+        fl = jnp.asarray(focal_lengths, jnp.float32)
+        pp = jnp.asarray(principal_point, jnp.float32)
 
-    a0 = aff(0)
-    a1 = aff(1)
-    a2 = aff(2)
+        def aff_ray(j, k):  # d . (V_j x V_k) as an affine form in (x, y)
+            n = jnp.cross(v_cam[:, j], v_cam[:, k])  # (T, 3)
+            a = n[:, 0] / fl[0]
+            b = n[:, 1] / fl[1]
+            c = n[:, 2] - pp[0] * a - pp[1] * b
+            return (a, b, c)
+
+        a0 = aff_ray(1, 2)
+        a1 = aff_ray(2, 0)
+        a2 = aff_ray(0, 1)
+    else:
+        pix, z_cam = rx.project_vertices(
+            jnp.asarray(vertices, jnp.float32),
+            jnp.asarray(rotation, jnp.float32),
+            jnp.asarray(translation, jnp.float32),
+            jnp.asarray(focal_lengths, jnp.float32),
+            jnp.asarray(principal_point, jnp.float32),
+        )
+        setup = rx._triangle_setup(pix, z_cam, faces)
+        inv_z = 1.0 / jnp.maximum(z_cam[faces], rx.Z_NEAR)  # (T, 3)
+
+        def aff(i):  # A_i coefficients: (a_i, b_i, c_i) * inv_z_i
+            return (
+                setup["a"][:, i] * inv_z[:, i],
+                setup["b"][:, i] * inv_z[:, i],
+                setup["c"][:, i] * inv_z[:, i],
+            )
+
+        a0 = aff(0)
+        a1 = aff(1)
+        a2 = aff(2)
     s = tuple(a0[k] + a1[k] + a2[k] for k in range(3))
     cols = list(a1) + list(a2) + list(s)
     cols.append(
@@ -338,16 +406,18 @@ def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
     return jnp.where(valid, prim, num_primitives).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_primitives",))
+@functools.partial(
+    jax.jit, static_argnames=("num_primitives", "clip_near")
+)
 def _texel_indices(vertices, faces, rotation, translation, focal_lengths,
                    principal_point, tri_index, resolutions, first_texel_index,
-                   num_primitives):
+                   num_primitives, clip_near=False):
     """uint32 texel image with the 0xFFFFFFFF background sentinel
     (public render contract, ref: TriangleRenderer.h:75-78)."""
     prim = _texel_prim_image(
         vertices, faces, rotation, translation, focal_lengths,
         principal_point, tri_index, resolutions, first_texel_index,
-        num_primitives,
+        num_primitives, clip_near=clip_near,
     )
     return jnp.where(
         prim < num_primitives,
@@ -379,21 +449,23 @@ def _render_triangles_jit(vertices, faces, face_vertices, rot, trans, fl,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_tris_per_tile", "backend",
-                     "num_primitives"),
+                     "num_primitives", "clip_near"),
 )
 def _render_texels_jit(vertices, faces, face_vertices, resolutions,
                        first_texel_index, rot, trans, fl, pp, *, height,
-                       width, max_tris_per_tile, backend, num_primitives):
+                       width, max_tris_per_tile, backend, num_primitives,
+                       clip_near=False):
     """Texel-mode render (rasterize + barycentric texel shader + transpose)
     as one compiled program."""
     tri, depth, overflow = rast.rasterize(
         vertices, faces, rot, trans, fl, pp,
         face_vertices=face_vertices, backend=backend,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+        clip_near=clip_near,
     )
     indices = _texel_indices(
         vertices, faces, rot, trans, fl, pp, tri, resolutions,
-        first_texel_index, num_primitives,
+        first_texel_index, num_primitives, clip_near=clip_near,
     )
     return indices.T, depth.T, overflow
 
@@ -401,19 +473,19 @@ def _render_texels_jit(vertices, faces, face_vertices, resolutions,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_tris_per_tile",
-                     "num_primitives", "backend"),
+                     "num_primitives", "backend", "clip_near"),
 )
 def _render_texels_scan(vertices, faces, face_vertices, resolutions,
                         first_texel_index, rot, trans, fl, pp, *, height,
                         width, max_tris_per_tile, num_primitives,
-                        backend=None):
+                        backend=None, clip_near=False):
     def step(_, cam):
         r, t, f, p = cam
         idx, depth, _ov = _render_texels_jit(
             vertices, faces, face_vertices, resolutions, first_texel_index,
             r, t, f, p, height=height, width=width,
             max_tris_per_tile=max_tris_per_tile, backend=backend,
-            num_primitives=num_primitives,
+            num_primitives=num_primitives, clip_near=clip_near,
         )
         return None, (idx, depth)
 

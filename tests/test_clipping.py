@@ -163,12 +163,134 @@ class TestCameraInsideScene:
         d = np.asarray(depth_clip)
         assert np.isfinite(d).all() and (d > 0).all()
 
-    def test_texels_clip_near_raises(self, tmp_path):
+    def test_texels_camera_inside_cube(self, tmp_path):
+        """Texel mode with clipping: the camera-space affine shader
+        (d . (Vj x Vk), valid for behind-camera vertices) plus the
+        clipped-piece resolution sizing must give near-full coverage with
+        in-range texel ids from inside a closed room."""
         import semantic_meshes
 
-        vertices, faces = testing.make_cube(2)
+        vertices, faces = testing.make_cube(4, size=4.0)
+        write_mesh(tmp_path / "room.ply", vertices, faces)
+        mesh = semantic_meshes.data.Ply(str(tmp_path / "room.ply"))
+        rotation, translation = geometry.look_at(
+            [0.0, 0.0, 0.0], [1.0, 0.2, 0.3], [0, 1, 0]
+        )
+        cam = semantic_meshes.data.Camera(
+            rotation, translation, np.array([W, H]),
+            np.array([50.0, 50.0]), np.array([W / 2, H / 2]),
+        )
+        renderer = semantic_meshes.render.texels(
+            mesh, [cam], 1.0, clip_near=True
+        )
+        idx, depth = renderer.render(cam)
+        idx = np.asarray(idx)
+        cov = (idx != 0xFFFFFFFF).mean()
+        assert cov > 0.99, cov
+        assert idx[idx != 0xFFFFFFFF].max() < renderer.getPrimitivesNum()
+        d = np.asarray(depth)
+        assert np.isfinite(d).all() and (d > 0).all()
+
+    def test_texels_clip_matches_noclip_when_in_front(self, tmp_path):
+        """On an all-in-front scene the camera-space and projected-vertex
+        shader formulations compute the same perspective-correct uv; texel
+        ids may differ only on texel-boundary pixels (fp quantization)."""
+        import semantic_meshes
+
+        vertices, faces = testing.make_cube(3)
         write_mesh(tmp_path / "c.ply", vertices, faces)
         mesh = semantic_meshes.data.Ply(str(tmp_path / "c.ply"))
-        cams = testing.make_ring_cameras(num_views=1, width=W, height=H)
-        with pytest.raises(NotImplementedError):
-            semantic_meshes.render.texels(mesh, cams, 0.5, clip_near=True)
+        cams = testing.make_ring_cameras(num_views=2, width=W, height=H)
+        r0 = semantic_meshes.render.texels(mesh, cams, 1.5)
+        r1 = semantic_meshes.render.texels(mesh, cams, 1.5, clip_near=True)
+        assert r0.getPrimitivesNum() == r1.getPrimitivesNum()
+        np.testing.assert_array_equal(
+            np.asarray(r0.resolutions), np.asarray(r1.resolutions)
+        )
+        for cam in cams:
+            i0 = np.asarray(r0.render(cam)[0])
+            i1 = np.asarray(r1.render(cam)[0])
+            np.testing.assert_array_equal(
+                i0 == 0xFFFFFFFF, i1 == 0xFFFFFFFF
+            )
+            agree = (i0 == i1).mean()
+            assert agree > 0.99, agree
+
+    def test_fuse_views_clip_matches_sequential(self, tmp_path):
+        """distributed.fuse_views(clip_near=True) on a straddling scene ==
+        the public renderer + MeshAggregator loop with clip_near=True."""
+        import semantic_meshes
+        from semantic_meshes import distributed, testing as sm_testing
+        from semantic_meshes.data import stack_cameras
+
+        vertices, faces = testing.make_cube(3, size=4.0)
+        write_mesh(tmp_path / "room.ply", vertices, faces)
+        mesh = semantic_meshes.data.Ply(str(tmp_path / "room.ply"))
+        rotation, translation = geometry.look_at(
+            [0.0, 0.0, 0.0], [1.0, 0.0, 0.2], [0, 1, 0]
+        )
+        cam = semantic_meshes.data.Camera(
+            rotation, translation, np.array([W, H]),
+            np.array([50.0, 50.0]), np.array([W / 2, H / 2]),
+        )
+        renderer = semantic_meshes.render.triangles(mesh, clip_near=True)
+        P = renderer.getPrimitivesNum()
+        C = 4
+        rng = np.random.default_rng(3)
+        probs = sm_testing.random_probs(rng, H, W, C)
+
+        agg = semantic_meshes.fusion.MeshAggregator(P, C, aggregator="sum")
+        idx, _ = renderer.render(cam)
+        assert (np.asarray(idx) != 0xFFFFFFFF).any()
+        agg.add(idx, probs.transpose(1, 0, 2))
+
+        rot, trans, fl, pp = stack_cameras([cam])
+        acc = distributed.fuse_views(
+            renderer.vertices, renderer.faces, rot, trans, fl, pp,
+            probs[None], np.float32(0.5),
+            num_primitives=P, aggregator="sum", height=H, width=W,
+            clip_near=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(agg.state), rtol=2e-5, atol=1e-5
+        )
+
+    def test_fuse_views_texels_clip_matches_sequential(self, tmp_path):
+        import semantic_meshes
+        from semantic_meshes import distributed, testing as sm_testing
+        from semantic_meshes.data import stack_cameras
+
+        vertices, faces = testing.make_cube(2, size=4.0)
+        write_mesh(tmp_path / "room.ply", vertices, faces)
+        mesh = semantic_meshes.data.Ply(str(tmp_path / "room.ply"))
+        rotation, translation = geometry.look_at(
+            [0.0, 0.0, 0.0], [0.3, 0.1, 1.0], [0, 1, 0]
+        )
+        cam = semantic_meshes.data.Camera(
+            rotation, translation, np.array([W, H]),
+            np.array([50.0, 50.0]), np.array([W / 2, H / 2]),
+        )
+        renderer = semantic_meshes.render.texels(
+            mesh, [cam], 1.0, clip_near=True
+        )
+        P = renderer.getPrimitivesNum()
+        C = 3
+        rng = np.random.default_rng(4)
+        probs = sm_testing.random_probs(rng, H, W, C)
+
+        agg = semantic_meshes.fusion.MeshAggregator(P, C, aggregator="sum")
+        idx, _ = renderer.render(cam)
+        assert (np.asarray(idx) != 0xFFFFFFFF).any()
+        agg.add(idx, probs.transpose(1, 0, 2))
+
+        rot, trans, fl, pp = stack_cameras([cam])
+        acc = distributed.fuse_views_texels(
+            renderer.vertices, renderer.faces, renderer.resolutions,
+            renderer.first_texel_index, rot, trans, fl, pp,
+            probs[None], np.float32(0.5),
+            num_primitives=P, aggregator="sum", height=H, width=W,
+            clip_near=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(agg.state), rtol=2e-5, atol=1e-5
+        )
