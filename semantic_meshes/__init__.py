@@ -15,6 +15,17 @@ if _os.environ.get("SM_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["SM_PLATFORM"])
 
+if _os.environ.get("SM_COMPILE_CACHE"):
+    # Persistent XLA compilation cache: makes renderer/fusion first-call
+    # compiles (~30 s each through a tunneled compile service) a one-time
+    # cost across PROCESSES, not per run — big for multi-scene eval drivers.
+    import jax as _jax2
+
+    _jax2.config.update(
+        "jax_compilation_cache_dir", _os.environ["SM_COMPILE_CACHE"]
+    )
+    _jax2.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from . import checkpoint  # noqa: F401
 from . import data  # noqa: F401
 from . import data2  # noqa: F401

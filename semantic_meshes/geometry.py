@@ -283,6 +283,7 @@ def clip_triangles_near(cam_verts, znear):
     return pieces, jnp.stack([valid0, valid1], axis=1)
 
 
+@jax.jit
 def reorder_faces_for_texels(vertices, faces):
     """Reorder each face so the most-right-angled vertex maps to uv (0, 0).
 
@@ -292,7 +293,10 @@ def reorder_faces_for_texels(vertices, faces):
       - if diffs[1] >= diffs[2]: swap face[1] <-> face[2]
 
     vertices: (V, 3) f32, faces: (T, 3) i32. Returns reordered faces (T, 3).
-    Vectorized over triangles (the reference runs this as a host OpenMP loop).
+    Vectorized over triangles (the reference runs this as a host OpenMP
+    loop). Jitted as ONE program: eagerly it dispatches ~30 separate op
+    kernels, each a separate compile through a tunneled compile service
+    (~4 minutes cold at 50k faces vs seconds for the fused program).
     """
     v = jnp.asarray(vertices)
     f = jnp.asarray(faces)

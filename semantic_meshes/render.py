@@ -151,8 +151,19 @@ def _texel_resolutions(vertices, faces, cameras, texels_per_pixel,
     """
     rot, trans, fl, pp = stack_cameras(cameras)
     resolutions = np.asarray([c.resolution for c in cameras], np.float32)  # (C,2)
+    return _texel_resolutions_jit(
+        vertices, faces, rot, trans, fl, pp, resolutions,
+        texels_per_pixel=float(texels_per_pixel), clip_near=clip_near,
+    )
 
-    @jax.jit
+
+# module-level jit: a per-construction inner jit would re-trace (and through
+# a tunneled compile service, re-COMPILE ~30 s) for every TexelsRenderer
+@functools.partial(
+    jax.jit, static_argnames=("texels_per_pixel", "clip_near")
+)
+def _texel_resolutions_jit(vertices, faces, rot, trans, fl, pp, resolutions,
+                           *, texels_per_pixel, clip_near):
     def compute(vertices, faces, rot, trans, fl, pp, resolutions):
         face_vertices = vertices[faces]  # (T, 3, 3), gathered once
 
