@@ -67,6 +67,10 @@ parser.add_argument("--probs_dir", type=str, default=None,
 parser.add_argument("--max_frames", type=int, default=None)
 parser.add_argument("--timings", action="store_true",
                     help="Print per-phase wall-clock timings at the end")
+parser.add_argument("--no_face_buckets", action="store_true",
+                    help="Disable face-count bucketing (bucketing pads "
+                    "each mesh to a coarse size bucket so similar scenes "
+                    "share XLA compilations; outputs are identical)")
 parser.add_argument("--clip_near", action="store_true",
                     help="Near-plane clip instead of culling triangles that "
                     "cross z=0 (recommended for indoor scenes)")
@@ -277,14 +281,16 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
     mesh = semantic_meshes.data.Ply(input_mesh_file)
     if args.mode == "triangles":
         renderer = semantic_meshes.render.triangles(
-            mesh, clip_near=args.clip_near
+            mesh, clip_near=args.clip_near,
+            bucket=not args.no_face_buckets,
         )
     else:
         cameras = [
             frame_camera(fr) for fr in sens.frames[:: args.frames_step]
         ]
         renderer = semantic_meshes.render.texels(
-            mesh, cameras, args.texel_resolution, clip_near=args.clip_near
+            mesh, cameras, args.texel_resolution, clip_near=args.clip_near,
+            bucket=not args.no_face_buckets,
         )
     aggregator = semantic_meshes.fusion.MeshAggregator(
         primitives=renderer.getPrimitivesNum(),

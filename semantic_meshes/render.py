@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,15 +76,77 @@ class _OverflowPolicy:
             )
 
 
+def _face_bucket(t: int) -> int:
+    """Round a face count up to a coarse bucket (<= ~25% padding).
+
+    Meshes of similar size then share every face-count-specialized jit
+    compilation — a multi-scene eval loop would otherwise recompile each
+    program per scene (compiles through a tunneled compile service cost
+    ~30-130 s each). 8 buckets per power of two.
+    """
+    if t <= 1024:
+        return 1024
+    step = 1 << max(t.bit_length() - 3, 8)
+    return -(-t // step) * step
+
+
+def _bucket_enabled(bucket) -> bool:
+    if bucket is None:
+        return os.environ.get("SM_FACE_BUCKETS", "") not in ("", "0")
+    return bool(bucket)
+
+
+def _pad_faces(faces, vertices):
+    """Pad faces up to their bucket with degenerate all-zero-index rows.
+
+    A padding face references vertex 0 three times: zero screen area, so
+    the rasterizer's setup marks it invalid (denom == 0) and outputs are
+    bit-identical to the unpadded mesh. Returns (padded_faces, real_count).
+    """
+    t = int(faces.shape[0])
+    target = _face_bucket(t)
+    if target == t or vertices.shape[0] == 0:
+        return faces, t
+    pad = jnp.zeros((target - t, 3), faces.dtype)
+    return jnp.concatenate([faces, pad], axis=0), t
+
+
+def _pad_vertices(vertices):
+    """Pad the vertex count to its bucket with zero rows.
+
+    Required for compile sharing: the vertex array's SHAPE is part of
+    every jit cache key, so bucketing faces alone still recompiles per
+    scene. Padding vertices never referenced by a face only adds unused
+    projected lanes (vertex 0 exists in any non-empty mesh, and padding
+    faces reference it, not the pad rows).
+    """
+    v = int(vertices.shape[0])
+    target = _face_bucket(v)
+    if target == v or v == 0:
+        return vertices
+    pad = jnp.zeros((target - v, vertices.shape[1]), vertices.dtype)
+    return jnp.concatenate([vertices, pad], axis=0)
+
+
 class TrianglesRenderer:
-    """Whole-triangle primitive renderer (primitive index == triangle index)."""
+    """Whole-triangle primitive renderer (primitive index == triangle index).
+
+    bucket: pad the face count to a coarse bucket so similar-sized meshes
+    share jit compilations (None = SM_FACE_BUCKETS env; outputs are
+    bit-identical either way — padding faces are degenerate).
+    """
 
     def __init__(self, mesh: Ply, max_tris_per_tile: int = 256,
-                 backend: str | None = None, clip_near: bool = False):
+                 backend: str | None = None, clip_near: bool = False,
+                 bucket: bool | None = None):
         self.mesh = mesh
         self.clip_near = bool(clip_near)
         self.vertices = jnp.asarray(mesh.vertices, jnp.float32)
         self.faces = jnp.asarray(mesh.faces, jnp.int32)
+        self._num_faces = int(self.faces.shape[0])
+        if _bucket_enabled(bucket):
+            self.vertices = _pad_vertices(self.vertices)
+            self.faces, _ = _pad_faces(self.faces, self.vertices)
         # pre-expanded face-vertex positions: per-view setup becomes
         # gather-free (rasterize.xla.setup_from_face_vertices)
         self.face_vertices = self.vertices[self.faces]
@@ -92,7 +155,7 @@ class TrianglesRenderer:
         self.overflow_policy = _OverflowPolicy()
 
     def getPrimitivesNum(self) -> int:
-        return int(self.faces.shape[0])
+        return self._num_faces
 
     def render(self, camera: Camera):
         height, width = _camera_hw(camera)
@@ -236,7 +299,7 @@ class TexelsRenderer:
 
     def __init__(self, mesh: Ply, cameras, texels_per_pixel: float = 0.1,
                  max_tris_per_tile: int = 256, backend: str | None = None,
-                 clip_near: bool = False):
+                 clip_near: bool = False, bucket: bool | None = None):
         self.clip_near = bool(clip_near)
         self.backend = backend
         self.overflow_policy = _OverflowPolicy()
@@ -249,15 +312,25 @@ class TexelsRenderer:
         self.vertices = jnp.asarray(mesh.vertices, jnp.float32)
         self.max_tris_per_tile = int(max_tris_per_tile)
 
+        raw_faces = jnp.asarray(mesh.faces, jnp.int32)
+        self._num_faces = int(raw_faces.shape[0])
+        if _bucket_enabled(bucket):
+            # pad BEFORE the jitted setup programs so they are shared
+            # across similar-sized scenes too; padding faces get zero
+            # screen area -> resolution 0 -> zero texels, so the texel id
+            # space and all render outputs are unchanged
+            self.vertices = _pad_vertices(self.vertices)
+            raw_faces, _ = _pad_faces(raw_faces, self.vertices)
+
         res = _texel_resolutions(
-            self.vertices, jnp.asarray(mesh.faces, jnp.int32), cameras,
+            self.vertices, raw_faces, cameras,
             float(texels_per_pixel), clip_near=self.clip_near,
         )
         # Reorder face vertices so the most-right-angled vertex maps to
         # uv (0, 0) (ref: TexturedTriangleRenderer.h:129-146). Internal only:
         # unlike the reference we do not mutate the shared Ply's face array.
         self.faces = geometry.reorder_faces_for_texels(
-            self.vertices, jnp.asarray(mesh.faces, jnp.int32)
+            self.vertices, raw_faces
         )
         self.face_vertices = self.vertices[self.faces]
         self.resolutions = res  # (T,) int32
@@ -266,10 +339,10 @@ class TexelsRenderer:
         np.cumsum(counts, out=first[1:])
         self.first_texel_index = jnp.asarray(first[:-1], jnp.int32)
         self._primitive_num = int(first[-1])
-        num_without = int(np.sum(counts == 0))
+        num_without = int(np.sum(counts[: self._num_faces] == 0))
         logger.info(
             "Got %d triangles, %d texels and %d triangles without texels",
-            len(counts),
+            self._num_faces,
             self._primitive_num,
             num_without,
         )
