@@ -76,18 +76,24 @@ class _OverflowPolicy:
             )
 
 
+def _size_bucket(t: int, floor: int) -> int:
+    """Round a count up to a coarse bucket (<= ~25% padding, 8 buckets per
+    power of two) so similar sizes share jit compilations."""
+    if t <= floor:
+        return floor
+    step = 1 << max(t.bit_length() - 3, 8)
+    return -(-t // step) * step
+
+
 def _face_bucket(t: int) -> int:
-    """Round a face count up to a coarse bucket (<= ~25% padding).
+    """Face/vertex-count bucket.
 
     Meshes of similar size then share every face-count-specialized jit
     compilation — a multi-scene eval loop would otherwise recompile each
     program per scene (compiles through a tunneled compile service cost
-    ~30-130 s each). 8 buckets per power of two.
+    ~30-130 s each).
     """
-    if t <= 1024:
-        return 1024
-    step = 1 << max(t.bit_length() - 3, 8)
-    return -(-t // step) * step
+    return _size_bucket(t, 1024)
 
 
 def _bucket_enabled(bucket) -> bool:
@@ -196,7 +202,7 @@ class TrianglesRenderer:
 
 
 def _texel_resolutions(vertices, faces, cameras, texels_per_pixel,
-                       clip_near=False):
+                       clip_near=False, bucket=False):
     """Per-triangle texel grid resolution r = ceil(tpp * sqrt(max screen area)).
 
     Vectorized equivalent of the reference's host OpenMP loop over
@@ -214,6 +220,23 @@ def _texel_resolutions(vertices, faces, cameras, texels_per_pixel,
     """
     rot, trans, fl, pp = stack_cameras(cameras)
     resolutions = np.asarray([c.resolution for c in cameras], np.float32)  # (C,2)
+    if bucket:
+        # pad the camera COUNT to its bucket too (this program is also
+        # specialized on it). Dummy cameras have resolution (0, 0): their
+        # border box is empty, so they contribute zero area in both the
+        # reference and the clipped sizing rule.
+        c = len(cameras)
+        target = _size_bucket(c, 16)
+        if target != c:
+            n = target - c
+            rot = np.concatenate(
+                [rot, np.broadcast_to(np.eye(3, dtype=np.float32),
+                                      (n, 3, 3))], axis=0)
+            trans = np.concatenate([trans, np.zeros((n, 3), np.float32)])
+            fl = np.concatenate([fl, np.ones((n, 2), np.float32)])
+            pp = np.concatenate([pp, np.zeros((n, 2), np.float32)])
+            resolutions = np.concatenate(
+                [resolutions, np.zeros((n, 2), np.float32)])
     return _texel_resolutions_jit(
         vertices, faces, rot, trans, fl, pp, resolutions,
         texels_per_pixel=float(texels_per_pixel), clip_near=clip_near,
@@ -314,7 +337,8 @@ class TexelsRenderer:
 
         raw_faces = jnp.asarray(mesh.faces, jnp.int32)
         self._num_faces = int(raw_faces.shape[0])
-        if _bucket_enabled(bucket):
+        bucketed = _bucket_enabled(bucket)
+        if bucketed:
             # pad BEFORE the jitted setup programs so they are shared
             # across similar-sized scenes too; padding faces get zero
             # screen area -> resolution 0 -> zero texels, so the texel id
@@ -325,6 +349,7 @@ class TexelsRenderer:
         res = _texel_resolutions(
             self.vertices, raw_faces, cameras,
             float(texels_per_pixel), clip_near=self.clip_near,
+            bucket=bucketed,
         )
         # Reorder face vertices so the most-right-angled vertex maps to
         # uv (0, 0) (ref: TexturedTriangleRenderer.h:129-146). Internal only:

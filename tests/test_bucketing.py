@@ -106,3 +106,41 @@ class TestBucketedRenderParity:
         i1, d1 = r1.render_many(cams)
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
         np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+class TestCameraCountBucketing:
+    def test_resolutions_unchanged_by_dummy_cameras(self, scene):
+        """Padding the camera set with resolution-(0,0) dummies must not
+        change any triangle's texel resolution (dummies contribute zero
+        area under both sizing rules)."""
+        mesh, cams = scene
+        r0 = semantic_meshes.render.texels(mesh, cams, 1.5, bucket=False)
+        r1 = semantic_meshes.render.texels(mesh, cams, 1.5, bucket=True)
+        n = r0.resolutions.shape[0]
+        np.testing.assert_array_equal(
+            np.asarray(r0.resolutions), np.asarray(r1.resolutions)[:n]
+        )
+        assert r0.getPrimitivesNum() == r1.getPrimitivesNum()
+
+    def test_resolutions_unchanged_clip_near(self, scene):
+        mesh, cams = scene
+        r0 = semantic_meshes.render.texels(mesh, cams, 1.5, bucket=False,
+                                           clip_near=True)
+        r1 = semantic_meshes.render.texels(mesh, cams, 1.5, bucket=True,
+                                           clip_near=True)
+        n = r0.resolutions.shape[0]
+        np.testing.assert_array_equal(
+            np.asarray(r0.resolutions), np.asarray(r1.resolutions)[:n]
+        )
+
+    def test_setup_program_shared_across_camera_counts(self, scene):
+        from semantic_meshes.render import _texel_resolutions_jit
+        from semantic_meshes import testing as sm_testing
+
+        mesh, _ = scene
+        _texel_resolutions_jit._clear_cache()
+        for n in (3, 5, 9):
+            cams = sm_testing.make_ring_cameras(num_views=n, width=128,
+                                                height=96)
+            semantic_meshes.render.texels(mesh, cams, 1.5, bucket=True)
+        assert _texel_resolutions_jit._cache_size() == 1
