@@ -255,6 +255,63 @@ class TestCameraInsideScene:
             np.asarray(acc), np.asarray(agg.state), rtol=2e-5, atol=1e-5
         )
 
+    def test_sharded_clip_matches_single_chip(self, tmp_path):
+        """make_sharded_fuse(clip_near=True) on the virtual 8-device mesh
+        == single-chip fuse_views_texels(clip_near=True) on an indoor
+        (straddling) scene."""
+        import jax
+        from jax.sharding import Mesh
+        import semantic_meshes
+        from semantic_meshes import distributed, testing as sm_testing
+        from semantic_meshes.data import stack_cameras
+
+        devices = np.array(jax.devices())
+        if devices.size < 8:
+            pytest.skip("needs 8 devices (virtual cpu mesh)")
+        mesh_dev = Mesh(devices[:8].reshape(2, 4), ("views", "pixels"))
+
+        vertices, faces = testing.make_cube(2, size=4.0)
+        write_mesh(tmp_path / "room.ply", vertices, faces)
+        mesh = semantic_meshes.data.Ply(str(tmp_path / "room.ply"))
+
+        def cam_pose(eye, tgt):
+            rot, trans = geometry.look_at(eye, tgt, [0, 1, 0])
+            return semantic_meshes.data.Camera(
+                rot, trans, np.array([W, H]),
+                np.array([50.0, 50.0]), np.array([W / 2, H / 2]),
+            )
+
+        cams = [cam_pose([1.7, 0.0, 0.0], [1.7, 0.05, 1.0]),
+                cam_pose([0.0, -1.6, 0.0], [0.3, -1.55, 1.0])]
+        renderer = semantic_meshes.render.texels(
+            mesh, cams, 1.0, clip_near=True
+        )
+        P = renderer.getPrimitivesNum()
+        rng = np.random.default_rng(7)
+        probs = np.stack(
+            [sm_testing.random_probs(rng, H, W, 3) for _ in cams]
+        )
+        rot, trans, fl, pp = stack_cameras(cams)
+        ref = np.asarray(distributed.fuse_views_texels(
+            renderer.vertices, renderer.faces, renderer.resolutions,
+            renderer.first_texel_index, rot, trans, fl, pp, probs,
+            np.float32(0.5), num_primitives=P, aggregator="sum",
+            height=H, width=W, clip_near=True,
+        ))
+        fuse = distributed.make_sharded_fuse(
+            mesh_dev, num_primitives=P, aggregator="sum",
+            height=H, width=W,
+            texel_params=(renderer.resolutions,
+                          renderer.first_texel_index),
+            clip_near=True,
+        )
+        with mesh_dev:
+            got = np.asarray(fuse(
+                renderer.vertices, renderer.faces, rot, trans, fl, pp,
+                probs, np.float32(0.5),
+            ))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
     def test_fuse_views_texels_clip_matches_sequential(self, tmp_path):
         import semantic_meshes
         from semantic_meshes import distributed, testing as sm_testing
