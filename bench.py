@@ -59,6 +59,24 @@ def main():
         (vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5))
     )
 
+    # adaptive dense candidate budget (same probe the renderers run
+    # automatically): right-sizes the packed-table gather, which otherwise
+    # pays per row of the safe 3-rows-per-triangle default budget
+    from semantic_meshes import rasterize as rast
+
+    dense_e_cap = None
+    if rast.uses_dense(None, len(faces)):
+        import jax.numpy as jnp
+
+        counts = [
+            int(rast.dense_candidate_count(
+                vertices, faces, rot[i], trans[i], fl[i], pp[i],
+                height=height, width=width,
+            ))
+            for i in range(n_views)
+        ]
+        dense_e_cap = 2 * max(max(counts), 1)
+
     def run():
         acc = distributed.fuse_views(
             *dev_args,
@@ -66,6 +84,7 @@ def main():
             aggregator="sum",
             height=height,
             width=width,
+            dense_e_cap=dense_e_cap,
         )
         acc.block_until_ready()
         # A tiny device->host readback guarantees execution actually finished
@@ -84,6 +103,7 @@ def main():
             aggregator="sum",
             height=height,
             width=width,
+            dense_e_cap=dense_e_cap,
         )
 
     t0 = time.perf_counter()

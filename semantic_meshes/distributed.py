@@ -100,7 +100,8 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
                           images_equal_weight, *, num_primitives, aggregator,
                           height, width, max_tris_per_tile=256,
                           prim_transform=None, axis_name=None, y_offset=None,
-                          face_vertices=None, clip_near=False):
+                          face_vertices=None, clip_near=False,
+                          dense_e_cap=None):
     """One fused render+aggregate step (stays entirely in HBM).
 
     camera_arrays: (rotation, translation, focal_lengths, principal_point).
@@ -114,6 +115,7 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         y_offset=0 if y_offset is None else y_offset,
         face_vertices=face_vertices, clip_near=clip_near,
+        dense_e_cap=dense_e_cap,
     )
     if prim_transform is None:
         prim = jnp.where(tri >= 0, tri, num_primitives).astype(jnp.int32)
@@ -129,13 +131,13 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
     jax.jit,
     static_argnames=(
         "num_primitives", "aggregator", "height", "width",
-        "max_tris_per_tile", "clip_near"
+        "max_tris_per_tile", "clip_near", "dense_e_cap"
     ),
 )
 def fuse_views(vertices, faces, rotations, translations, focal_lengths,
                principal_points, probs, images_equal_weight, weights=None, *,
                num_primitives, aggregator, height, width,
-               max_tris_per_tile=256, clip_near=False):
+               max_tris_per_tile=256, clip_near=False, dense_e_cap=None):
     """Single-chip batched pipeline: scan render+fuse over N views.
 
     rotations (N,3,3), translations (N,3), focal_lengths/principal_points
@@ -155,6 +157,7 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
             num_primitives=num_primitives, aggregator=aggregator,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
             face_vertices=face_vertices, clip_near=clip_near,
+            dense_e_cap=dense_e_cap,
         )
         return acc, None
 
@@ -171,7 +174,7 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     jax.jit,
     static_argnames=(
         "num_primitives", "aggregator", "height", "width",
-        "max_tris_per_tile", "clip_near"
+        "max_tris_per_tile", "clip_near", "dense_e_cap"
     ),
 )
 def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
@@ -179,7 +182,8 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
                       principal_points, probs, images_equal_weight,
                       weights=None, *,
                       num_primitives, aggregator, height, width,
-                      max_tris_per_tile=256, clip_near=False):
+                      max_tris_per_tile=256, clip_near=False,
+                      dense_e_cap=None):
     """Batched texel-mode pipeline: like fuse_views, but primitives are the
     sub-triangle texels of a TexelsRenderer (pass its reordered `faces`,
     `resolutions` and `first_texel_index`)."""
@@ -208,6 +212,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
             prim_transform=prim_transform_factory(rot, trans, fl, pp),
             face_vertices=face_vertices, clip_near=clip_near,
+            dense_e_cap=dense_e_cap,
         )
         return acc, None
 
@@ -223,7 +228,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
 def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                       width, max_tris_per_tile=256,
                       shard_primitives=False, texel_params=None,
-                      clip_near=False):
+                      clip_near=False, dense_e_cap=None):
     """Build a pjit-able multi-chip fuse step over `mesh`.
 
     Mesh axes used (any subset may have size 1):
@@ -302,6 +307,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                 axis_name="pixels", y_offset=row0,
                 face_vertices=face_vertices,
                 prim_transform=prim_transform, clip_near=clip_near,
+                dense_e_cap=dense_e_cap,
             )
             return acc, None
 

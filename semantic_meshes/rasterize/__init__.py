@@ -46,11 +46,26 @@ def get(backend=None, num_tris=None):
 
 def rasterize(vertices, faces, *args, backend=None, **kwargs):
     mod = get(backend, num_tris=faces.shape[0])
+    dense_e_cap = kwargs.pop("dense_e_cap", None)
     if mod is not xla:
         # xla-only tuning knob; pallas paths have their own caps
         if mod.__name__.endswith("dense"):
             kwargs.pop("max_tris_per_tile", None)
+            if dense_e_cap is not None:
+                kwargs["e_cap_rows"] = int(dense_e_cap)
     return mod.rasterize(vertices, faces, *args, **kwargs)
+
+
+def uses_dense(backend=None, num_tris=None):
+    """True when dispatch would pick the dense backend (the renderers use
+    this to decide whether the e_cap probe is worth a one-time sync)."""
+    return (backend or default_backend(num_tris)) == "dense"
+
+
+def dense_candidate_count(*args, **kwargs):
+    from . import dense
+
+    return dense.candidate_count(*args, **kwargs)
 
 
 # shared helpers / contract constants re-exported

@@ -50,17 +50,11 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _build_sorted_bins(setup, height, width, y_offset, e_cap):
-    """Returns (tri_sorted (e_cap + CHUNK,), starts (B + 2,), overflow, micro).
-
-    starts indexes the sorted pair array: tile b's candidates are
-    [starts[b], starts[b+1]); the global (big-triangle) bucket is
-    [starts[B], starts[B+1]).
-    """
-    T = setup["denom"].shape[0]
+def _classify(setup, height, width, y_offset):
+    """Shared span/micro/big triangle classification for binning and for
+    the closed-form candidate count probe."""
     nby = _cdiv(height, TILE_H)
     nbx = _cdiv(width, TILE_W)
-    B = nby * nbx
 
     ymin = setup["ymin"] - y_offset
     ymax = setup["ymax"] - y_offset
@@ -83,6 +77,39 @@ def _build_sorted_bins(setup, height, width, y_offset, e_cap):
     micro = valid & _is_micro(setup, y_offset)
     small = valid & ~micro & (span_h <= 2) & (span_w <= 2)
     big = valid & ~micro & ~small
+    return micro, small, big, bx0, by0, span_h, span_w
+
+
+def count_pairs(setup, height, width, y_offset):
+    """Exact (tile, triangle) pair count the dense binning will produce —
+    closed form, no sort. The right-sizing probe for `e_cap_rows`: the
+    packed-table gather costs per ROW of the static e_cap budget, and on
+    micro-heavy meshes the default 3-rows-per-triangle budget is almost
+    entirely sentinel padding (100% at a 2M-triangle bench view)."""
+    micro, small, big, _, _, span_h, span_w = _classify(
+        setup, height, width, y_offset
+    )
+    span_pairs = jnp.where(small, span_h * span_w, 0)
+    return (jnp.sum(span_pairs) + jnp.sum(big.astype(jnp.int32))).astype(
+        jnp.int32
+    )
+
+
+def _build_sorted_bins(setup, height, width, y_offset, e_cap):
+    """Returns (tri_sorted (e_cap + CHUNK,), starts (B + 2,), overflow, micro).
+
+    starts indexes the sorted pair array: tile b's candidates are
+    [starts[b], starts[b+1]); the global (big-triangle) bucket is
+    [starts[B], starts[B+1]).
+    """
+    T = setup["denom"].shape[0]
+    nby = _cdiv(height, TILE_H)
+    nbx = _cdiv(width, TILE_W)
+    B = nby * nbx
+
+    micro, small, big, bx0, by0, span_h, span_w = _classify(
+        setup, height, width, y_offset
+    )
 
     # pair expansion: slots 0..3 -> span cells (small tris); slot 4 -> the
     # shared global bucket (big tris); everything else -> sentinel B+1
@@ -317,7 +344,7 @@ def _make_dense_kernel(nbx, n_b, n_global):
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "n_global", "e_cap_factor",
-                     "clip_near"),
+                     "clip_near", "e_cap_rows"),
 )
 def rasterize(
     vertices,
@@ -334,8 +361,15 @@ def rasterize(
     n_global=1024,
     e_cap_factor=3,
     clip_near=False,
+    e_cap_rows=None,
 ):
-    """Dense-mesh drop-in for rasterize.xla.rasterize (no per-tile cap)."""
+    """Dense-mesh drop-in for rasterize.xla.rasterize (no per-tile cap).
+
+    e_cap_rows: static override of the candidate budget (rounded up to a
+    CHUNK multiple). Default is e_cap_factor rows per triangle — safe but
+    wasteful on micro-heavy meshes where the packed-table gather pays per
+    budget row; probe the exact need with `candidate_count` (the
+    renderers do this automatically once per resolution)."""
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     y_offset = jnp.asarray(y_offset, jnp.float32)
@@ -348,7 +382,10 @@ def rasterize(
     nby = _cdiv(height, TILE_H)
     nbx = _cdiv(width, TILE_W)
     B = nby * nbx
-    e_cap = _cdiv(max(int(e_cap_factor) * T, CHUNK), CHUNK) * CHUNK
+    if e_cap_rows is None:
+        e_cap = _cdiv(max(int(e_cap_factor) * T, CHUNK), CHUNK) * CHUNK
+    else:
+        e_cap = _cdiv(max(int(e_cap_rows), CHUNK), CHUNK) * CHUNK
 
     tri_sorted, starts, overflow, micro = _build_sorted_bins(
         setup, height, width, y_offset, e_cap
@@ -412,3 +449,25 @@ def rasterize(
     if clip_near:  # piece id -> original triangle id
         iimg = jnp.where(iimg >= 0, iimg >> 1, -1)
     return iimg, zimg, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "clip_near")
+)
+def candidate_count(vertices, faces, rotation, translation, focal_lengths,
+                    principal_point, y_offset=0, face_vertices=None, *,
+                    height, width, clip_near=False):
+    """Exact dense-path candidate count for one view (device scalar).
+
+    One cheap elementwise pass (no sort). Use it to right-size
+    `rasterize(..., e_cap_rows=...)`: at a 2M-triangle 1024x768 bench
+    view every triangle is micro, the true count is 0, and the default
+    budget gathers 6M sentinel rows (~160 ms) for nothing.
+    """
+    setup = xla_rast._make_setup(
+        jnp.asarray(vertices, jnp.float32), jnp.asarray(faces, jnp.int32),
+        rotation, translation, focal_lengths, principal_point,
+        face_vertices, clip_near,
+    )
+    return count_pairs(setup, height, width,
+                       jnp.asarray(y_offset, jnp.float32))

@@ -76,6 +76,33 @@ class _OverflowPolicy:
             )
 
 
+class _DenseCapPolicy:
+    """Right-sizes the dense rasterizer's candidate budget per resolution.
+
+    The dense path's dominant cost on micro-heavy meshes is the packed
+    candidate-table gather, which pays per row of the STATIC e_cap budget
+    (default 3 rows/triangle) — ~160 ms of sentinel rows at a 2M-triangle
+    1024x768 view where the true candidate count is 0. Probe the exact
+    count once per resolution (closed form, no sort — one ~25 ms sync,
+    the same pattern as _OverflowPolicy) and specialize with a 2x margin.
+    render_many probes the max over the whole batch (an exact bound); for
+    single renders, later views that exceed 2x the probe frame's count
+    spill to the overflow counter like any other budget breach.
+    """
+
+    MARGIN = 2
+
+    def __init__(self):
+        self._cap = {}  # (H, W) -> int rows
+
+    def lookup(self, key, probe):
+        """probe() -> exact count for a representative view (syncs)."""
+        if key not in self._cap:
+            count = int(probe())
+            self._cap[key] = self.MARGIN * max(count, 1)
+        return self._cap[key]
+
+
 def _size_bucket(t: int, floor: int) -> int:
     """Round a count up to a coarse bucket (<= ~25% padding, 8 buckets per
     power of two) so similar sizes share jit compilations."""
@@ -159,12 +186,38 @@ class TrianglesRenderer:
         self.max_tris_per_tile = int(max_tris_per_tile)
         self.backend = backend  # None = auto (xla/pallas/dense by size)
         self.overflow_policy = _OverflowPolicy()
+        self.dense_cap_policy = _DenseCapPolicy()
 
     def getPrimitivesNum(self) -> int:
         return self._num_faces
 
+    def _dense_e_cap(self, height, width, rot, trans, fl, pp):
+        """Adaptive candidate budget for the dense backend (None elsewhere
+        or before the policy is consulted). rot..pp may be batched (N, ...)
+        — the probe then takes the max over the batch."""
+        if not rast.uses_dense(self.backend, int(self.faces.shape[0])):
+            return None
+        rot = jnp.asarray(rot, jnp.float32)
+        trans = jnp.asarray(trans, jnp.float32)
+        fl = jnp.asarray(fl, jnp.float32)
+        pp = jnp.asarray(pp, jnp.float32)
+        if rot.ndim == 2:  # single camera -> batch of one
+            rot, trans, fl, pp = rot[None], trans[None], fl[None], pp[None]
+        return self.dense_cap_policy.lookup(
+            (height, width),
+            lambda: _dense_count_probe(
+                self.vertices, self.faces, self.face_vertices,
+                rot, trans, fl, pp,
+                height=height, width=width, clip_near=self.clip_near,
+            ),
+        )
+
     def render(self, camera: Camera):
         height, width = _camera_hw(camera)
+        dense_e_cap = self._dense_e_cap(
+            height, width, camera.rotation, camera.translation,
+            camera.focal_lengths, camera.principal_point,
+        )
         indices, depth, overflow = _render_triangles_jit(
             self.vertices, self.faces, self.face_vertices,
             camera.rotation, camera.translation, camera.focal_lengths,
@@ -172,6 +225,7 @@ class TrianglesRenderer:
             height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
             backend=self.backend, clip_near=self.clip_near,
+            dense_e_cap=dense_e_cap,
         )
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile
@@ -189,16 +243,37 @@ class TrianglesRenderer:
         if any(_camera_hw(c) != (height, width) for c in cams):
             raise ValueError("render_many needs equal camera resolutions")
         rot, trans, fl, pp = stack_cameras(cams)
+        dense_e_cap = self._dense_e_cap(height, width, rot, trans, fl, pp)
         tri, depth = _render_scan(
             self.vertices, self.faces, self.face_vertices, rot, trans, fl,
             pp, height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
             backend=self.backend, clip_near=self.clip_near,
+            dense_e_cap=dense_e_cap,
         )
         return (
             tri.astype(jnp.uint32).transpose(0, 2, 1),
             depth.transpose(0, 2, 1),
         )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "clip_near")
+)
+def _dense_count_probe(vertices, faces, face_vertices, rot, trans, fl, pp,
+                       *, height, width, clip_near):
+    """Max dense-path candidate count over a camera batch (device scalar).
+    O(T) per camera, no sort — the _DenseCapPolicy probe."""
+    def step(m, cam):
+        r, t, f, p = cam
+        c = rast.dense_candidate_count(
+            vertices, faces, r, t, f, p, face_vertices=face_vertices,
+            height=height, width=width, clip_near=clip_near,
+        )
+        return jnp.maximum(m, c), None
+
+    m, _ = jax.lax.scan(step, jnp.int32(0), (rot, trans, fl, pp))
+    return m
 
 
 def _texel_resolutions(vertices, faces, cameras, texels_per_pixel,
@@ -326,6 +401,7 @@ class TexelsRenderer:
         self.clip_near = bool(clip_near)
         self.backend = backend
         self.overflow_policy = _OverflowPolicy()
+        self.dense_cap_policy = _DenseCapPolicy()
         if isinstance(cameras, Colmap):
             cameras = cameras.getCameras()
         cameras = list(cameras)
@@ -375,8 +451,16 @@ class TexelsRenderer:
     def getPrimitivesNum(self) -> int:
         return self._primitive_num
 
+    # identical attribute contract (vertices/faces/face_vertices/backend/
+    # clip_near/dense_cap_policy) -> share the adaptive-budget helper
+    _dense_e_cap = TrianglesRenderer._dense_e_cap
+
     def render(self, camera: Camera):
         height, width = _camera_hw(camera)
+        dense_e_cap = self._dense_e_cap(
+            height, width, camera.rotation, camera.translation,
+            camera.focal_lengths, camera.principal_point,
+        )
         indices, depth, overflow = _render_texels_jit(
             self.vertices, self.faces, self.face_vertices,
             self.resolutions, self.first_texel_index,
@@ -385,7 +469,7 @@ class TexelsRenderer:
             height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
             backend=self.backend, num_primitives=self._primitive_num,
-            clip_near=self.clip_near,
+            clip_near=self.clip_near, dense_e_cap=dense_e_cap,
         )
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile
@@ -400,13 +484,14 @@ class TexelsRenderer:
         if any(_camera_hw(c) != (height, width) for c in cams):
             raise ValueError("render_many needs equal camera resolutions")
         rot, trans, fl, pp = stack_cameras(cams)
+        dense_e_cap = self._dense_e_cap(height, width, rot, trans, fl, pp)
         idx, depth = _render_texels_scan(
             self.vertices, self.faces, self.face_vertices,
             self.resolutions, self.first_texel_index, rot, trans, fl, pp,
             height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
             num_primitives=self._primitive_num, backend=self.backend,
-            clip_near=self.clip_near,
+            clip_near=self.clip_near, dense_e_cap=dense_e_cap,
         )
         return idx, depth
 
@@ -538,11 +623,11 @@ def _texel_indices(vertices, faces, rotation, translation, focal_lengths,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_tris_per_tile", "backend",
-                     "clip_near"),
+                     "clip_near", "dense_e_cap"),
 )
 def _render_triangles_jit(vertices, faces, face_vertices, rot, trans, fl,
                           pp, *, height, width, max_tris_per_tile, backend,
-                          clip_near=False):
+                          clip_near=False, dense_e_cap=None):
     """Whole triangle-mode render in ONE compiled program (rasterize +
     uint32 cast + (W, H) transpose): a single dispatch per frame instead of
     several, which matters when dispatch rides a tunneled transport."""
@@ -550,7 +635,7 @@ def _render_triangles_jit(vertices, faces, face_vertices, rot, trans, fl,
         vertices, faces, rot, trans, fl, pp,
         face_vertices=face_vertices, backend=backend,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
-        clip_near=clip_near,
+        clip_near=clip_near, dense_e_cap=dense_e_cap,
     )
     return tri.astype(jnp.uint32).T, depth.T, overflow
 
@@ -558,19 +643,19 @@ def _render_triangles_jit(vertices, faces, face_vertices, rot, trans, fl,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_tris_per_tile", "backend",
-                     "num_primitives", "clip_near"),
+                     "num_primitives", "clip_near", "dense_e_cap"),
 )
 def _render_texels_jit(vertices, faces, face_vertices, resolutions,
                        first_texel_index, rot, trans, fl, pp, *, height,
                        width, max_tris_per_tile, backend, num_primitives,
-                       clip_near=False):
+                       clip_near=False, dense_e_cap=None):
     """Texel-mode render (rasterize + barycentric texel shader + transpose)
     as one compiled program."""
     tri, depth, overflow = rast.rasterize(
         vertices, faces, rot, trans, fl, pp,
         face_vertices=face_vertices, backend=backend,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
-        clip_near=clip_near,
+        clip_near=clip_near, dense_e_cap=dense_e_cap,
     )
     indices = _texel_indices(
         vertices, faces, rot, trans, fl, pp, tri, resolutions,
@@ -582,12 +667,13 @@ def _render_texels_jit(vertices, faces, face_vertices, resolutions,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_tris_per_tile",
-                     "num_primitives", "backend", "clip_near"),
+                     "num_primitives", "backend", "clip_near",
+                     "dense_e_cap"),
 )
 def _render_texels_scan(vertices, faces, face_vertices, resolutions,
                         first_texel_index, rot, trans, fl, pp, *, height,
                         width, max_tris_per_tile, num_primitives,
-                        backend=None, clip_near=False):
+                        backend=None, clip_near=False, dense_e_cap=None):
     def step(_, cam):
         r, t, f, p = cam
         idx, depth, _ov = _render_texels_jit(
@@ -595,6 +681,7 @@ def _render_texels_scan(vertices, faces, face_vertices, resolutions,
             r, t, f, p, height=height, width=width,
             max_tris_per_tile=max_tris_per_tile, backend=backend,
             num_primitives=num_primitives, clip_near=clip_near,
+            dense_e_cap=dense_e_cap,
         )
         return None, (idx, depth)
 
@@ -605,16 +692,16 @@ def _render_texels_scan(vertices, faces, face_vertices, resolutions,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_tris_per_tile", "backend",
-                     "clip_near"),
+                     "clip_near", "dense_e_cap"),
 )
 def _render_scan(vertices, faces, face_vertices, rot, trans, fl, pp, *,
                  height, width, max_tris_per_tile, backend=None,
-                 clip_near=False):
+                 clip_near=False, dense_e_cap=None):
     def step(_, cam):
         r, t, f, p = cam
         tri, depth, _ov = rast.rasterize(
             vertices, faces, r, t, f, p, face_vertices=face_vertices,
-            backend=backend, clip_near=clip_near,
+            backend=backend, clip_near=clip_near, dense_e_cap=dense_e_cap,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         )
         return None, (tri, depth)

@@ -135,3 +135,103 @@ class TestMicroClassification:
         )
         micro = np.asarray(dense._is_micro(setup, jnp.float32(0)))
         assert micro[0] and not micro[1]
+
+
+class TestAdaptiveCandidateBudget:
+    def _scene(self, seed=0, t=400):
+        rng = np.random.default_rng(seed)
+        vertices = rng.normal(size=(t, 3)).astype(np.float32) * 0.5
+        vertices[:, 2] += 4.0
+        faces = rng.integers(0, t, size=(t, 3)).astype(np.int32)
+        cam = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+               np.array([80.0, 80.0], np.float32),
+               np.array([64.0, 32.0], np.float32))
+        return vertices, faces, cam
+
+    def test_candidate_count_matches_binning(self):
+        """Closed-form count == the sort-based binning's total_pairs."""
+        import jax.numpy as jnp
+        from semantic_meshes.rasterize import xla as xr
+
+        vertices, faces, cam = self._scene()
+        H, W = 64, 256
+        count = int(dense.candidate_count(
+            vertices, faces, *cam, height=H, width=W
+        ))
+        setup = xr._make_setup(
+            jnp.asarray(vertices), jnp.asarray(faces, jnp.int32), *cam,
+            None, False,
+        )
+        e_cap = dense._cdiv(max(3 * len(faces), dense.CHUNK),
+                            dense.CHUNK) * dense.CHUNK
+        _, starts, overflow, _ = dense._build_sorted_bins(
+            setup, H, W, jnp.float32(0), e_cap
+        )
+        B = starts.shape[0] - 2
+        assert int(overflow) == 0
+        assert count == int(starts[B + 1])
+
+    def test_tight_budget_bit_identical(self):
+        """rasterize with e_cap_rows == exact count matches the default
+        budget bit-for-bit."""
+        vertices, faces, cam = self._scene(seed=3)
+        H, W = 64, 256
+        count = int(dense.candidate_count(
+            vertices, faces, *cam, height=H, width=W
+        ))
+        a = dense.rasterize(vertices, faces, *cam, height=H, width=W)
+        b = dense.rasterize(vertices, faces, *cam, height=H, width=W,
+                            e_cap_rows=count)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        fin = np.isfinite(np.asarray(a[1]))
+        np.testing.assert_array_equal(np.asarray(a[1])[fin],
+                                      np.asarray(b[1])[fin])
+        assert int(b[2]) == 0  # exact budget: nothing dropped
+
+    def test_undersized_budget_counts_overflow(self):
+        vertices, faces, cam = self._scene(seed=4)
+        H, W = 64, 256
+        count = int(dense.candidate_count(
+            vertices, faces, *cam, height=H, width=W
+        ))
+        if count <= dense.CHUNK:
+            pytest.skip("scene too small to undershoot the CHUNK floor")
+        _, _, ov = dense.rasterize(vertices, faces, *cam, height=H, width=W,
+                                   e_cap_rows=1)  # rounds up to CHUNK
+        assert int(ov) == count - dense.CHUNK
+
+    def test_renderer_policy_probes_once(self, tmp_path, monkeypatch):
+        """With the dense backend forced, the renderer probes the exact
+        count once per resolution and renders bit-identically."""
+        import semantic_meshes
+        from semantic_meshes import testing as sm_testing
+        from semantic_meshes.io.ply import write_mesh
+
+        monkeypatch.setenv("SM_RASTERIZER", "dense")
+        import importlib
+        import semantic_meshes.rasterize as rmod
+
+        vertices, faces = sm_testing.make_cube(subdivisions=6)
+        write_mesh(tmp_path / "c.ply", vertices, faces)
+        mesh = semantic_meshes.data.Ply(str(tmp_path / "c.ply"))
+        cams = sm_testing.make_ring_cameras(num_views=2, width=256,
+                                            height=128)
+        r = semantic_meshes.render.triangles(mesh, backend="dense")
+        i0, d0 = r.render(cams[0])
+        key = (128, 256)
+        assert key in r.dense_cap_policy._cap
+        cap = r.dense_cap_policy._cap[key]
+        assert cap >= 2  # 2x margin over >= 1
+        # second render at the same resolution reuses the cached cap
+        r.render(cams[1])
+        assert r.dense_cap_policy._cap[key] == cap
+        # parity with the default budget
+        r2 = semantic_meshes.render.triangles(mesh, backend="dense")
+        r2.dense_cap_policy._cap[key] = None  # force default budget
+        monkeypatch.setattr(
+            type(r2.dense_cap_policy), "lookup",
+            lambda self, k, probe: None,
+        )
+        i1, d1 = r2.render(cams[0])
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
