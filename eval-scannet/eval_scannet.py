@@ -67,6 +67,20 @@ parser.add_argument("--probs_dir", type=str, default=None,
 parser.add_argument("--max_frames", type=int, default=None)
 parser.add_argument("--timings", action="store_true",
                     help="Print per-phase wall-clock timings at the end")
+parser.add_argument("--checkpoint", type=str, default=None,
+                    help="Directory for mid-run checkpoints: per-scene "
+                    "aggregator state + global metric state. Re-running "
+                    "with the same directory resumes exactly where an "
+                    "interrupted run stopped")
+parser.add_argument("--checkpoint_every", type=int, default=500,
+                    help="Checkpoint cadence in fused frames (0 = only at "
+                    "scene boundaries). One checkpoint dir holds one "
+                    "parametrization; a mismatched manifest starts fresh")
+parser.add_argument("--crash_after", type=int, default=None,
+                    help="(testing) abort the process after fusing N frames")
+parser.add_argument("--compile_cache", type=str, default=None,
+                    help="Persistent XLA compilation cache directory "
+                    "(SM_COMPILE_CACHE env equivalent)")
 parser.add_argument("--no_face_buckets", action="store_true",
                     help="Disable face-count bucketing (bucketing pads "
                     "each mesh to a coarse size bucket so similar scenes "
@@ -75,6 +89,12 @@ parser.add_argument("--clip_near", action="store_true",
                     help="Near-plane clip instead of culling triangles that "
                     "cross z=0 (recommended for indoor scenes)")
 args = parser.parse_args()
+
+if args.compile_cache:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import yaml  # noqa: E402
 import imageio.v2 as imageio  # noqa: E402
@@ -244,9 +264,82 @@ vertex_metrics = metric_group("error")
 image_metrics_network = metric_group("forbidden")
 image_metrics_fused = metric_group("error")
 
+# ------------------------------------------------------------- checkpoints
+# True mid-run resume (beyond the reference's render cache + YAML skip):
+# per-scene aggregator snapshots (semantic_meshes.checkpoint) plus a global
+# manifest with the three metric groups' confusion matrices and the frame
+# cursor. The aggregator file is written BEFORE the manifest, and the frame
+# loop skips fusion and metrics by their OWN cursors, so a crash between
+# the two writes never double-counts either.
+import json  # noqa: E402
+
+_manifest_path = (
+    os.path.join(args.checkpoint, "manifest.npz") if args.checkpoint else None
+)
+_fused_frames_total = 0
+
+
+def _agg_ckpt_path(scene_name):
+    return os.path.join(args.checkpoint, f"agg-{scene_name}.npz")
+
+
+def _save_manifest(scenes_done, current_scene, frames_done):
+    meta = dict(
+        scenes_done=sorted(scenes_done),
+        current_scene=current_scene,
+        frames_done=int(frames_done),
+        params=result["params"],
+    )
+    tmp = _manifest_path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(
+            f,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            vertex_cm=np.asarray(vertex_metrics[0].full_matrix),
+            network_cm=np.asarray(image_metrics_network[0].full_matrix),
+            fused_cm=np.asarray(image_metrics_fused[0].full_matrix),
+        )
+    os.replace(tmp, _manifest_path)
+
+
+def _load_manifest():
+    if _manifest_path is None or not os.path.isfile(_manifest_path):
+        return None
+    data = np.load(_manifest_path)
+    meta = json.loads(bytes(data["meta"].tobytes()).decode())
+    if meta.get("params") != result["params"]:
+        print("Checkpoint manifest is for a different parametrization; "
+              "starting fresh")
+        return None
+    import jax.numpy as _jnp
+
+    for group, key in ((vertex_metrics, "vertex_cm"),
+                       (image_metrics_network, "network_cm"),
+                       (image_metrics_fused, "fused_cm")):
+        for m in group:
+            m._cm = _jnp.asarray(data[key])
+    return meta
+
+
+_scenes_done = set()
+_resume_scene, _resume_frames = None, 0
+if args.checkpoint:
+    os.makedirs(args.checkpoint, exist_ok=True)
+    _manifest = _load_manifest()
+    if _manifest is not None:
+        _scenes_done = set(_manifest["scenes_done"])
+        _resume_scene = _manifest["current_scene"]
+        _resume_frames = _manifest["frames_done"]
+        print(f"Resuming: {len(_scenes_done)} scene(s) done"
+              + (f", {_resume_frames} frames into {_resume_scene}"
+                 if _resume_scene else ""))
+
 # ---------------------------------------------------------------- main loop
 for scene_index, (scene, input_mesh_file) in enumerate(scenes):
     name = os.path.basename(scene)
+    if name in _scenes_done:
+        print(f"Scene {name} already fused (checkpoint); skipping")
+        continue
     sens = semantic_meshes.data2.SensFile(
         os.path.join(scene, name + ".sens"), max_frames=args.max_frames
     )
@@ -298,6 +391,21 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
         aggregator=args.aggregator,
         images_equal_weight=args.images_equal_weight,
     )
+    agg_done = 0
+    metrics_done = _resume_frames if name == _resume_scene else 0
+    if args.checkpoint and os.path.isfile(_agg_ckpt_path(name)):
+        from semantic_meshes.checkpoint import load_aggregator
+
+        _agg, agg_done, _ = load_aggregator(_agg_ckpt_path(name))
+        if _agg.primitives == aggregator.primitives:
+            aggregator = _agg
+            print(f"Restored aggregator for {name} at {agg_done} frames")
+        else:
+            agg_done = 0
+            print(f"Aggregator checkpoint for {name} has "
+                  f"{_agg.primitives} primitives, expected "
+                  f"{aggregator.primitives}; starting the scene fresh")
+            metrics_done = 0
     print(
         f"Loaded scene with {renderer.getPrimitivesNum()} mesh-primitives "
         f"and {len(sens.frames)} frames"
@@ -344,9 +452,13 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
 
     import jax.numpy as jnp
 
+    done_prefix = min(agg_done, metrics_done)
+    todo = frames[done_prefix:]
     with ThreadPoolExecutor(max_workers=4) as pool:
-        for (index, frame, cached, cache_file, color, depth, gt_labels,
-             probs) in tqdm(pool.map(load_frame, frames), total=len(frames)):
+        for fi, (index, frame, cached, cache_file, color, depth, gt_labels,
+                 probs) in tqdm(enumerate(pool.map(load_frame, todo),
+                                          start=done_prefix),
+                                total=len(todo)):
             # render (or reuse cached primitive image); the whole frame
             # pipeline stays on device — only labels/jpegs cross the host
             # boundary
@@ -368,14 +480,31 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
                     probs = predict_probs(color, depth, tuple(resolution))
                 probs = jnp.asarray(probs)
 
-            with timers.phase("metrics_network"):
-                for m in image_metrics_network:
-                    m.update_state_labels(gt_labels, probs)
+            if fi >= metrics_done:
+                with timers.phase("metrics_network"):
+                    for m in image_metrics_network:
+                        m.update_state_labels(gt_labels, probs)
 
-            with timers.phase("fuse"):
-                aggregator.add(
-                    primitive_indices_wh, jnp.transpose(probs, (1, 0, 2))
-                )
+            if fi >= agg_done:
+                with timers.phase("fuse"):
+                    aggregator.add(
+                        primitive_indices_wh, jnp.transpose(probs, (1, 0, 2))
+                    )
+                _fused_frames_total += 1
+
+            if (args.checkpoint and args.checkpoint_every > 0
+                    and (fi + 1) % args.checkpoint_every == 0):
+                from semantic_meshes.checkpoint import save_aggregator
+
+                save_aggregator(_agg_ckpt_path(name), aggregator,
+                                views_done=max(fi + 1, agg_done))
+                _save_manifest(_scenes_done, name,
+                               max(fi + 1, metrics_done))
+            if (args.crash_after is not None
+                    and _fused_frames_total >= args.crash_after):
+                print(f"(--crash_after) aborting after "
+                      f"{_fused_frames_total} fused frames")
+                sys.exit(3)
 
             if args.debug is not None and index % 100 == 0:
                 imageio.imwrite(
@@ -394,6 +523,15 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
                         np.asarray(probs).argmax(-1), class_to_color
                     ),
                 )
+
+    if args.checkpoint:
+        # frame loop complete: snapshot so a crash in the vertex/fused
+        # passes below resumes without redoing any frame
+        from semantic_meshes.checkpoint import save_aggregator
+
+        save_aggregator(_agg_ckpt_path(name), aggregator,
+                        views_done=len(frames))
+        _save_manifest(_scenes_done, name, len(frames))
 
     print("Computing primitive annotations...")
     pred_primitive_annotations = np.asarray(aggregator.get())
@@ -494,6 +632,15 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
                     pp.argmax(-1), class_to_color, pp.sum(-1) < 0.5,
                 ),
             )
+
+    if args.checkpoint:
+        # scene complete: its vertex/network/fused contributions are all in
+        # the metric groups now — commit them and retire the scene's
+        # aggregator snapshot
+        _scenes_done.add(name)
+        _save_manifest(_scenes_done, None, 0)
+        if os.path.isfile(_agg_ckpt_path(name)):
+            os.remove(_agg_ckpt_path(name))
 
     # per-scene report (ref: eval_scannet.py:322-326)
     row = [scene_index + 1]

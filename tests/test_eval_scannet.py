@@ -243,3 +243,72 @@ def test_eval_scannet_texels_mode(scannet_dir, tmp_path):
     assert result["metrics"]["image_fused"]["accuracy"] > 0.99
     # vertex metrics skipped in texels mode (reference parity)
     assert result["metrics"]["vertex"]["accuracy"] == 0.0
+
+
+def test_eval_checkpoint_resume(scannet_dir, tmp_path):
+    """Interrupting mid-fusion (--crash_after) and re-running with the same
+    --checkpoint dir must produce results identical to an uninterrupted
+    run: per-scene aggregator snapshots + the metric-state manifest resume
+    exactly, with no frame double-counted."""
+    import yaml
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+
+    def run(out, extra):
+        return subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "eval-scannet", "eval_scannet.py"),
+                "--scannet", str(scannet_dir),
+                "--model", "probs",
+                "--probs_dir", str(scannet_dir / "probs"),
+                "--aggregator", "sum",
+                "--output", str(out),
+            ] + extra,
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+
+    # uninterrupted reference over both scenes
+    ref_out = tmp_path / "ref"
+    proc = run(ref_out, [])
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    with open(ref_out / "run-1.yaml") as f:
+        ref = yaml.safe_load(f)
+
+    # interrupted run: crash after 3 fused frames (mid-scene-1), resume
+    ck = tmp_path / "ckpt"
+    out = tmp_path / "resumed"
+    proc = run(out, ["--checkpoint", str(ck), "--checkpoint_every", "2",
+                     "--crash_after", "3"])
+    assert proc.returncode == 3, proc.stdout + proc.stderr
+    assert (ck / "manifest.npz").is_file()
+    assert not (out / "run-1.yaml").exists()
+
+    # crash again later (inside scene 2)
+    proc = run(out, ["--checkpoint", str(ck), "--checkpoint_every", "2",
+                     "--crash_after", "2"])
+    assert proc.returncode == 3, proc.stdout + proc.stderr
+
+    # final resume to completion
+    proc = run(out, ["--checkpoint", str(ck), "--checkpoint_every", "2"])
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "Resuming" in proc.stdout
+    with open(out / "run-1.yaml") as f:
+        got = yaml.safe_load(f)
+
+    assert got["params"] == ref["params"]
+    for group in ("vertex", "image_network", "image_fused"):
+        for key in ("accuracy", "mean_iou"):
+            assert got["metrics"][group][key] == pytest.approx(
+                ref["metrics"][group][key], abs=1e-6
+            ), (group, key)
+        np.testing.assert_allclose(
+            np.asarray(got["metrics"][group]["confusion_matrix"]),
+            np.asarray(ref["metrics"][group]["confusion_matrix"]),
+            atol=1e-3,
+        )
+    # completed scenes retired their aggregator snapshots
+    assert not list(ck.glob("agg-*.npz"))
