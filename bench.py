@@ -66,8 +66,6 @@ def main():
 
     dense_e_cap = None
     if rast.uses_dense(None, len(faces)):
-        import jax.numpy as jnp
-
         counts = [
             int(rast.dense_candidate_count(
                 vertices, faces, rot[i], trans[i], fl[i], pp[i],

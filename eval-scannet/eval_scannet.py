@@ -17,7 +17,6 @@ ref lines 161-201).
 import argparse
 import os
 import sys
-import threading
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
 

@@ -8,7 +8,6 @@ skip-existing / skip-on-failure behaviors."""
 
 import io
 import os
-import sqlite3
 import stat
 import subprocess
 import sys

@@ -97,8 +97,6 @@ class TestDenseMatchesOracle:
         vertices, faces = testing.make_cube(5)
         cams = testing.make_ring_cameras(num_views=1, width=256, height=192)
         rot, trans, fl, pp = stack_cameras(cams)
-        import functools
-
         # e_cap_factor=3 default is plenty; shrink via monkeypatched CHUNK?
         # instead: request e_cap_factor=... not exposed below CHUNK, so use
         # a big face count vs tiny cap by calling with e_cap_factor... the
@@ -208,9 +206,6 @@ class TestAdaptiveCandidateBudget:
         from semantic_meshes.io.ply import write_mesh
 
         monkeypatch.setenv("SM_RASTERIZER", "dense")
-        import importlib
-        import semantic_meshes.rasterize as rmod
-
         vertices, faces = sm_testing.make_cube(subdivisions=6)
         write_mesh(tmp_path / "c.ply", vertices, faces)
         mesh = semantic_meshes.data.Ply(str(tmp_path / "c.ply"))

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import semantic_meshes
-from semantic_meshes import distributed, fusion, testing
+from semantic_meshes import distributed, testing
 from semantic_meshes.data import stack_cameras
 
 

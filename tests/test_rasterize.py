@@ -1,5 +1,4 @@
 import numpy as np
-import pytest
 
 from semantic_meshes import geometry
 from semantic_meshes.rasterize import xla as rast
