@@ -24,9 +24,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="default",
                         choices=["small", "default", "large", "dense",
-                                 "scannet"])
+                                 "scannet", "e2e"])
     parser.add_argument("--repeats", type=int, default=5)
     args = parser.parse_args()
+
+    if args.preset == "e2e":
+        return bench_e2e(args)
 
     presets = {
         # (subdivisions, views, width, height, classes)
@@ -127,6 +130,68 @@ def main():
                     "classes": classes,
                     "seconds_per_batch": round(dt, 5),
                     "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+def bench_e2e(args):
+    """End-to-end demo pipeline: texels render + UNet forward + fusion add
+    per image at Cityscapes scale — the reference README's headline
+    (~2 s/image on an RTX 6000 host install, ref README.md:91)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    import semantic_meshes
+    from semantic_meshes import testing
+    from semantic_meshes.io.ply import write_mesh
+    from semantic_meshes.models.segmentation import load_predictor
+
+    W, H, C = 2048, 1024, 19
+    tmp = tempfile.mkdtemp()
+    vertices, faces = testing.make_cube(subdivisions=64)  # 49k tris
+    write_mesh(tmp + "/m.ply", vertices, faces)
+    mesh = semantic_meshes.data.Ply(tmp + "/m.ply")
+    cams = testing.make_ring_cameras(num_views=4, width=W, height=H)
+    renderer = semantic_meshes.render.texels(mesh, cams, 0.1, bucket=True)
+    agg = semantic_meshes.fusion.MeshAggregator(
+        primitives=renderer.getPrimitivesNum(), classes=C, aggregator="sum"
+    )
+    predict = load_predictor(classes=C, input_hw=(H, W))
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (H, W, 3), np.uint8) for _ in cams]
+
+    def one_image(cam, img):
+        idx, _ = renderer.render(cam)
+        probs = predict(img)
+        agg.add(idx, jnp.transpose(probs, (1, 0, 2)))
+
+    one_image(cams[0], imgs[0])  # compile + warm
+    np.asarray(agg.get()[0])
+    agg.reset()
+    t0 = time.perf_counter()
+    for _ in range(args.repeats):
+        for cam, img in zip(cams, imgs):
+            one_image(cam, img)
+    np.asarray(agg.get()[0])  # single sync at the end
+    dt = (time.perf_counter() - t0) / (args.repeats * len(cams))
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_image_time",
+                "value": round(dt * 1e3, 1),
+                "unit": "ms/image",
+                # reference headline: ~2000 ms/image (README.md:91)
+                "vs_baseline": round(2000.0 / (dt * 1e3), 2),
+                "detail": {
+                    "preset": "e2e",
+                    "pipeline": "texels render + UNet(64..512) + fuse",
+                    "triangles": int(len(faces)),
+                    "texels": renderer.getPrimitivesNum(),
+                    "resolution": [W, H],
+                    "classes": C,
                 },
             }
         )
