@@ -50,6 +50,9 @@ parser.add_argument("--params", type=str, default=None,
                     help="msgpack checkpoint for the jax model")
 parser.add_argument("--aggregator", type=str, default="sum",
                     choices=["sum", "summax", "mul"])
+parser.add_argument("--clip_near", action="store_true",
+                    help="Near-plane clip instead of culling triangles that "
+                    "cross z=0 (for cameras inside the scene)")
 args = parser.parse_args()
 
 import imageio.v2 as imageio  # noqa: E402
@@ -103,7 +106,9 @@ predict = build_predictor()
 
 print("Creating mesh...")
 mesh = semantic_meshes.data.Ply(args.input_ply)
-renderer = semantic_meshes.render.triangles(mesh)
+renderer = semantic_meshes.render.triangles(
+    mesh, clip_near=args.clip_near
+)
 colmap_workspace = semantic_meshes.data.Colmap(args.colmap)
 aggregator = semantic_meshes.fusion.MeshAggregator(
     primitives=renderer.getPrimitivesNum(), classes=CLASSES,

@@ -39,6 +39,9 @@ parser.add_argument("--remap", action="store_true",
 parser.add_argument("--aggregator", type=str, default="sum",
                     choices=["sum", "summax", "mul"])
 parser.add_argument("--images_equal_weight", type=float, default=0.5)
+parser.add_argument("--clip_near", action="store_true",
+                    help="Near-plane clip instead of culling triangles that "
+                    "cross z=0 (for cameras inside the scene)")
 args = parser.parse_args()
 
 import imageio.v2 as imageio  # noqa: E402
@@ -57,7 +60,9 @@ if args.remap:
 print("Creating mesh...")
 mesh = semantic_meshes.data.Ply(args.input_ply)
 colmap_workspace = semantic_meshes.data.Colmap(args.colmap)
-renderer = semantic_meshes.render.triangles(mesh)
+renderer = semantic_meshes.render.triangles(
+    mesh, clip_near=args.clip_near
+)
 aggregator = semantic_meshes.fusion.MeshAggregator(
     primitives=renderer.getPrimitivesNum(),
     classes=args.classes,
