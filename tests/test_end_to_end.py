@@ -184,6 +184,8 @@ class TestShardedPipeline:
         from jax.sharding import Mesh
 
         devices = np.array(jax.devices())
+        if devices.size < 8:
+            pytest.skip("needs 8 devices (virtual cpu mesh)")
         mesh = Mesh(devices[:8].reshape(2, 4), ("views", "pixels"))
 
         vertices, faces, cams = cube_scene
