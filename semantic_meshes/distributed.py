@@ -228,7 +228,8 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
 def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                       width, max_tris_per_tile=256,
                       shard_primitives=False, texel_params=None,
-                      clip_near=False, dense_e_cap=None):
+                      clip_near=False, dense_e_cap=None,
+                      with_weights=False):
     """Build a pjit-able multi-chip fuse step over `mesh`.
 
     Mesh axes used (any subset may have size 1):
@@ -244,6 +245,11 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     texel_params: optional (resolutions, first_texel_index) from a
     TexelsRenderer — primitives become sub-triangle texels (pass the
     renderer's reordered faces as `faces`).
+
+    with_weights: when True the returned function takes a trailing per-pixel
+    weights array (N, H, W), sharded P('views', 'pixels') like probs —
+    API parity with the reference's 3-arg add
+    (ref: include/semantic_meshes/fusion/Mesh.h:66,103).
 
     Requires: N % mesh.shape['views'] == 0, H % mesh.shape['pixels'] == 0,
     and P % mesh.shape['pixels'] == 0 when shard_primitives.
@@ -261,28 +267,25 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
         )
 
     out_spec = P("pixels") if shard_primitives else P()
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            P(), P(),  # vertices, faces replicated
-            P("views"), P("views"), P("views"), P("views"),
-            P("views", "pixels"),  # probs: views x image rows
-            P(),
-        ),
-        out_specs=out_spec,
-        check_vma=False,
+    in_specs = (
+        P(), P(),  # vertices, faces replicated
+        P("views"), P("views"), P("views"), P("views"),
+        P("views", "pixels"),  # probs: views x image rows
+        P(),
     )
-    def fuse(vertices, faces, rotations, translations, focal_lengths,
-             principal_points, probs, images_equal_weight):
+    if with_weights:
+        in_specs = in_specs + (P("views", "pixels"),)
+
+    def fuse_impl(vertices, faces, rotations, translations, focal_lengths,
+                  principal_points, probs, images_equal_weight,
+                  weights=None):
         row0 = jax.lax.axis_index("pixels") * local_h
         face_vertices = jnp.asarray(vertices, jnp.float32)[
             jnp.asarray(faces, jnp.int32)
         ]
 
         def step(acc, view):
-            rot, trans, fl, pp, pr = view
+            rot, trans, fl, pp, pr, wt = view
             prim_transform = None
             if texel_params is not None:
                 resolutions, first_texel_index = texel_params
@@ -299,7 +302,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                     )
 
             acc = acc + render_and_accumulate(
-                vertices, faces, (rot, trans, fl, pp), pr, None,
+                vertices, faces, (rot, trans, fl, pp), pr, wt,
                 images_equal_weight,
                 num_primitives=num_primitives, aggregator=aggregator,
                 height=local_h, width=width,
@@ -314,7 +317,8 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
         acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
         acc, _ = jax.lax.scan(
             step, acc0,
-            (rotations, translations, focal_lengths, principal_points, probs),
+            (rotations, translations, focal_lengths, principal_points, probs,
+             weights),
         )
         # Merge: each view's delta was already merged across 'pixels' inside
         # _accumulate_view (counts need the full image), so acc is replicated
@@ -327,4 +331,22 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
             acc = jax.lax.dynamic_slice_in_dim(acc, k * block, block, axis=0)
         return acc
 
-    return fuse
+    if with_weights:
+        def fuse(vertices, faces, rotations, translations, focal_lengths,
+                 principal_points, probs, images_equal_weight, weights):
+            return fuse_impl(
+                vertices, faces, rotations, translations, focal_lengths,
+                principal_points, probs, images_equal_weight, weights,
+            )
+    else:
+        def fuse(vertices, faces, rotations, translations, focal_lengths,
+                 principal_points, probs, images_equal_weight):
+            return fuse_impl(
+                vertices, faces, rotations, translations, focal_lengths,
+                principal_points, probs, images_equal_weight,
+            )
+
+    return shard_map(
+        fuse, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+        check_vma=False,
+    )

@@ -179,6 +179,54 @@ class TestShardedPipeline:
             )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
+    def test_sharded_weighted_matches_single_chip(self, cube_scene):
+        """Per-pixel weights through the multi-chip path: API parity with
+        the reference's 3-arg add (ref: fusion/Mesh.h:66,103)."""
+        import jax
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices())
+        if devices.size < 8:
+            pytest.skip("needs 8 devices (virtual cpu mesh)")
+        mesh = Mesh(devices[:8].reshape(4, 2), ("views", "pixels"))
+
+        vertices, faces, cams = cube_scene
+        T = len(faces)
+        C = 3
+        rng = np.random.default_rng(11)
+        W, H = cams[0].resolution
+        probs = np.stack([testing.random_probs(rng, H, W, C) for _ in cams])
+        weights = rng.uniform(0.2, 2.0, (len(cams), H, W)).astype(np.float32)
+        rot, trans, fl, pp = stack_cameras(cams)
+
+        ref = np.asarray(
+            distributed.fuse_views(
+                vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
+                weights,
+                num_primitives=T, aggregator="sum", height=H, width=W,
+            )
+        )
+        fuse = distributed.make_sharded_fuse(
+            mesh, num_primitives=T, aggregator="sum", height=H, width=W,
+            with_weights=True,
+        )
+        with mesh:
+            got = np.asarray(
+                fuse(vertices, faces, rot, trans, fl, pp, probs,
+                     np.float32(0.5), weights)
+            )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+        # weights actually matter: unweighted result must differ
+        fuse0 = distributed.make_sharded_fuse(
+            mesh, num_primitives=T, aggregator="sum", height=H, width=W
+        )
+        with mesh:
+            got0 = np.asarray(
+                fuse0(vertices, faces, rot, trans, fl, pp, probs,
+                      np.float32(0.5))
+            )
+        assert np.abs(got - got0).max() > 1e-3
+
     def test_sharded_primitives_output(self, cube_scene):
         import jax
         from jax.sharding import Mesh
