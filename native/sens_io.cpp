@@ -106,11 +106,15 @@ int64_t sens_index(const uint8_t* buf, uint64_t size, uint64_t frames_start,
     memcpy(&r.timestamp_depth, buf + off, 8); off += 8;
     memcpy(&r.color_size, buf + off, 8); off += 8;
     memcpy(&r.depth_size, buf + off, 8); off += 8;
+    // validate payload sizes BEFORE advancing: a corrupt size near
+    // UINT64_MAX would wrap `off` and pass a post-advance check, leaving
+    // out-of-range offsets for the zlib batch decoder to read
+    if (r.color_size > size - off) return -(int64_t)(n + 1);
     r.color_offset = off;
     off += r.color_size;
+    if (r.depth_size > size - off) return -(int64_t)(n + 1);
     r.depth_offset = off;
     off += r.depth_size;
-    if (off > size) return -(int64_t)(n + 1);
     n++;
   }
   return (int64_t)n;
@@ -181,8 +185,9 @@ int64_t colmap_index_images(const uint8_t* buf, uint64_t size,
     if (off + 8 > size) return -(int64_t)(i + 1);
     uint64_t npoints;
     memcpy(&npoints, buf + off, 8); off += 8;
+    // pre-advance check: npoints * 24 can wrap uint64 on corrupt input
+    if (npoints > (size - off) / 24) return -(int64_t)(i + 1);
     off += npoints * 24;
-    if (off > size) return -(int64_t)(i + 1);
   }
   return (int64_t)count;
 }

@@ -147,6 +147,15 @@ def index_colmap_images(data: bytes):
     if len(data) < 8:
         raise ValueError("images.bin truncated")
     count = int(np.frombuffer(data, "<u8", count=1)[0])
+    # count is untrusted: clamp to the most records the file could hold
+    # (min 73 bytes each: fixed fields + empty name + point count) so a
+    # corrupt header can't trigger a multi-GB allocation
+    max_possible = (len(data) - 8) // 73
+    if count > max_possible:
+        raise ValueError(
+            f"images.bin corrupt: claims {count} images, file fits "
+            f"at most {max_possible}"
+        )
     recs = np.zeros(count, dtype=COLMAP_IMAGE_DTYPE)
     n = lib.colmap_index_images(
         data, len(data), recs.ctypes.data_as(ctypes.c_void_p), count
@@ -171,6 +180,14 @@ def index_frames(data: bytes, frames_start: int, max_frames: int):
     lib = load()
     if lib is None:
         return None
+    # max_frames comes from the untrusted header: clamp to the most frames
+    # the stream could physically hold (96-byte fixed part per frame)
+    max_possible = max(len(data) - int(frames_start), 0) // 96
+    if max_frames > max_possible:
+        raise ValueError(
+            f".sens corrupt: header claims {max_frames} frames, stream "
+            f"fits at most {max_possible}"
+        )
     records = np.zeros(max_frames, dtype=FRAME_RECORD_DTYPE)
     n = lib.sens_index(
         data, len(data), frames_start,
@@ -188,6 +205,14 @@ def decode_depth_batch(data: bytes, offsets, sizes, pixels: int):
         return None
     offsets = np.ascontiguousarray(offsets, np.uint64)
     sizes = np.ascontiguousarray(sizes, np.uint64)
+    # defensive bounds check before handing raw offsets to the C decoder
+    # (uncompress reads buf[offset : offset + size] unchecked); ordered so
+    # no uint64 arithmetic can wrap
+    n_bytes = np.uint64(len(data))
+    if len(offsets) and (
+        (sizes > n_bytes).any() or (offsets > n_bytes - sizes).any()
+    ):
+        raise ValueError(".sens depth payload spans exceed the stream")
     out = np.empty((len(offsets), pixels), np.uint16)
     failed = lib.sens_decode_depth_batch(
         data,

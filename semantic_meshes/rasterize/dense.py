@@ -95,12 +95,15 @@ def count_pairs(setup, height, width, y_offset):
     )
 
 
-def _build_sorted_bins(setup, height, width, y_offset, e_cap):
+def _build_sorted_bins(setup, height, width, y_offset, e_cap, n_global):
     """Returns (tri_sorted (e_cap + CHUNK,), starts (B + 2,), overflow, micro).
 
     starts indexes the sorted pair array: tile b's candidates are
     [starts[b], starts[b+1]); the global (big-triangle) bucket is
-    [starts[B], starts[B+1]).
+    [starts[B], starts[B+1]). overflow counts BOTH pairs clamped by the
+    e_cap budget AND big triangles beyond the n_global cap (the kernel
+    clamps its global range to n_global — see _make_dense_kernel — so
+    uncounted drops there would silently render the wrong surface).
     """
     T = setup["denom"].shape[0]
     nby = _cdiv(height, TILE_H)
@@ -139,6 +142,11 @@ def _build_sorted_bins(setup, height, width, y_offset, e_cap):
     total_pairs = starts[B + 1]
     overflow = jnp.maximum(total_pairs - e_cap, 0)
     starts = jnp.minimum(starts, e_cap)
+    # big triangles past the kernel's n_global clamp are dropped there;
+    # count them (post-e_cap-clamp, so the two clamps don't double-count)
+    overflow = overflow + jnp.maximum(
+        (starts[B + 1] - starts[B]) - n_global, 0
+    )
 
     # clamp/pad the sorted ids to e_cap + CHUNK rows (sentinel T): chunked
     # DMAs may overshoot a partial final chunk, so carry one chunk of slack
@@ -388,7 +396,7 @@ def rasterize(
         e_cap = _cdiv(max(int(e_cap_rows), CHUNK), CHUNK) * CHUNK
 
     tri_sorted, starts, overflow, micro = _build_sorted_bins(
-        setup, height, width, y_offset, e_cap
+        setup, height, width, y_offset, e_cap, n_global
     )
     z_micro, idx_micro = _rasterize_micro(
         setup, micro, height, width, y_offset

@@ -163,7 +163,7 @@ class TestAdaptiveCandidateBudget:
         e_cap = dense._cdiv(max(3 * len(faces), dense.CHUNK),
                             dense.CHUNK) * dense.CHUNK
         _, starts, overflow, _ = dense._build_sorted_bins(
-            setup, H, W, jnp.float32(0), e_cap
+            setup, H, W, jnp.float32(0), e_cap, 1024
         )
         B = starts.shape[0] - 2
         assert int(overflow) == 0
@@ -197,6 +197,35 @@ class TestAdaptiveCandidateBudget:
         _, _, ov = dense.rasterize(vertices, faces, *cam, height=H, width=W,
                                    e_cap_rows=1)  # rounds up to CHUNK
         assert int(ov) == count - dense.CHUNK
+
+    def test_n_global_cap_counts_overflow(self):
+        """Big triangles beyond the kernel's n_global clamp must be counted
+        in the overflow, not silently dropped (a dropped nearer surface
+        would fuse the wrong primitive ids with no warning)."""
+        n_big = 20
+        verts = []
+        tris = []
+        for i in range(n_big):
+            z = 3.0 + 0.1 * i  # nearest (i=0) wins everywhere
+            base = len(verts)
+            verts += [[-40, -40, z], [40, -40, z], [0, 50, z]]
+            tris.append([base, base + 1, base + 2])
+        vertices = np.asarray(verts, np.float32)
+        faces = np.asarray(tris, np.int32)
+        cam = _simple_cam(256, 96)
+
+        tri_full, _, ov_full = dense.rasterize(
+            vertices, faces, *cam, height=96, width=256
+        )
+        assert int(ov_full) == 0
+        assert (np.asarray(tri_full) == 0).all()  # nearest covers all
+
+        tri_cap, _, ov_cap = dense.rasterize(
+            vertices, faces, *cam, height=96, width=256, n_global=1
+        )
+        assert int(ov_cap) == n_big - 1
+        # with the cap only triangle 0 was tested — image still id 0
+        assert (np.asarray(tri_cap) == 0).all()
 
     def test_renderer_policy_probes_once(self, tmp_path, monkeypatch):
         """With the dense backend forced, the renderer probes the exact

@@ -383,3 +383,96 @@ class TestNativeSensRobustness:
         path.write_bytes(struct.pack("<I", 9) + b"\x00" * 64)
         with pytest.raises(ValueError):
             SensFile(str(path))
+
+    def _one_frame_sens(self, tmp_path):
+        import zlib
+
+        from semantic_meshes.data2.scannet import write_sens
+
+        frames = [dict(camera_to_world=np.eye(4), timestamp_color=0,
+                       timestamp_depth=0, color_data=b"x" * 100,
+                       depth_data=zlib.compress(b"\x00" * 200))]
+        path = tmp_path / "w.sens"
+        write_sens(str(path), "x", np.eye(4), np.eye(4), np.eye(4),
+                   np.eye(4), (10, 10), (10, 10), 1000.0, frames)
+        return path
+
+    def test_wrapping_color_size_rejected(self, tmp_path):
+        """A color_size near UINT64_MAX must be a parse error, not a
+        uint64 wraparound that leaves out-of-range payload offsets for the
+        zlib batch decoder (OOB read)."""
+        from semantic_meshes import native
+
+        if native.load() is None:
+            pytest.skip("native sens_io unavailable")
+        path = self._one_frame_sens(tmp_path)
+        data = bytearray(path.read_bytes())
+        hdr = native.parse_header(bytes(data))
+        # frame record: 64B pose + 8 ts_color + 8 ts_depth, then color_size
+        off = int(hdr.frames_start) + 64 + 16
+        data[off:off + 8] = b"\xff" * 8
+        with pytest.raises(ValueError):
+            native.index_frames(bytes(data), int(hdr.frames_start), 1)
+
+    def test_huge_num_frames_rejected(self, tmp_path):
+        """A corrupt num_frames must raise, not allocate multi-GB records."""
+        from semantic_meshes import native
+
+        if native.load() is None:
+            pytest.skip("native sens_io unavailable")
+        path = self._one_frame_sens(tmp_path)
+        data = path.read_bytes()
+        hdr = native.parse_header(data)
+        with pytest.raises(ValueError):
+            native.index_frames(data, int(hdr.frames_start), 2**40)
+
+    def test_decode_depth_oob_spans_rejected(self, tmp_path):
+        from semantic_meshes import native
+
+        if native.load() is None:
+            pytest.skip("native sens_io unavailable")
+        data = b"\x00" * 64
+        with pytest.raises(ValueError):
+            native.decode_depth_batch(
+                data, np.array([2**63], np.uint64),
+                np.array([100], np.uint64), 100,
+            )
+        with pytest.raises(ValueError):
+            native.decode_depth_batch(
+                data, np.array([32], np.uint64),
+                np.array([64], np.uint64), 100,  # 32 + 64 > 64
+            )
+
+
+class TestNativeColmapRobustness:
+    def test_huge_image_count_rejected(self):
+        from semantic_meshes import native
+
+        if native.load() is None or not hasattr(
+            native.load(), "colmap_index_images"
+        ):
+            pytest.skip("native colmap indexer unavailable")
+        data = np.uint64(2**40).tobytes() + b"\x00" * 80
+        with pytest.raises(ValueError):
+            native.index_colmap_images(data)
+
+    def test_wrapping_npoints_rejected(self):
+        import struct
+
+        from semantic_meshes import native
+
+        if native.load() is None or not hasattr(
+            native.load(), "colmap_index_images"
+        ):
+            pytest.skip("native colmap indexer unavailable")
+        rec = (
+            struct.pack("<i", 1)              # image_id
+            + struct.pack("<4d", 1, 0, 0, 0)  # qvec
+            + struct.pack("<3d", 0, 0, 0)     # tvec
+            + struct.pack("<i", 1)            # camera_id
+            + b"img.png\x00"
+            + struct.pack("<Q", 2**61)        # npoints: wraps *24
+        )
+        data = struct.pack("<Q", 1) + rec
+        with pytest.raises(ValueError):
+            native.index_colmap_images(data)
