@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Annotate a COLMAP mesh with classes from mask images; save colorized PLY.
+"""Fuse per-image segmentation masks onto a COLMAP-reconstructed mesh.
 
-TPU-native port of the reference script
-(ref: python/scripts/colorize_mesh.py:1-92): same CLI, same pipeline —
-mask PNG -> (optional unique-color remap) -> one-hot probs -> render ->
-fuse -> argmax -> palette -> PLY. TF is replaced by jax/numpy.
+CLI-parity port of the reference workflow
+(ref: python/scripts/colorize_mesh.py:1-92) — flag names match the
+reference so existing invocations keep working; the pipeline runs on
+jax/numpy instead of TF: mask PNG -> (optional color->class remap) ->
+one-hot probabilities -> render primitive indices -> fuse -> argmax ->
+palette -> colorized PLY.
 """
 
 import argparse
@@ -18,24 +20,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import semantic_meshes  # noqa: E402
 
 parser = argparse.ArgumentParser(
-    description="Annotate a colmap mesh with classes from mask images and "
-    "save as colorized ply."
+    description="Project 2D segmentation masks onto the triangles of a "
+    "COLMAP mesh and write the fused result as a per-face-colored PLY."
 )
 parser.add_argument("--colmap", type=str, required=True,
-                    help="Path to colmap workspace folder containing "
-                    "{cameras, images, points3D}.{bin|txt}")
+                    help="COLMAP workspace directory (must hold "
+                    "cameras/images/points3D as .bin or .txt)")
 parser.add_argument("--input_ply", type=str, required=True,
-                    help="Input mesh file")
+                    help="Mesh to annotate (PLY)")
 parser.add_argument("--masks", type=str, required=True,
-                    help="Path to folder containing masks of images "
-                    "reconstructed in the colmap workspace")
+                    help="Directory of mask images, one per reconstructed "
+                    "view, named like the COLMAP image entries")
 parser.add_argument("--classes", type=int, required=True,
-                    help="Number of classes")
+                    help="Class count of the segmentation")
 parser.add_argument("--output_ply", type=str, required=True,
-                    help="Output mesh file")
+                    help="Where to write the colorized mesh (PLY)")
 parser.add_argument("--remap", action="store_true",
-                    help="Masks are color images; remap unique colors to a "
-                    "contiguous range of class indices")
+                    help="Treat masks as color images and assign each "
+                    "distinct color a class index on first sight")
 parser.add_argument("--aggregator", type=str, default="sum",
                     choices=["sum", "summax", "mul"])
 parser.add_argument("--images_equal_weight", type=float, default=0.5)
@@ -47,17 +49,10 @@ args = parser.parse_args()
 import imageio.v2 as imageio  # noqa: E402
 from tqdm import tqdm  # noqa: E402
 
-if args.remap:
-    color_to_class = {}
+# color tuple -> class index, grown in first-sight order across all masks
+color_to_class = {}
 
-    def get_class_for_color(color):
-        color = tuple(int(c) for c in color)
-        if color not in color_to_class:
-            color_to_class[color] = len(color_to_class)
-        return color_to_class[color]
-
-
-print("Creating mesh...")
+print("Loading mesh + COLMAP workspace")
 mesh = semantic_meshes.data.Ply(args.input_ply)
 colmap_workspace = semantic_meshes.data.Colmap(args.colmap)
 renderer = semantic_meshes.render.triangles(
@@ -70,7 +65,7 @@ aggregator = semantic_meshes.fusion.MeshAggregator(
     images_equal_weight=args.images_equal_weight,
 )
 
-print("Annotating mesh...")
+print("Fusing masks")
 mask_files = sorted(
     os.path.join(args.masks, f)
     for f in os.listdir(args.masks)
@@ -86,8 +81,10 @@ for mask_file in tqdm(mask_files):
         shape = mask.shape[:2]
         flat = mask.reshape(-1, channels)
         unique_colors, inv = np.unique(flat, axis=0, return_inverse=True)
+        for c in map(tuple, unique_colors.tolist()):
+            color_to_class.setdefault(c, len(color_to_class))
         unique_classes = np.array(
-            [get_class_for_color(c) for c in unique_colors]
+            [color_to_class[tuple(c.tolist())] for c in unique_colors]
         )
         mask = unique_classes[inv].reshape(shape)
 
@@ -108,16 +105,16 @@ if args.remap:
             color if len(color) == 3 else (color[0],) * 3
         )
     print(
-        f"Found {len(color_to_class)} unique colors: "
+        f"Remapped {len(color_to_class)} distinct mask colors: "
         f"{[class_to_color[c].tolist() for c in sorted(color_to_class.values())]}"
     )
 else:
     from semantic_meshes.utils import class_palette
 
     class_to_color = class_palette(args.classes)
-    print(f"Generated {args.classes} unique colors")
+    print(f"Using a generated {args.classes}-color palette")
 
-print("Computing primitive colors...")
+print("Assigning face colors")
 primitive_annotations = np.asarray(aggregator.get())
 dont_care_threshold = 0.9
 without_annotations = (
@@ -130,5 +127,5 @@ primitive_colors = np.where(
     without_annotations[:, None], np.uint8(0), primitive_colors
 )
 
-print("Saving colorized mesh...")
+print(f"Writing {args.output_ply}")
 mesh.save(args.output_ply, primitive_colors)

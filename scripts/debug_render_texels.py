@@ -20,9 +20,11 @@ from semantic_meshes.geometry import look_at  # noqa: E402
 from semantic_meshes.io.ply import write_mesh  # noqa: E402
 
 parser = argparse.ArgumentParser(
-    description="Render texels on a single triangle and save to files"
+    description="Visual texel-renderer harness: one triangle, all 6 vertex "
+    "orderings, depth + checkerboard texel PNGs"
 )
-parser.add_argument("--output", type=str, required=True, help="Output folder")
+parser.add_argument("--output", type=str, required=True,
+                    help="Directory to write the PNG/PLY outputs into")
 parser.add_argument("--size", type=int, default=1000,
                     help="Image sidelength (reference used 4000)")
 parser.add_argument("--texels_per_pixel", type=float, default=0.04)
@@ -84,24 +86,17 @@ for order in [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]]:
         (depth_img / max(depth_img.max(), 1e-6) * 255).astype(np.uint8),
     )
 
-    # alternating two-tone coloring in diagonal bands (texel row pattern)
-    class_to_color = []
-    i = 0
-    n = 1
-    flip = True
-    for _ in range(classes_num):
-        class_to_color.append(
-            [255, 201, 14] if flip else [0, 162, 232]
-        )
-        i += 1
-        if i == n:
-            i = 0
-            n += 1
-            flip = n % 2 == 1
-        else:
-            flip = not flip
-    class_to_color.append([255, 255, 255])  # background
-    palette = np.asarray(class_to_color, np.uint8)
+    # Two-tone checkerboard over the triangular texel grid, closed form:
+    # texel k lives in row r = floor((sqrt(8k+1)-1)/2) of the
+    # lower-triangular row-major layout at column c = k - r(r+1)/2
+    # (the inverse of the s(s+1)/2 count identity); tone = (r+c) parity.
+    k = np.arange(classes_num, dtype=np.int64)
+    row = ((np.sqrt(8.0 * k + 1.0) - 1.0) / 2.0).astype(np.int64)
+    col = k - row * (row + 1) // 2
+    tones = np.array([[255, 201, 14], [0, 162, 232]], np.uint8)
+    palette = np.concatenate(
+        [tones[(row + col) % 2], np.full((1, 3), 255, np.uint8)]
+    )  # last row: white background
     imageio.imwrite(
         os.path.join(args.output, f"color-{name}.png"),
         palette[primitive_indices],

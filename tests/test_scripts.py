@@ -174,7 +174,7 @@ def test_colorize_mesh_remap_backend(scene, tmp_path):
         env=env, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "unique colors" in proc.stdout
+    assert "distinct mask colors" in proc.stdout
 
     e = read_ply(str(out))
     cols = np.stack(
