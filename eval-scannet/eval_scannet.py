@@ -641,6 +641,15 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
         if os.path.isfile(_agg_ckpt_path(name)):
             os.remove(_agg_ckpt_path(name))
 
+    # aggregate overflow observability: a post-first-frame candidate-cap
+    # breach is invisible to the async per-frame path; sum the per-frame
+    # device counters once per scene (one sync) so dropped geometry is
+    # always reported
+    dropped = renderer.overflow_total()
+    if dropped:
+        print(f"WARNING: rasterizer dropped {dropped} candidate pairs "
+              f"in scene {name} (raise the candidate budget)")
+
     # per-scene report (ref: eval_scannet.py:322-326)
     row = [scene_index + 1]
     headers = ["Scenes"]

@@ -55,25 +55,47 @@ class _OverflowPolicy:
     resolution), so "first" checks synchronously once per resolution —
     catching misconfiguration on frame one — and stays async afterwards.
     Modes: "first" (default) | "always" | "never".
+
+    Every frame's overflow scalar is additionally kept (device-resident,
+    no sync) and summed on demand by total(): post-first-frame breaches
+    can't pass silently — read renderer.overflow_total() at end-of-run
+    (the eval harness prints it in its summary).
     """
 
     def __init__(self, mode="first"):
         self.mode = mode
         self._seen = set()
+        self._pending = []  # per-frame device scalars, summed in total()
+        self._base = 0
 
-    def check(self, overflow, key, max_tris_per_tile):
+    def check(self, overflow, key, max_tris_per_tile, dense=False):
         if self.mode == "never":
             return
+        self._pending.append(overflow)
         if self.mode == "first" and key in self._seen:
             return
         self._seen.add(key)
         ov = int(overflow)
         if ov:
-            logger.warning(
-                "rasterizer tile overflow: %d (tile, triangle) pairs "
-                "dropped; raise max_tris_per_tile (current %d)",
-                ov, max_tris_per_tile,
+            knob = (
+                "e_cap_rows/n_global (dense backend)" if dense
+                else f"max_tris_per_tile (current {max_tris_per_tile})"
             )
+            logger.warning(
+                "rasterizer overflow: %d candidate pairs dropped; "
+                "raise %s", ov, knob,
+            )
+
+    def total(self) -> int:
+        """Accumulated dropped pairs across all renders so far.
+
+        One device sync per call (stack + sum of the pending per-frame
+        scalars) — intended for end-of-run summaries, not the hot loop.
+        """
+        if self._pending:
+            self._base += int(jnp.sum(jnp.stack(self._pending)))
+            self._pending.clear()
+        return self._base
 
 
 class _DenseCapPolicy:
@@ -228,9 +250,14 @@ class TrianglesRenderer:
             dense_e_cap=dense_e_cap,
         )
         self.overflow_policy.check(
-            overflow, (height, width), self.max_tris_per_tile
+            overflow, (height, width), self.max_tris_per_tile,
+            dense=(dense_e_cap is not None),
         )
         return indices, depth  # (W, H) contract
+
+    def overflow_total(self) -> int:
+        """Total dropped candidate pairs across all renders (syncs once)."""
+        return self.overflow_policy.total()
 
     def render_many(self, cameras):
         """Render a batch of same-resolution cameras in one compiled scan.
@@ -244,12 +271,16 @@ class TrianglesRenderer:
             raise ValueError("render_many needs equal camera resolutions")
         rot, trans, fl, pp = stack_cameras(cams)
         dense_e_cap = self._dense_e_cap(height, width, rot, trans, fl, pp)
-        tri, depth = _render_scan(
+        tri, depth, overflow = _render_scan(
             self.vertices, self.faces, self.face_vertices, rot, trans, fl,
             pp, height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
             backend=self.backend, clip_near=self.clip_near,
             dense_e_cap=dense_e_cap,
+        )
+        self.overflow_policy.check(
+            overflow, (height, width), self.max_tris_per_tile,
+            dense=(dense_e_cap is not None),
         )
         return (
             tri.astype(jnp.uint32).transpose(0, 2, 1),
@@ -472,9 +503,12 @@ class TexelsRenderer:
             clip_near=self.clip_near, dense_e_cap=dense_e_cap,
         )
         self.overflow_policy.check(
-            overflow, (height, width), self.max_tris_per_tile
+            overflow, (height, width), self.max_tris_per_tile,
+            dense=(dense_e_cap is not None),
         )
         return indices, depth  # (W, H) contract
+
+    overflow_total = TrianglesRenderer.overflow_total
 
     def render_many(self, cameras):
         """Batched texel-mode render (one compiled scan; see
@@ -485,13 +519,17 @@ class TexelsRenderer:
             raise ValueError("render_many needs equal camera resolutions")
         rot, trans, fl, pp = stack_cameras(cams)
         dense_e_cap = self._dense_e_cap(height, width, rot, trans, fl, pp)
-        idx, depth = _render_texels_scan(
+        idx, depth, overflow = _render_texels_scan(
             self.vertices, self.faces, self.face_vertices,
             self.resolutions, self.first_texel_index, rot, trans, fl, pp,
             height=height, width=width,
             max_tris_per_tile=self.max_tris_per_tile,
             num_primitives=self._primitive_num, backend=self.backend,
             clip_near=self.clip_near, dense_e_cap=dense_e_cap,
+        )
+        self.overflow_policy.check(
+            overflow, (height, width), self.max_tris_per_tile,
+            dense=(dense_e_cap is not None),
         )
         return idx, depth
 
@@ -674,19 +712,21 @@ def _render_texels_scan(vertices, faces, face_vertices, resolutions,
                         first_texel_index, rot, trans, fl, pp, *, height,
                         width, max_tris_per_tile, num_primitives,
                         backend=None, clip_near=False, dense_e_cap=None):
-    def step(_, cam):
+    def step(ov, cam):
         r, t, f, p = cam
-        idx, depth, _ov = _render_texels_jit(
+        idx, depth, ov_i = _render_texels_jit(
             vertices, faces, face_vertices, resolutions, first_texel_index,
             r, t, f, p, height=height, width=width,
             max_tris_per_tile=max_tris_per_tile, backend=backend,
             num_primitives=num_primitives, clip_near=clip_near,
             dense_e_cap=dense_e_cap,
         )
-        return None, (idx, depth)
+        return ov + ov_i, (idx, depth)
 
-    _, (idxs, depths) = jax.lax.scan(step, None, (rot, trans, fl, pp))
-    return idxs, depths
+    ov, (idxs, depths) = jax.lax.scan(
+        step, jnp.int32(0), (rot, trans, fl, pp)
+    )
+    return idxs, depths, ov
 
 
 @functools.partial(
@@ -697,17 +737,19 @@ def _render_texels_scan(vertices, faces, face_vertices, resolutions,
 def _render_scan(vertices, faces, face_vertices, rot, trans, fl, pp, *,
                  height, width, max_tris_per_tile, backend=None,
                  clip_near=False, dense_e_cap=None):
-    def step(_, cam):
+    def step(ov, cam):
         r, t, f, p = cam
-        tri, depth, _ov = rast.rasterize(
+        tri, depth, ov_i = rast.rasterize(
             vertices, faces, r, t, f, p, face_vertices=face_vertices,
             backend=backend, clip_near=clip_near, dense_e_cap=dense_e_cap,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         )
-        return None, (tri, depth)
+        return ov + ov_i, (tri, depth)
 
-    _, (tris, depths) = jax.lax.scan(step, None, (rot, trans, fl, pp))
-    return tris, depths
+    ov, (tris, depths) = jax.lax.scan(
+        step, jnp.int32(0), (rot, trans, fl, pp)
+    )
+    return tris, depths, ov
 
 
 def triangles(mesh: Ply, **kwargs) -> TrianglesRenderer:

@@ -163,6 +163,45 @@ class TestBinning:
         # the kept triangles are the lowest ids -> winner is still 0
         assert tri[16, 16] == 0
 
+    def test_late_frame_overflow_accumulated(self, tmp_path):
+        """The 'first' sync policy checks only the first frame per
+        resolution; a LATER frame that breaches the cap must still show up
+        in renderer.overflow_total() (async accumulated counter)."""
+        import semantic_meshes
+        from semantic_meshes import testing as sm_testing
+        from semantic_meshes.data import Camera
+        from semantic_meshes.geometry import look_at
+        from semantic_meshes.io.ply import write_mesh
+
+        # 20 coincident view-filling triangles: heavy per-tile load
+        vertices = np.tile(
+            np.array([[-2, -2, 2], [2, -2, 2], [0, 3, 2]], np.float32),
+            (20, 1),
+        )
+        faces = np.arange(60, dtype=np.int32).reshape(20, 3)
+        write_mesh(tmp_path / "m.ply", vertices, faces)
+        mesh = semantic_meshes.data.Ply(str(tmp_path / "m.ply"))
+        r = semantic_meshes.render.triangles(
+            mesh, max_tris_per_tile=4, backend="xla", bucket=False
+        )
+        W = H = 32
+        fl = np.array([40.0, 40.0], np.float32)
+        pp = np.array([W / 2, H / 2], np.float32)
+        # frame 1 looks AWAY from the geometry: zero candidates
+        rot_a, t_a = look_at([0, 0, 0.0], [0, 0, -4.0], [0, 1, 0.0])
+        cam_away = Camera(rot_a, t_a, (W, H), fl, pp)
+        r.render(cam_away)
+        assert r.overflow_total() == 0
+        # frame 2 (same resolution) sees all 20 -> silent breach before
+        rot_b, t_b = look_at([0, 0, 0.0], [0, 0, 4.0], [0, 1, 0.0])
+        cam_to = Camera(rot_b, t_b, (W, H), fl, pp)
+        r.render(cam_to)
+        t1 = r.overflow_total()
+        assert t1 > 0
+        # counter is cumulative across frames
+        r.render(cam_to)
+        assert r.overflow_total() == 2 * t1
+
 
 class TestBarycentricPass:
     def test_bary_sums_to_one_and_matches_depth(self):

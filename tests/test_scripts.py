@@ -188,3 +188,37 @@ def test_colorize_mesh_remap_backend(scene, tmp_path):
     valid_colors = {tuple(c) for c in palette} | {(0, 0, 0)}
     got_colors = {tuple(c) for c in np.unique(cols[colored], axis=0)}
     assert got_colors <= valid_colors, got_colors - valid_colors
+
+
+def test_colorize_cityscapes_mesh_tfcv_stub(scene, tmp_path):
+    """--model tfcv plumbing in the flagship script, driven end-to-end
+    against the numpy tfcv/tensorflow stubs (tests/_tfcv_stub). Asserts
+    the pipeline completes and writes a valid colorized PLY."""
+    root, tri_class = scene
+    out = tmp_path / "colorized_tfcv.ply"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    stub = os.path.join(REPO, "tests", "_tfcv_stub")
+    env["PYTHONPATH"] = stub + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "colorize_cityscapes_mesh.py"),
+            "--colmap", str(root / "ws"),
+            "--input_ply", str(root / "mesh.ply"),
+            "--images", str(root / "images"),
+            "--output_ply", str(out),
+            "--model", "tfcv",
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    e = read_ply(str(out))
+    cols = np.stack(
+        [e["face"].data["red"], e["face"].data["green"],
+         e["face"].data["blue"]], -1,
+    )
+    assert len(cols) == len(tri_class)
+    assert cols.any()  # the stub predictor colored visible faces
