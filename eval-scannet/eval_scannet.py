@@ -63,6 +63,15 @@ parser.add_argument("--model", type=str, default="tfcv",
                     "jax model, or precomputed probability maps")
 parser.add_argument("--probs_dir", type=str, default=None,
                     help="With --model probs: <scene>/<frame>.npy prob maps")
+parser.add_argument("--params", type=str, default=None,
+                    help="With --model jax-unet: flax msgpack checkpoint of "
+                    "trained RGBDUNet weights (random init otherwise)")
+parser.add_argument("--model_widths", type=str, default="64,128,256,512",
+                    help="With --model jax-unet: encoder channel widths "
+                    "(must match the checkpoint)")
+parser.add_argument("--model_input_hw", type=str, default="480,640",
+                    help="With --model jax-unet: network input H,W "
+                    "(images are resized in/out)")
 parser.add_argument("--max_frames", type=int, default=None)
 parser.add_argument("--timings", action="store_true",
                     help="Print per-phase wall-clock timings at the end")
@@ -202,7 +211,12 @@ if args.model == "tfcv":
 elif args.model == "jax-unet":
     from semantic_meshes.models import segmentation
 
-    _predict = segmentation.load_rgbd_predictor(classes=classes_num)
+    _predict = segmentation.load_rgbd_predictor(
+        classes=classes_num,
+        params_path=args.params,
+        widths=tuple(int(w) for w in args.model_widths.split(",")),
+        input_hw=tuple(int(v) for v in args.model_input_hw.split(",")),
+    )
 
     def predict_probs(color, depth, out_hw):
         import jax
