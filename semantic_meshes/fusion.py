@@ -131,7 +131,12 @@ def _accumulate_view(prim, probs, weights, images_equal_weight, *,
     data = jnp.concatenate(
         [values, in_range.astype(jnp.float32)[:, None]], axis=1
     )
-    seg = ops.segment_sum(data, idx, P)
+    # "mul" accumulates log-probs whose magnitudes span many orders (down
+    # to _NEG_LARGE); the exact16 fixed-point scatter quantizes in absolute
+    # terms of max|value|, so mul stays on the f32 scatter path.
+    seg = ops.segment_sum(
+        data, idx, P, method="float32" if aggregator == "mul" else None
+    )
     if axis_name is not None:
         seg = jax.lax.psum(seg, axis_name)
     counts = seg[:, C]

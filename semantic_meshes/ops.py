@@ -39,14 +39,139 @@ _PRECISION = {
 }[os.environ.get("SM_FUSION_PRECISION", "highest")]
 
 # XLA's TPU row-scatter has a fast path for 16-bit element types (~6x
-# faster than f32 at 0.5M segments: 16ms vs 94ms per 0.8MPix view).
-# SM_SCATTER_DTYPE=bfloat16 opts the large-P fallback into it — the
-# accumulator then rounds in bf16 (~1% error on big per-primitive pixel
-# counts), so it is off by default; exact f32 is the parity mode.
-_SCATTER_DTYPE = {
-    "float32": jnp.float32,
-    "bfloat16": jnp.bfloat16,
-}[os.environ.get("SM_SCATTER_DTYPE", "float32")]
+# faster than f32 at 0.5M segments: 15ms vs 94-103ms per 0.8MPix view;
+# measured sweep in scripts/microbench_scatter.py). Three large-P methods:
+#   exact16 (default): fixed-point limb decomposition riding ONE int16
+#     scatter — as fast as bf16, as accurate as f32 (see
+#     _segment_sum_exact16 below for the correctness argument).
+#   float32: plain f32 scatter-add (the former default; slow path).
+#   bfloat16: bf16 scatter (fast but the accumulator rounds every add:
+#     ~0.8% max relative error; the bf16 hi+residual two-scatter split
+#     only halves that to ~0.4% because accumulation error dominates —
+#     measured, scripts/microbench_scatter.py).
+# SM_SCATTER_DTYPE=bfloat16/float32 kept for back-compat.
+_SCATTER_METHOD = os.environ.get(
+    "SM_SCATTER",
+    {"float32": "exact16", "bfloat16": "bfloat16"}[
+        os.environ.get("SM_SCATTER_DTYPE", "float32")
+    ],
+)
+if os.environ.get("SM_SCATTER_DTYPE") == "float32" and \
+        "SM_SCATTER" not in os.environ:
+    _SCATTER_METHOD = "float32"
+if _SCATTER_METHOD not in ("exact16", "float32", "bfloat16"):
+    raise ValueError(f"SM_SCATTER must be exact16|float32|bfloat16, "
+                     f"got {_SCATTER_METHOD!r}")
+
+# exact16 parameters: 12 limbs x 2 bits = 24-bit fixed point; a segment
+# with more than _EXACT16_CAP rows could wrap a centered-limb int16 sum,
+# and by pigeonhole at most rows/_EXACT16_CAP segments can do that, all
+# of which sit inside the top-_EXACT16_K counts and get the exact MXU
+# correction. _EXACT16_CHUNK keeps per-(segment, chunk) row counts below
+# 2^16 so the chunk-count columns are bijective mod 2^16 (exact counts).
+_EXACT16_LIMBS = 12
+_EXACT16_CAP = (1 << 14) - 1
+_EXACT16_CHUNK = (1 << 16) - 1
+_EXACT16_K = 64
+
+
+def _segment_sum_exact16(data, idx, num_segments):
+    """Segment sum at 16-bit-scatter speed with f32-class accuracy.
+
+    Exactness argument (the whole point — read before touching):
+    - values are quantized to 24-bit fixed point q = round(v * scale) + 2^23
+      with a power-of-2 `scale` chosen from max|v| (so quantization is the
+      ONLY rounding; error <= 0.5/scale per row).
+    - each q is decomposed into 12 centered 2-bit limbs c_j = l_j - 2 in
+      [-2, 1]; limbs ride as int16 columns of ONE scatter-add (columns are
+      free: 63 vs 20 cols both ~15 ms, scripts/microbench_scatter.py).
+      int16 addition wraps mod 2^16 (verified on TPU), so a segment's limb
+      sum is EXACT (no wrap at all) while |sum c_j| <= 2N < 2^15, i.e. for
+      any segment with N <= 16383 rows.
+    - per-segment row counts are recovered EXACTLY for every N: chunk-count
+      column k holds ones for rows with linear index in chunk k (chunks of
+      65535 rows), so each per-(segment, chunk) count is < 2^16 and its
+      int16 readout is bijective; summing decoded chunks in int32 gives N.
+    - segments with N > 16383 (whose limb sums may have wrapped) number at
+      most rows/16384 < 64 by pigeonhole; the top-64 segments by exact
+      count are ALWAYS recomputed with a masked one-hot MXU matmul
+      (exact f32 dot; XLA fuses the one-hot compare into the dot operands,
+      nothing materializes) and replace the limb results.
+    - reconstruction groups limbs so every integer partial fits int32 and
+      every f32 conversion is < 2^24 (exact); only the final two adds and
+      the /scale round.
+
+    Net: ~15-18 ms vs 94-103 ms for f32 scatter per 0.8 MPix view at 500k
+    segments, max error = quantization (~2^-24 * max|v| * sqrt(N)), i.e.
+    at or below the f32 scatter's own accumulation error (measured 1.7e-7
+    max relative).
+
+    data (N, D) f32 (already masked: dropped rows must carry idx ==
+    num_segments); idx (N,) int32 in [0, num_segments].
+    """
+    n, d = data.shape
+    P = num_segments
+
+    vmax = jnp.max(jnp.abs(data))
+    _, e = jnp.frexp(vmax)  # vmax = m * 2^e, m in [0.5, 1)
+    scale = jnp.where(vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
+                      jnp.float32(1.0))
+    q = jnp.clip(
+        jnp.round(data * scale).astype(jnp.int32) + (1 << 23),
+        0, (1 << 24) - 1,
+    )  # (n, d) in [0, 2^24)
+
+    shifts = jnp.arange(_EXACT16_LIMBS, dtype=jnp.int32) * 2
+    limbs = ((q[:, None, :] >> shifts[None, :, None]) & 3) - 2
+    limbs16 = limbs.reshape(n, _EXACT16_LIMBS * d).astype(jnp.int16)
+
+    nch = _cdiv_py(n, _EXACT16_CHUNK)
+    chunk_of_row = jnp.arange(n, dtype=jnp.int32) // _EXACT16_CHUNK
+    chunk_cols = (
+        chunk_of_row[:, None] == jnp.arange(nch, dtype=jnp.int32)[None, :]
+    ).astype(jnp.int16)
+
+    upd = jnp.concatenate([limbs16, chunk_cols], axis=1)
+    acc = jnp.zeros((P, _EXACT16_LIMBS * d + nch), jnp.int16)
+    acc = acc.at[idx].add(upd, mode="drop")
+
+    W = acc[:, : _EXACT16_LIMBS * d].astype(jnp.int32).reshape(
+        P, _EXACT16_LIMBS, d
+    )
+    craw = acc[:, _EXACT16_LIMBS * d:].astype(jnp.int32)
+    counts = jnp.sum(jnp.where(craw < 0, craw + (1 << 16), craw), axis=1)
+
+    # true limb sums: S_j = W_j + 2N  (in [0, 3N]); group so every integer
+    # partial and every f32 conversion stays exact (bounds for N <= 16383:
+    # g0 <= N*(4^5-1) = 1.7e7 < 2^24, g1 <= N*255, g2 <= N*63).
+    S = W + 2 * counts[:, None, None]
+    p4 = (4 ** jnp.arange(_EXACT16_LIMBS, dtype=jnp.int32))
+    g0 = jnp.sum(S[:, 0:5] * p4[0:5, None], axis=1)
+    g1 = jnp.sum(S[:, 5:9] * (p4[5:9, None] // 1024), axis=1)
+    # fold the per-row +2^23 offset into g2: 2^23 / 4^9 = 32
+    g2 = jnp.sum(S[:, 9:12] * (p4[9:12, None] // 262144), axis=1) \
+        - 32 * counts[:, None]
+    total = (
+        g0.astype(jnp.float32)
+        + g1.astype(jnp.float32) * 1024.0
+        + g2.astype(jnp.float32) * 262144.0
+    ) / scale
+
+    # exact MXU correction of every possible wrap victim (top-64 by count)
+    k = min(_EXACT16_K, P)
+    _, heavy_ids = jax.lax.top_k(counts, k)
+    onehot = (idx[:, None] == heavy_ids[None, :]).astype(jnp.float32)
+    fix = jax.lax.dot_general(
+        onehot, data,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (k, d)
+    return total.at[heavy_ids].set(fix, mode="drop", unique_indices=True)
+
+
+def _cdiv_py(a, b):
+    return -(-a // b)
 
 
 def _segment_sum_mxu(data, idx, num_segments):
@@ -78,12 +203,16 @@ def _segment_sum_mxu(data, idx, num_segments):
     return acc
 
 
-def segment_sum(data, idx, num_segments):
+def segment_sum(data, idx, num_segments, method=None):
     """TPU-tuned drop-in for jax.ops.segment_sum over rank-2 data.
 
     data (N, D) float32; idx (N,) integer; out-of-range indices are dropped.
-    Dispatches to the MXU one-hot matmul for small segment counts and to
-    scatter-add otherwise.
+    Dispatches to the MXU one-hot matmul for small segment counts and to a
+    scatter method otherwise: `method` in {exact16, float32, bfloat16}
+    (None -> SM_SCATTER env default, normally exact16). Callers whose
+    values span many orders of magnitude (log-space "mul" fusion) should
+    pass "float32": exact16's fixed-point quantization error is absolute
+    in max|value|.
     """
     data = jnp.asarray(data, jnp.float32)
     idx = jnp.asarray(idx)
@@ -94,10 +223,17 @@ def segment_sum(data, idx, num_segments):
         # MXU path masks out-of-range via the one-hot comparison itself
         out = _segment_sum_mxu(data, idx.astype(jnp.int32), num_segments)
     else:
+        method = _SCATTER_METHOD if method is None else method
         valid = (idx >= 0) & (idx < num_segments)
-        safe = jnp.where(valid, idx, 0).astype(jnp.int32)
-        data = jnp.where(valid[:, None], data, 0.0)
-        out = jax.ops.segment_sum(
-            data.astype(_SCATTER_DTYPE), safe, num_segments=num_segments
-        ).astype(jnp.float32)
+        if method == "exact16":
+            safe = jnp.where(valid, idx, num_segments).astype(jnp.int32)
+            data = jnp.where(valid[:, None], data, 0.0)
+            out = _segment_sum_exact16(data, safe, num_segments)
+        else:
+            dtype = jnp.float32 if method == "float32" else jnp.bfloat16
+            safe = jnp.where(valid, idx, 0).astype(jnp.int32)
+            data = jnp.where(valid[:, None], data, 0.0)
+            out = jax.ops.segment_sum(
+                data.astype(dtype), safe, num_segments=num_segments
+            ).astype(jnp.float32)
     return out[:, 0] if squeeze else out

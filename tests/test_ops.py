@@ -52,6 +52,86 @@ def test_both_paths_agree():
     np.testing.assert_allclose(mxu, sc, rtol=1e-5, atol=1e-4)
 
 
+class TestExact16:
+    """The exact16 limb scatter (ops._segment_sum_exact16): 16-bit fast
+    path speed with f32-class accuracy. These tests exercise every leg of
+    the correctness argument in its docstring."""
+
+    def test_matches_oracle_random(self):
+        rng = np.random.default_rng(10)
+        N, D, P = 20_000, 5, 5000
+        data = rng.normal(size=(N, D)).astype(np.float32) * 3.7
+        idx = rng.integers(-2, P + 3, size=N).astype(np.int32)
+        got = np.asarray(ops.segment_sum(data, idx, P, method="exact16"))
+        want = _oracle(data, idx, P)
+        # error bound: quantization only, <= 0.5 * max|v| * 2^-23 per row
+        atol = float(np.abs(data).max()) * 2.0**-23 * (N / P * 8 + 4)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol)
+
+    def test_heavy_segment_wrap_corrected(self):
+        # one segment receives far more rows than the 16383-row limb
+        # capacity: its int16 limb sums wrap, and the top-64 MXU pass must
+        # restore the exact f32 answer.
+        rng = np.random.default_rng(11)
+        N, D, P = 40_000, 3, 4000
+        data = rng.random((N, D)).astype(np.float32)
+        idx = np.where(
+            rng.random(N) < 0.9, 7, rng.integers(0, P, size=N)
+        ).astype(np.int32)  # ~36k rows on segment 7
+        got = np.asarray(ops.segment_sum(data, idx, P, method="exact16"))
+        want = _oracle(data, idx, P)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+    def test_count_aliasing_beyond_2_16(self):
+        # a segment with > 65536 rows would alias a naive mod-2^16 count;
+        # the chunk-count columns must still classify it as heavy and the
+        # correction must restore exactness.
+        rng = np.random.default_rng(12)
+        N, D, P = 140_000, 2, 4000
+        data = rng.random((N, D)).astype(np.float32)
+        idx = np.where(
+            rng.random(N) < 0.5, 3, rng.integers(0, P, size=N)
+        ).astype(np.int32)  # ~70k rows on segment 3 (70k mod 2^16 = 4.5k)
+        got = np.asarray(ops.segment_sum(data, idx, P, method="exact16"))
+        want = _oracle(data, idx, P)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+
+    def test_negative_and_large_scale(self):
+        rng = np.random.default_rng(13)
+        N, D, P = 8000, 4, 4000
+        data = (rng.normal(size=(N, D)) * 1e6).astype(np.float32)
+        idx = rng.integers(0, P, size=N).astype(np.int32)
+        got = np.asarray(ops.segment_sum(data, idx, P, method="exact16"))
+        want = _oracle(data, idx, P)
+        atol = float(np.abs(data).max()) * 2.0**-23 * 64
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol)
+
+    def test_all_zero(self):
+        idx = np.arange(100, dtype=np.int32) % 4000
+        data = np.zeros((100, 3), np.float32)
+        got = np.asarray(ops.segment_sum(data, idx, 4000, method="exact16"))
+        assert np.all(got == 0)
+
+    def test_single_huge_segment_all_rows(self):
+        # every row lands on one segment (the render-background pattern)
+        rng = np.random.default_rng(14)
+        N, P = 100_000, 4000
+        data = rng.random((N, 2)).astype(np.float32)
+        idx = np.zeros(N, np.int32)
+        got = np.asarray(ops.segment_sum(data, idx, P, method="exact16"))
+        want = _oracle(data, idx, P)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
+
+    def test_methods_agree(self):
+        rng = np.random.default_rng(15)
+        N, D, P = 9000, 3, 4000
+        data = rng.random((N, D)).astype(np.float32)
+        idx = rng.integers(0, P, size=N).astype(np.int32)
+        a = np.asarray(ops.segment_sum(data, idx, P, method="exact16"))
+        b = np.asarray(ops.segment_sum(data, idx, P, method="float32"))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
 def test_rank1_data():
     rng = np.random.default_rng(3)
     data = rng.normal(size=500).astype(np.float32)
