@@ -76,7 +76,8 @@ def main():
             ))
             for i in range(n_views)
         ]
-        dense_e_cap = 2 * max(max(counts), 1)
+        # 0 => every triangle is micro: the dense path skips binning
+        dense_e_cap = 2 * max(counts)
 
     def run():
         acc = distributed.fuse_views(

@@ -177,10 +177,18 @@ def _is_micro(setup, y_offset):
 
 
 def _rasterize_micro(setup, micro, height, width, y_offset):
-    """Fragment path for micro triangles: emit <= 4 per-pixel fragments,
-    z-resolve by one 2-key sort, compact winners with a second sort, and
-    write the image with a single small scatter. Deterministic: ties on
-    (pixel, z) resolve to the lower triangle id via stable sort order.
+    """Fragment path for micro triangles — scatter-free.
+
+    Emit <= 4 per-pixel fragments per micro triangle PLUS one background
+    fragment per pixel (z = +inf, tri = sentinel), z-resolve with one
+    unstable 3-key sort by (pixel, zbits, tri) — lowest triangle id wins
+    ties by construction — and compact with a second 3-key sort keyed on
+    (winner ? pixel : HW): because every pixel owns exactly one winner
+    (the background fragment guarantees presence), the first H*W compacted
+    rows ARE the image in pixel order, so the result is a reshape. This
+    replaces the previous set-scatter image build, which dominated the
+    micro path on TPU (sorts are ~7.5 ms per 2M rows; an image-sized
+    set-scatter is ~25 ms+ — scripts/microbench_scatter2.py).
 
     Returns (z (H, W) f32 with +inf empty, idx (H, W) int32 with -1 empty).
     """
@@ -214,33 +222,34 @@ def _rasterize_micro(setup, micro, height, width, y_offset):
         pix_list.append(jnp.where(ok, iy_local * width + ix, HW))
         key_list.append(zbits)
 
-    pix = jnp.concatenate(pix_list)  # slot-major; re-ordered below
-    zbits = jnp.concatenate(key_list)
-    tri = jnp.tile(jnp.arange(T, dtype=jnp.int32), 4)
-    # sort by (pixel, z); stable sort + tri payload would not give lowest-tri
-    # tie-break across slots (slot-major emission), so tri joins the keys
+    bg_tri = jnp.int32(2**31 - 1)
+    pix = jnp.concatenate(
+        pix_list + [jnp.arange(HW, dtype=jnp.int32)]
+    )
+    zbits = jnp.concatenate(
+        key_list + [jnp.full((HW,), jnp.int32(0x7F800000))]  # +inf bits
+    )
+    tri = jnp.concatenate(
+        [jnp.tile(jnp.arange(T, dtype=jnp.int32), 4),
+         jnp.full((HW,), bg_tri)]
+    )
+    # z-resolve: (pixel, z, tri) — tri in the keys gives the deterministic
+    # lowest-index tie-break on equal depth
     pix_s, z_s, tri_s = jax.lax.sort(
         (pix, zbits, tri), dimension=0, is_stable=False, num_keys=3
     )
     first = jnp.concatenate(
         [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
     ) & (pix_s < HW)
-    # compact winners to the front, in pixel order
-    wpix, wz, wtri = jax.lax.sort(
+    # compact: exactly HW winners (one per pixel), ascending pixel order
+    _, wz, wtri = jax.lax.sort(
         (jnp.where(first, pix_s, HW), z_s, tri_s),
         dimension=0,
         is_stable=False,
         num_keys=3,
     )
-    cap = min(wpix.shape[0], HW)
-    wpix, wz, wtri = wpix[:cap], wz[:cap], wtri[:cap]
-    vals = jnp.stack([wz, wtri], axis=-1)  # (cap, 2)
-    img = jnp.full((HW, 2), jnp.int32(0x7F800000))  # +inf bits / marker
-    img = img.at[wpix].set(
-        vals, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
-    z_img = jax.lax.bitcast_convert_type(img[:, 0], jnp.float32)
-    idx_img = jnp.where(jnp.isinf(z_img), -1, img[:, 1])
+    z_img = jax.lax.bitcast_convert_type(wz[:HW], jnp.float32)
+    idx_img = jnp.where(jnp.isinf(z_img), -1, wtri[:HW])
     return z_img.reshape(height, width), idx_img.reshape(height, width)
 
 
@@ -390,6 +399,26 @@ def rasterize(
     nby = _cdiv(height, TILE_H)
     nbx = _cdiv(width, TILE_W)
     B = nby * nbx
+    if e_cap_rows is not None and int(e_cap_rows) == 0:
+        # Pure-micro fast path: the candidate probe saw ZERO (tile,
+        # triangle) pairs (every visible triangle is sub-2x2-pixel, the
+        # ScanNet-dense regime), so skip binning sort + streaming kernel
+        # entirely (~11 ms at 500k tris). Later frames that do produce
+        # candidates at this budget spill them to the overflow counter
+        # (exact closed-form count), same contract as any budget breach.
+        micro, small, big, _, _, span_h, span_w = _classify(
+            setup, height, width, y_offset
+        )
+        overflow = (
+            jnp.sum(jnp.where(small, span_h * span_w, 0))
+            + jnp.sum(big.astype(jnp.int32))
+        ).astype(jnp.int32)
+        z_micro, idx_micro = _rasterize_micro(
+            setup, micro, height, width, y_offset
+        )
+        if clip_near:  # piece id -> original triangle id
+            idx_micro = jnp.where(idx_micro >= 0, idx_micro >> 1, -1)
+        return idx_micro, z_micro, overflow
     if e_cap_rows is None:
         e_cap = _cdiv(max(int(e_cap_factor) * T, CHUNK), CHUNK) * CHUNK
     else:

@@ -118,10 +118,15 @@ class _DenseCapPolicy:
         self._cap = {}  # (H, W) -> int rows
 
     def lookup(self, key, probe):
-        """probe() -> exact count for a representative view (syncs)."""
+        """probe() -> exact count for a representative view (syncs).
+
+        A probe of 0 (every visible triangle is micro) keeps the budget at
+        0: the dense backend then skips binning+streaming entirely and any
+        later candidate at this resolution spills to the overflow counter.
+        """
         if key not in self._cap:
             count = int(probe())
-            self._cap[key] = self.MARGIN * max(count, 1)
+            self._cap[key] = self.MARGIN * count
         return self._cap[key]
 
 

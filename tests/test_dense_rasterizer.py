@@ -169,6 +169,51 @@ class TestAdaptiveCandidateBudget:
         assert int(overflow) == 0
         assert count == int(starts[B + 1])
 
+    def test_zero_budget_pure_micro_scene(self):
+        """e_cap_rows=0 (probe saw no candidates) skips binning entirely
+        and still matches the oracle bit-for-bit on an all-micro scene."""
+        rng = np.random.default_rng(7)
+        n = 300
+        c = rng.normal(size=(n, 3)).astype(np.float32) * 0.8
+        c[:, 2] = 4 + rng.random(n)
+        vertices = np.concatenate(
+            [c, c + [0.01, 0, 0], c + [0, 0.01, 0]], axis=0
+        ).astype(np.float32)
+        faces = np.stack(
+            [np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n], -1
+        ).astype(np.int32)
+        cam = _simple_cam(256, 96)
+        H, W = 96, 256
+        assert int(dense.candidate_count(
+            vertices, faces, *cam, height=H, width=W)) == 0
+        _, ov = _check(vertices, faces, cam, H, W, e_cap_rows=0)
+        assert ov == 0
+
+    def test_zero_budget_reports_candidates_as_overflow(self):
+        """With e_cap_rows=0, a later frame that does produce candidates
+        drops them but reports every dropped pair in overflow; micro
+        triangles still render."""
+        vertices = np.array(
+            [
+                # micro: covers pixel center (64.5, 48.5) at f=40, z=4
+                [0.04, 0.04, 4], [0.07, 0.04, 4], [0.04, 0.07, 4],
+                [0, 0, 5], [2, 0, 5], [0, 2, 5],          # tile-span
+            ],
+            np.float32,
+        )
+        faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        cam = _simple_cam(128, 96)
+        H, W = 96, 128
+        count = int(dense.candidate_count(
+            vertices, faces, *cam, height=H, width=W))
+        assert count > 0
+        tri, _, ov = dense.rasterize(
+            vertices, faces, *cam, height=H, width=W, e_cap_rows=0
+        )
+        tri = np.asarray(tri)
+        assert int(ov) == count
+        assert (tri == 0).any() and not (tri == 1).any()
+
     def test_tight_budget_bit_identical(self):
         """rasterize with e_cap_rows == exact count matches the default
         budget bit-for-bit."""
