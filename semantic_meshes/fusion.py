@@ -91,6 +91,20 @@ def _pixel_values(probs_flat, base_w, aggregator):
         # masked pixels (w == 0) contribute exactly 0.
         logp = jnp.maximum(jnp.log(jnp.maximum(probs_flat, 0.0)), _NEG_LARGE)
         return logp * base_w[:, None]
+    if aggregator == "mul-split":
+        # exact16-scatter form of "mul": the fixed-point scatter quantizes
+        # in absolute terms of each column's max value, but log-probs span
+        # [-1e30, 0]. Split w*logp into a near-field part (logp clipped at
+        # -64, quantized at ~4e-6 absolute — the range where classes are
+        # still in contention after max-normalization) and a far-field
+        # tail (nonzero only for probs < e^-64, where exp has already
+        # underflowed; its own column scale keeps annihilating magnitudes
+        # annihilating). Columns [0:C] + [C:2C] sum to the "mul" values.
+        logp = jnp.maximum(jnp.log(jnp.maximum(probs_flat, 0.0)), _NEG_LARGE)
+        main = jnp.maximum(logp, -64.0)
+        return jnp.concatenate(
+            [main, logp - main], axis=1
+        ) * base_w[:, None]
     raise ValueError(f"unknown aggregator {aggregator!r}")
 
 
@@ -126,17 +140,21 @@ def _accumulate_view(prim, probs, weights, images_equal_weight, *,
         weights.reshape(npix)
     base_w = jnp.where(in_range & not_dont_care, pixel_w, 0.0)
 
-    values = _pixel_values(probs_flat, base_w, aggregator)
+    mul_split = (
+        aggregator == "mul" and ops.effective_method(P) == "exact16"
+    )
+    values = _pixel_values(
+        probs_flat, base_w, "mul-split" if mul_split else aggregator
+    )
     # trailing column: pixels_per_face over ALL in-range pixels (Mesh.h:90-93)
     data = jnp.concatenate(
         [values, in_range.astype(jnp.float32)[:, None]], axis=1
     )
-    # "mul" accumulates log-probs whose magnitudes span many orders (down
-    # to _NEG_LARGE); the exact16 fixed-point scatter quantizes in absolute
-    # terms of max|value|, so mul stays on the f32 scatter path.
-    seg = ops.segment_sum(
-        data, idx, P, method="float32" if aggregator == "mul" else None
-    )
+    seg = ops.segment_sum(data, idx, P)
+    if mul_split:  # recombine near-field + far-field log sums
+        seg = jnp.concatenate(
+            [seg[:, :C] + seg[:, C:2 * C], seg[:, 2 * C:]], axis=1
+        )
     if axis_name is not None:
         seg = jax.lax.psum(seg, axis_name)
     counts = seg[:, C]

@@ -112,12 +112,14 @@ def _segment_sum_exact16(data, idx, num_segments):
     n, d = data.shape
     P = num_segments
 
-    vmax = jnp.max(jnp.abs(data))
+    # per-COLUMN power-of-2 scales: columns with different ranges (probs
+    # vs counts vs log-space tails) each use their full 24-bit budget
+    vmax = jnp.max(jnp.abs(data), axis=0)  # (d,)
     _, e = jnp.frexp(vmax)  # vmax = m * 2^e, m in [0.5, 1)
     scale = jnp.where(vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
-                      jnp.float32(1.0))
+                      jnp.float32(1.0))  # (d,)
     q = jnp.clip(
-        jnp.round(data * scale).astype(jnp.int32) + (1 << 23),
+        jnp.round(data * scale[None, :]).astype(jnp.int32) + (1 << 23),
         0, (1 << 24) - 1,
     )  # (n, d) in [0, 2^24)
 
@@ -203,16 +205,25 @@ def _segment_sum_mxu(data, idx, num_segments):
     return acc
 
 
+def effective_method(num_segments, method=None):
+    """The path segment_sum will take: 'mxu' for small P, else the
+    requested/default scatter method."""
+    if num_segments <= SEGMENT_MXU_MAX_P:
+        return "mxu"
+    return _SCATTER_METHOD if method is None else method
+
+
 def segment_sum(data, idx, num_segments, method=None):
     """TPU-tuned drop-in for jax.ops.segment_sum over rank-2 data.
 
     data (N, D) float32; idx (N,) integer; out-of-range indices are dropped.
     Dispatches to the MXU one-hot matmul for small segment counts and to a
     scatter method otherwise: `method` in {exact16, float32, bfloat16}
-    (None -> SM_SCATTER env default, normally exact16). Callers whose
-    values span many orders of magnitude (log-space "mul" fusion) should
-    pass "float32": exact16's fixed-point quantization error is absolute
-    in max|value|.
+    (None -> SM_SCATTER env default, normally exact16). exact16's
+    quantization is absolute in each COLUMN's max value (per-column
+    scales); callers whose values span many orders WITHIN a column should
+    split the column by magnitude range (see fusion's "mul-split") or
+    pass method="float32".
     """
     data = jnp.asarray(data, jnp.float32)
     idx = jnp.asarray(idx)

@@ -214,6 +214,49 @@ def test_mul_zero_prob_component():
     np.testing.assert_allclose(got[0].sum(), 1.0, atol=1e-5)
 
 
+@pytest.mark.parametrize("agg", ["sum", "summax", "mul"])
+def test_large_p_exact16_matches_oracle(agg):
+    """P above the MXU crossover routes through the exact16 limb scatter
+    (mul via the near/far-field split); results must still match the
+    reference-semantics oracle, including zero-prob components and
+    don't-care pixels."""
+    from semantic_meshes import ops
+
+    rng = np.random.default_rng(77)
+    P = ops.SEGMENT_MXU_MAX_P + 50
+    C = 5
+    assert ops.effective_method(P) in ("exact16", "float32", "bfloat16")
+    prim, probs, weights = rand_inputs(rng, P, C, hw=(40, 50))
+    # a few exact-zero components (log -> _NEG_LARGE; exercises the
+    # mul far-field tail channel)
+    zero_mask = rng.random(probs.shape) < 0.01
+    probs[zero_mask] = 0.0
+    ma = fusion.MeshAggregator(P, C, aggregator=agg)
+    ma.add(prim, probs, weights)
+    got = np.asarray(ma.get())
+    want = oracle(P, C, agg, 0.5, [(prim, probs, weights)])
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_mul_exact16_small_weights_annihilate():
+    """A zero-probability component must drive its class to 0 even under
+    a tiny pixel weight — the far-field tail channel must not lose the
+    annihilating magnitude to quantization."""
+    from semantic_meshes import ops
+
+    P = ops.SEGMENT_MXU_MAX_P + 50
+    C = 3
+    prim = np.zeros((4, 4), np.int64)
+    probs = np.full((4, 4, C), 1.0 / C, np.float32)
+    probs[0, 0, 1] = 0.0  # class 1 impossible in one pixel
+    weights = np.full((4, 4), 1e-3, np.float32)
+    ma = fusion.MeshAggregator(P, C, aggregator="mul")
+    ma.add(prim, probs, weights)
+    got = np.asarray(ma.get())[0]
+    assert got[1] == 0.0
+    np.testing.assert_allclose(got[[0, 2]], 0.5, atol=1e-5)
+
+
 def test_add_many_matches_sequential():
     rng = np.random.default_rng(13)
     P, C = 9, 4
