@@ -15,33 +15,67 @@ per-primitive distributions (segment reductions), all inside one jitted scan
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: through the tunneled compile service a
+# cold program costs 30-130 s; cached re-runs are ~1 s (verified, see
+# docs/PERFORMANCE.md "compile-time costs")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/sm_xla")
+)
+
+PRESETS = {
+    # (subdivisions, views, width, height, classes)
+    "small": (5, 4, 256, 192, 19),
+    "default": (9, 8, 1024, 768, 19),
+    "large": (16, 8, 2048, 1536, 19),
+    # ScanNet-scale mesh density: 500k triangles (dense rasterizer path)
+    "dense": (204, 4, 1024, 768, 19),
+    # ScanNet eval frame: ~100k tris, 1296x968 color, 40 NYU classes
+    "scannet": (91, 8, 1296, 968, 40),
+}
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="default",
-                        choices=["small", "default", "large", "dense",
-                                 "scannet", "e2e"])
+                        choices=list(PRESETS) + ["e2e"])
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--no-extra", action="store_true",
+                        help="skip the extra dense-preset sub-measurement "
+                             "on the default preset")
     args = parser.parse_args()
 
     if args.preset == "e2e":
         return bench_e2e(args)
 
-    presets = {
-        # (subdivisions, views, width, height, classes)
-        "small": (5, 4, 256, 192, 19),
-        "default": (9, 8, 1024, 768, 19),
-        "large": (16, 8, 2048, 1536, 19),
-        # ScanNet-scale mesh density: 500k triangles (dense rasterizer path)
-        "dense": (204, 4, 1024, 768, 19),
-        # ScanNet eval frame: ~100k tris, 1296x968 color, 40 NYU classes
-        "scannet": (91, 8, 1296, 968, 40),
-    }
-    sub, n_views, width, height, classes = presets[args.preset]
+    value, detail = measure_preset(args.preset, args.repeats)
+    if args.preset == "default" and not args.no_extra:
+        # also surface the historically-weakest preset (ScanNet-density
+        # meshes) so the driver-recorded number can't hide it
+        dense_value, dense_detail = measure_preset("dense", max(
+            2, args.repeats // 2))
+        detail["dense_MPix_s"] = dense_value
+        detail["dense_seconds_per_batch"] = dense_detail[
+            "seconds_per_batch"]
+    print(
+        json.dumps(
+            {
+                "metric": "rasterize_fuse_throughput",
+                "value": value,
+                "unit": "MPix/s",
+                "vs_baseline": round(value / 10.0, 3),
+                "detail": detail,
+            }
+        )
+    )
+
+
+def measure_preset(preset, repeats):
+    sub, n_views, width, height, classes = PRESETS[preset]
 
     import jax
 
@@ -110,31 +144,21 @@ def main():
 
     t0 = time.perf_counter()
     acc = None
-    for _ in range(args.repeats):
+    for _ in range(repeats):
         acc = run_async()
     float(np.asarray(acc[0, 0]))
-    dt = (time.perf_counter() - t0) / args.repeats
+    dt = (time.perf_counter() - t0) / repeats
     mpix = n_views * width * height / 1e6
     value = mpix / dt
-    print(
-        json.dumps(
-            {
-                "metric": "rasterize_fuse_throughput",
-                "value": round(value, 3),
-                "unit": "MPix/s",
-                "vs_baseline": round(value / 10.0, 3),
-                "detail": {
-                    "preset": args.preset,
-                    "triangles": int(len(faces)),
-                    "views": n_views,
-                    "resolution": [width, height],
-                    "classes": classes,
-                    "seconds_per_batch": round(dt, 5),
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
-    )
+    return round(value, 3), {
+        "preset": preset,
+        "triangles": int(len(faces)),
+        "views": n_views,
+        "resolution": [width, height],
+        "classes": classes,
+        "seconds_per_batch": round(dt, 5),
+        "device": str(jax.devices()[0]),
+    }
 
 
 def bench_e2e(args):
