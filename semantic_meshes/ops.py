@@ -205,12 +205,25 @@ def _segment_sum_mxu(data, idx, num_segments):
     return acc
 
 
+# XLA's f32 row scatter is FAST (~17 ms / 786k rows, same class as the
+# 16-bit path) until the output row count crosses ~2^18, then ~6x slower;
+# the cliff tracks P alone, not accumulator bytes (measured: P=262144 fast
+# at 21 MB and 31 MB, P=393216 slow at 15 MB — scripts/microbench_scatter4.py).
+_F32_FAST_MAX_P = 262_144
+
+
 def effective_method(num_segments, method=None):
     """The path segment_sum will take: 'mxu' for small P, else the
-    requested/default scatter method."""
+    requested/default scatter method. The default 'exact16' auto-resolves
+    to the plain f32 scatter below the P-cliff, where f32 is exact AND as
+    fast; an explicit method=... is honored as given."""
     if num_segments <= SEGMENT_MXU_MAX_P:
         return "mxu"
-    return _SCATTER_METHOD if method is None else method
+    if method is None:
+        method = _SCATTER_METHOD
+        if method == "exact16" and num_segments <= _F32_FAST_MAX_P:
+            return "float32"
+    return method
 
 
 def segment_sum(data, idx, num_segments, method=None):
@@ -230,11 +243,11 @@ def segment_sum(data, idx, num_segments, method=None):
     squeeze = data.ndim == 1
     if squeeze:
         data = data[:, None]
-    if num_segments <= SEGMENT_MXU_MAX_P:
+    method = effective_method(num_segments, method)
+    if method == "mxu":
         # MXU path masks out-of-range via the one-hot comparison itself
         out = _segment_sum_mxu(data, idx.astype(jnp.int32), num_segments)
     else:
-        method = _SCATTER_METHOD if method is None else method
         valid = (idx >= 0) & (idx < num_segments)
         if method == "exact16":
             safe = jnp.where(valid, idx, num_segments).astype(jnp.int32)

@@ -222,34 +222,69 @@ def _rasterize_micro(setup, micro, height, width, y_offset):
         pix_list.append(jnp.where(ok, iy_local * width + ix, HW))
         key_list.append(zbits)
 
-    bg_tri = jnp.int32(2**31 - 1)
-    pix = jnp.concatenate(
-        pix_list + [jnp.arange(HW, dtype=jnp.int32)]
-    )
-    zbits = jnp.concatenate(
-        key_list + [jnp.full((HW,), jnp.int32(0x7F800000))]  # +inf bits
-    )
-    tri = jnp.concatenate(
-        [jnp.tile(jnp.arange(T, dtype=jnp.int32), 4),
-         jnp.full((HW,), bg_tri)]
-    )
-    # z-resolve: (pixel, z, tri) — tri in the keys gives the deterministic
-    # lowest-index tie-break on equal depth
+    if 4 * T * 2 >= HW:
+        # fragment count rivals the pixel count (the dense regime): append
+        # one background fragment per pixel so the compaction sort emits
+        # exactly one winner per pixel — the image is then a reshape, no
+        # scatter. Sorts are cheap (~4 ns/row), image-sized set-scatters
+        # are not (~30 ns/row) — scripts/microbench_scatter2.py.
+        bg_tri = jnp.int32(2**31 - 1)
+        pix = jnp.concatenate(
+            pix_list + [jnp.arange(HW, dtype=jnp.int32)]
+        )
+        zbits = jnp.concatenate(
+            key_list + [jnp.full((HW,), jnp.int32(0x7F800000))]  # +inf
+        )
+        tri = jnp.concatenate(
+            [jnp.tile(jnp.arange(T, dtype=jnp.int32), 4),
+             jnp.full((HW,), bg_tri)]
+        )
+        # z-resolve: (pixel, z, tri) — tri in the keys gives the
+        # deterministic lowest-index tie-break on equal depth
+        pix_s, z_s, tri_s = jax.lax.sort(
+            (pix, zbits, tri), dimension=0, is_stable=False, num_keys=3
+        )
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
+        ) & (pix_s < HW)
+        # compact: exactly HW winners (one per pixel), pixel-ascending
+        _, wz, wtri = jax.lax.sort(
+            (jnp.where(first, pix_s, HW), z_s, tri_s),
+            dimension=0,
+            is_stable=False,
+            num_keys=3,
+        )
+        z_img = jax.lax.bitcast_convert_type(wz[:HW], jnp.float32)
+        idx_img = jnp.where(jnp.isinf(z_img), -1, wtri[:HW])
+        return z_img.reshape(height, width), idx_img.reshape(height, width)
+
+    # few fragments relative to the image (big tiles/small mesh on the
+    # dense path): sort only the 4T fragments and build the image with one
+    # <=4T-row sorted set-scatter instead of paying O(HW log HW) sorts
+    pix = jnp.concatenate(pix_list)
+    zbits = jnp.concatenate(key_list)
+    tri = jnp.tile(jnp.arange(T, dtype=jnp.int32), 4)
     pix_s, z_s, tri_s = jax.lax.sort(
         (pix, zbits, tri), dimension=0, is_stable=False, num_keys=3
     )
     first = jnp.concatenate(
         [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
     ) & (pix_s < HW)
-    # compact: exactly HW winners (one per pixel), ascending pixel order
-    _, wz, wtri = jax.lax.sort(
+    wpix, wz, wtri = jax.lax.sort(
         (jnp.where(first, pix_s, HW), z_s, tri_s),
         dimension=0,
         is_stable=False,
         num_keys=3,
     )
-    z_img = jax.lax.bitcast_convert_type(wz[:HW], jnp.float32)
-    idx_img = jnp.where(jnp.isinf(z_img), -1, wtri[:HW])
+    cap = min(wpix.shape[0], HW)
+    wpix, wz, wtri = wpix[:cap], wz[:cap], wtri[:cap]
+    vals = jnp.stack([wz, wtri], axis=-1)  # (cap, 2)
+    img = jnp.full((HW, 2), jnp.int32(0x7F800000))  # +inf bits / marker
+    img = img.at[wpix].set(
+        vals, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+    z_img = jax.lax.bitcast_convert_type(img[:, 0], jnp.float32)
+    idx_img = jnp.where(jnp.isinf(z_img), -1, img[:, 1])
     return z_img.reshape(height, width), idx_img.reshape(height, width)
 
 

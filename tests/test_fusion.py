@@ -215,17 +215,19 @@ def test_mul_zero_prob_component():
 
 
 @pytest.mark.parametrize("agg", ["sum", "summax", "mul"])
-def test_large_p_exact16_matches_oracle(agg):
-    """P above the MXU crossover routes through the exact16 limb scatter
-    (mul via the near/far-field split); results must still match the
-    reference-semantics oracle, including zero-prob components and
-    don't-care pixels."""
+def test_large_p_exact16_matches_oracle(agg, monkeypatch):
+    """P above the f32 scatter's P-cliff routes through the exact16 limb
+    scatter (mul via the near/far-field split); results must still match
+    the reference-semantics oracle, including zero-prob components and
+    don't-care pixels. The cliff is lowered so the test P (unique per
+    aggregator — jit caches key on P) exercises the limb path."""
     from semantic_meshes import ops
 
+    monkeypatch.setattr(ops, "_F32_FAST_MAX_P", ops.SEGMENT_MXU_MAX_P)
     rng = np.random.default_rng(77)
-    P = ops.SEGMENT_MXU_MAX_P + 50
+    P = ops.SEGMENT_MXU_MAX_P + 50 + 7 * len(agg)  # unique per param
     C = 5
-    assert ops.effective_method(P) in ("exact16", "float32", "bfloat16")
+    assert ops.effective_method(P) == "exact16"
     prim, probs, weights = rand_inputs(rng, P, C, hw=(40, 50))
     # a few exact-zero components (log -> _NEG_LARGE; exercises the
     # mul far-field tail channel)
@@ -238,13 +240,14 @@ def test_large_p_exact16_matches_oracle(agg):
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
-def test_mul_exact16_small_weights_annihilate():
+def test_mul_exact16_small_weights_annihilate(monkeypatch):
     """A zero-probability component must drive its class to 0 even under
     a tiny pixel weight — the far-field tail channel must not lose the
     annihilating magnitude to quantization."""
     from semantic_meshes import ops
 
-    P = ops.SEGMENT_MXU_MAX_P + 50
+    monkeypatch.setattr(ops, "_F32_FAST_MAX_P", ops.SEGMENT_MXU_MAX_P)
+    P = ops.SEGMENT_MXU_MAX_P + 93  # unique P: jit caches key on shapes
     C = 3
     prim = np.zeros((4, 4), np.int64)
     probs = np.full((4, 4, C), 1.0 / C, np.float32)
