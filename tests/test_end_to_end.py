@@ -179,6 +179,51 @@ class TestShardedPipeline:
             )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
+    def test_sharded_exact16_matches_single_chip(self, cube_scene,
+                                                 monkeypatch):
+        """The exact16 limb scatter inside shard_map (pixels sharded):
+        per-shard limb sums + counts merge by psum and must equal the
+        single-device result. P is pushed past the MXU crossover and the
+        f32 P-cliff is lowered so the limb path actually runs."""
+        import jax
+        from jax.sharding import Mesh
+
+        from semantic_meshes import ops
+
+        devices = np.array(jax.devices())
+        if devices.size < 8:
+            pytest.skip("needs 8 devices (virtual cpu mesh)")
+        monkeypatch.setattr(ops, "_F32_FAST_MAX_P", ops.SEGMENT_MXU_MAX_P)
+        mesh = Mesh(devices[:8].reshape(2, 4), ("views", "pixels"))
+
+        vertices, faces, cams = cube_scene
+        P = ops.SEGMENT_MXU_MAX_P + 431  # unique: jit caches key on P
+        assert ops.effective_method(P) == "exact16"
+        C = 3
+        rng = np.random.default_rng(29)
+        W, H = cams[0].resolution
+        probs = np.stack(
+            [testing.random_probs(rng, H, W, C) for _ in cams]
+        )
+        rot, trans, fl, pp = stack_cameras(cams)
+
+        ref = np.asarray(
+            distributed.fuse_views(
+                vertices, faces, rot, trans, fl, pp, probs,
+                np.float32(0.5),
+                num_primitives=P, aggregator="sum", height=H, width=W,
+            )
+        )
+        fuse = distributed.make_sharded_fuse(
+            mesh, num_primitives=P, aggregator="sum", height=H, width=W
+        )
+        with mesh:
+            got = np.asarray(
+                fuse(vertices, faces, rot, trans, fl, pp, probs,
+                     np.float32(0.5))
+            )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
     def test_sharded_weighted_matches_single_chip(self, cube_scene):
         """Per-pixel weights through the multi-chip path: API parity with
         the reference's 3-arg add (ref: fusion/Mesh.h:66,103)."""
