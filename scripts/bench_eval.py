@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Reproducible end-to-end eval benchmark (the docs/PERFORMANCE.md
+"End-to-end ScanNet-eval timing" scene).
+
+Builds a synthetic 43k-face ScanNet scene (subdivided cube, ring cameras,
+posed .sens frames) and times `eval-scannet/eval_scannet.py` over it on
+the current default device. Frame rate = frames / fusion-loop wall time
+as reported by the eval's --timings phase timers; steady-state excludes
+the first (compiling) frame by using enough frames to amortize.
+
+Usage: python scripts/bench_eval.py [--subdivisions 60] [--frames 40]
+           [--width 1296] [--height 968] [--model jax-unet|probs]
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdivisions", type=int, default=60)  # 43200 faces
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--width", type=int, default=1296)
+    ap.add_argument("--height", type=int, default=968)
+    ap.add_argument("--model", default="jax-unet",
+                    choices=["jax-unet", "probs"])
+    ap.add_argument("--aggregator", default="mul")
+    ap.add_argument("--texels", action="store_true")
+    ap.add_argument("--keep", help="directory to build the scene in "
+                                   "(reused if it already exists)")
+    args = ap.parse_args()
+
+    from semantic_meshes import testing
+
+    root = args.keep or tempfile.mkdtemp(prefix="sm_bench_eval_")
+    name = "scene0000_00"
+    scene_sens = os.path.join(root, "scans", name, f"{name}.sens")
+    if not os.path.exists(scene_sens):
+        os.makedirs(os.path.join(root, "scans"), exist_ok=True)
+        testing.write_scannet_label_tsv(
+            os.path.join(root, "scannetv2-labels.combined.tsv"))
+        t0 = time.perf_counter()
+        faces, views = testing.build_synthetic_scannet_scene(
+            root, name, subdivisions=args.subdivisions,
+            num_views=args.frames, width=args.width, height=args.height,
+            write_probs=(args.model == "probs"),
+        )
+        print(json.dumps({"scene_built": {"faces": faces, "frames": views,
+                          "seconds": round(time.perf_counter() - t0, 1)}}),
+              flush=True)
+
+    out = os.path.join(root, "results")
+    cmd = [
+        sys.executable, os.path.join(REPO, "eval-scannet", "eval_scannet.py"),
+        "--scannet", root,
+        "--model", args.model,
+        "--aggregator", args.aggregator,
+        "--output", out,
+        "--timings",
+    ]
+    if args.model == "probs":
+        cmd += ["--probs_dir", os.path.join(root, "probs")]
+    if args.texels:
+        cmd += ["--mode", "texels"]
+    env = dict(os.environ)
+    env.setdefault("SM_COMPILE_CACHE",
+                   os.path.expanduser("~/.cache/sm_xla"))
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    wall = time.perf_counter() - t0
+    sys.stderr.write(proc.stdout[-3000:] + proc.stderr[-3000:])
+    if proc.returncode != 0:
+        raise SystemExit(f"eval failed rc={proc.returncode}")
+
+    # PhaseTimers lines: "  <name>: 1.234s (N calls, X ms/call)"
+    m = re.findall(
+        r"^\s+([\w/ .-]+): ([0-9.]+)s \((\d+) calls, ([0-9.]+) ms/call\)",
+        proc.stdout, re.M,
+    )
+    timers = {k: {"total_s": float(t), "calls": int(n),
+                  "ms_per_call": float(ms)} for k, t, n, ms in m}
+    print(json.dumps({
+        "metric": "eval_e2e",
+        "frames": args.frames,
+        "model": args.model,
+        "aggregator": args.aggregator,
+        "total_wall_s": round(wall, 1),
+        "timers": timers,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,137 @@ def make_ring_cameras(num_views=4, width=256, height=192, radius=3.0,
     return cams
 
 
+def write_scannet_label_tsv(path, num_classes=6):
+    """Minimal scannetv2-labels.combined.tsv: identity raw->nyu40 mapping
+    for ids 1..num_classes (schema per the real TSV's columns used by the
+    eval harness)."""
+    with open(path, "w") as f:
+        f.write("id\traw_category\tcategory\tnyu40id\n")
+        for i in range(1, num_classes + 1):
+            f.write(f"{i}\tc{i}\tc{i}\t{i}\n")
+
+
+def build_synthetic_scannet_scene(root, name, *, subdivisions=3,
+                                  num_views=4, width=128, height=96,
+                                  classes=40, radius=3.0,
+                                  write_probs=True, renderer=None):
+    """Build a fake ScanNet scene directory for eval tests/benchmarks.
+
+    Creates scans/<name>/ with <name>_vh_clean_2.labels.ply (cube mesh,
+    per-vertex raw labels 1..6 by cube side), <name>.sens (posed frames
+    with jpeg color + zlib depth), label-filt/<i>.png ground truth, and
+    (optionally) probs/<name>/<i>.npy perfect one-hot predictions.
+
+    Returns (num_faces, num_views). Rendering the gt label images uses a
+    TrianglesRenderer on the current default device — pass `renderer=None`
+    to build one (a TPU makes large `subdivisions` practical).
+    """
+    import io
+    import os
+    import zlib
+
+    import imageio.v2 as imageio
+
+    from . import data as sm_data
+    from . import render as sm_render
+    from .data2.scannet import write_sens
+
+    root = os.fspath(root)
+    scene = os.path.join(root, "scans", name)
+    os.makedirs(os.path.join(scene, "label-filt"), exist_ok=True)
+
+    W, H = int(width), int(height)
+    vertices, faces = make_cube(subdivisions=subdivisions)
+    tris_per_side = len(faces) // 6
+    face_class_nyu = (np.arange(len(faces)) // tris_per_side) + 1  # 1..6
+
+    vertex_labels = np.zeros(len(vertices), np.int64)
+    for f, cls in zip(faces, face_class_nyu):
+        vertex_labels[f] = cls
+
+    ply_path = os.path.join(scene, f"{name}_vh_clean_2.labels.ply")
+    with open(ply_path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"property ushort label\n")
+        f.write(f"element face {len(faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\nend_header\n")
+        rec = np.empty(
+            len(vertices),
+            dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("l", "<u2")],
+        )
+        rec["x"], rec["y"], rec["z"] = vertices.T
+        rec["l"] = vertex_labels
+        f.write(rec.tobytes())
+        frec = np.empty(len(faces), dtype=[("n", "u1"), ("i", "<i4", (3,))])
+        frec["n"] = 3
+        frec["i"] = faces
+        f.write(frec.tobytes())
+
+    cams = make_ring_cameras(num_views=num_views, width=W, height=H,
+                             radius=radius)
+    if renderer is None:
+        mesh_obj = sm_data.Ply(ply_path)
+        renderer = sm_render.triangles(mesh_obj)
+
+    fx = fy = 0.9 * min(W, H)
+    intrinsic = np.eye(4, dtype=np.float32)
+    intrinsic[0, 0], intrinsic[1, 1] = fx, fy
+    intrinsic[0, 2], intrinsic[1, 2] = W / 2, H / 2
+
+    probs_dir = os.path.join(root, "probs", name)
+    if write_probs:
+        os.makedirs(probs_dir, exist_ok=True)
+
+    frames = []
+    for i, cam in enumerate(cams):
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = cam.rotation
+        w2c[:3, 3] = cam.translation
+        c2w = np.linalg.inv(w2c)
+
+        idx, _ = renderer.render(cam)
+        idx_hw = np.asarray(idx).T
+        covered = idx_hw != 0xFFFFFFFF
+        gt = np.zeros((H, W), np.uint16)
+        gt[covered] = face_class_nyu[idx_hw[covered].astype(np.int64)]
+        imageio.imwrite(
+            os.path.join(scene, "label-filt", f"{i}.png"), gt
+        )
+
+        if write_probs:
+            probs = np.zeros((H, W, classes), np.float32)
+            ys, xs = np.nonzero(covered)
+            probs[ys, xs, gt[covered].astype(np.int64) - 1] = 1.0
+            np.save(os.path.join(probs_dir, f"{i}.npy"), probs)
+
+        color = np.zeros((H, W, 3), np.uint8)
+        color[covered] = 128
+        depth = np.full((H, W), 1000, np.uint16)
+        buf = io.BytesIO()
+        imageio.imwrite(buf, color, format="jpeg")
+        frames.append(
+            dict(
+                camera_to_world=c2w,
+                timestamp_color=i,
+                timestamp_depth=i,
+                color_data=buf.getvalue(),
+                depth_data=zlib.compress(depth.tobytes()),
+            )
+        )
+
+    write_sens(
+        os.path.join(scene, f"{name}.sens"),
+        "synthetic",
+        intrinsic, np.eye(4, dtype=np.float32),
+        intrinsic, np.eye(4, dtype=np.float32),
+        color_hw=(H, W), depth_hw=(H, W), depth_shift=1000.0,
+        frames=frames,
+    )
+    return len(faces), num_views
+
+
 def random_probs(rng, height, width, classes, dont_care_frac=0.0):
     """Random softmax class-probability image (H, W, C) float32."""
     logits = rng.normal(size=(height, width, classes)).astype(np.float32)
