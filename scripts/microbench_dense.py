@@ -11,6 +11,12 @@ Methodology per CLAUDE.md: warm, dispatch REPEATS back-to-back, single
 device->host readback.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time
