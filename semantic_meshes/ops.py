@@ -28,6 +28,9 @@ import os
 
 # Measured crossover on v5e (0.8 MPix, 20 cols): one-hot matmul beats
 # scatter-add up to P ~ 3.5k; scatter is flat (~7.5 ms) beyond.
+# Re-validated round 2 vs the fast-P f32 scatter
+# (scripts/microbench_mxu_crossover.py): MXU 10.1 vs scatter 13.8 ms at
+# P=3072; scatter wins from P=6144 (13.9 vs 10.3). 3072 is optimal.
 SEGMENT_MXU_MAX_P = int(os.environ.get("SM_SEGMENT_MXU_MAX_P", 3072))
 _CHUNK = 4096
 
