@@ -36,6 +36,9 @@ PRESETS = {
     "dense": (204, 4, 1024, 768, 19),
     # ScanNet eval frame: ~100k tris, 1296x968 color, 40 NYU classes
     "scannet": (91, 8, 1296, 968, 40),
+    # paper's texel mode at scale: 49k tris subdivided into ~1M texel
+    # primitives -> the exact16 large-P fusion regime
+    "texels": (64, 4, 1024, 768, 19),
 }
 
 
@@ -92,6 +95,24 @@ def measure_preset(preset, repeats):
     )
     rot, trans, fl, pp = stack_cameras(cams)
 
+    texel_params = None
+    num_primitives = len(faces)
+    if preset == "texels":
+        import tempfile
+
+        import semantic_meshes
+        from semantic_meshes.io.ply import write_mesh
+
+        tmp = tempfile.mkdtemp()
+        write_mesh(tmp + "/m.ply", vertices, faces)
+        renderer = semantic_meshes.render.texels(
+            semantic_meshes.data.Ply(tmp + "/m.ply"), cams, 2.0
+        )
+        vertices = np.asarray(renderer.vertices)
+        faces = np.asarray(renderer.faces)  # reordered for texel uv
+        texel_params = (renderer.resolutions, renderer.first_texel_index)
+        num_primitives = renderer.getPrimitivesNum()
+
     dev_args = jax.device_put(
         (vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5))
     )
@@ -113,34 +134,31 @@ def measure_preset(preset, repeats):
         # 0 => every triangle is micro: the dense path skips binning
         dense_e_cap = 2 * max(counts)
 
-    def run():
-        acc = distributed.fuse_views(
+    def run_async():
+        if texel_params is not None:
+            v, f, *rest = dev_args
+            return distributed.fuse_views_texels(
+                v, f, texel_params[0], texel_params[1], *rest,
+                num_primitives=num_primitives, aggregator="sum",
+                height=height, width=width, dense_e_cap=dense_e_cap,
+            )
+        return distributed.fuse_views(
             *dev_args,
-            num_primitives=len(faces),
+            num_primitives=num_primitives,
             aggregator="sum",
             height=height,
             width=width,
             dense_e_cap=dense_e_cap,
         )
-        acc.block_until_ready()
-        # A tiny device->host readback guarantees execution actually finished
-        # (block_until_ready can return early through tunneled transports).
-        return float(np.asarray(acc[0, 0]))
 
-    run()  # compile + warm
+    # compile + warm; a tiny device->host readback guarantees execution
+    # actually finished (block_until_ready can return early through
+    # tunneled transports)
+    float(np.asarray(run_async()[0, 0]))
     # Steady-state throughput: dispatch `repeats` batches back-to-back and
     # read back once — device execution pipelines across dispatches, so the
     # (axon-tunneled) host readback latency is amortized instead of being
     # charged to every batch.
-    def run_async():
-        return distributed.fuse_views(
-            *dev_args,
-            num_primitives=len(faces),
-            aggregator="sum",
-            height=height,
-            width=width,
-            dense_e_cap=dense_e_cap,
-        )
 
     t0 = time.perf_counter()
     acc = None
@@ -153,6 +171,7 @@ def measure_preset(preset, repeats):
     return round(value, 3), {
         "preset": preset,
         "triangles": int(len(faces)),
+        "primitives": int(num_primitives),
         "views": n_views,
         "resolution": [width, height],
         "classes": classes,
