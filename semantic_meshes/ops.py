@@ -162,12 +162,15 @@ def _segment_sum_exact16(data, idx, num_segments):
         + g2.astype(jnp.float32) * 262144.0
     ) / scale
 
-    # exact MXU correction of every possible wrap victim (top-64 by
-    # count). Only segments with > _EXACT16_CAP rows can have wrapped, so
-    # when the max count stays below the cap (micro-triangle scenes — the
+    # exact MXU correction of every possible wrap victim. Only segments
+    # with > _EXACT16_CAP rows can have wrapped, and there are at most
+    # n / (_EXACT16_CAP + 1) of them by pigeonhole — k must scale with
+    # the ROW count (a 4 MPix view can hold >64 over-cap segments), so
+    # the top-k by exact count always covers every possible victim. When
+    # the max count stays below the cap (micro-triangle scenes — the
     # common dense case) the whole correction is skipped on-device
     # (lax.cond, ~8 ms saved: top_k 4 ms + one-hot dot 4 ms per view).
-    k = min(_EXACT16_K, P)
+    k = min(P, max(_EXACT16_K, -(-n // (_EXACT16_CAP + 1))))
 
     def _corrected(args):
         total, counts, data, idx = args

@@ -122,6 +122,25 @@ class TestExact16:
         want = _oracle(data, idx, P)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
 
+    def test_more_than_64_heavy_segments(self):
+        """A view larger than 64 * 16384 rows can contain more than 64
+        over-capacity segments; the correction's k must scale with the
+        row count or some wrapped segments would ship silently."""
+        rng = np.random.default_rng(16)
+        heavy = 70
+        per = 16_500  # > _EXACT16_CAP rows each
+        N = heavy * per
+        P = 4000
+        idx = np.repeat(np.arange(heavy, dtype=np.int32), per)
+        # values near -max so the centered limbs sit at -2 and per-segment
+        # limb sums actually exceed +-2^15 (random data concentrates near
+        # -0.5 * N and would not wrap, passing vacuously)
+        data = -(0.9 + 0.1 * rng.random((N, 2))).astype(np.float32)
+        got = np.asarray(ops.segment_sum(data, idx, P, method="exact16"))
+        want = np.zeros((P, 2))
+        np.add.at(want, idx, data.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
+
     def test_methods_agree(self):
         rng = np.random.default_rng(15)
         N, D, P = 9000, 3, 4000
