@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""exact16 phase breakdown at dense-preset shapes (786k rows, P=500k,
+C=20+1): quantize+decompose vs scatter vs reconstruct vs the fused whole.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semantic_meshes import ops
+
+ROWS, P, D = 786_432, 500_000, 21
+
+
+def coherent_ids(rows, segs, rng):
+    base = (np.arange(rows, dtype=np.int64) * segs) // rows
+    jitter = rng.integers(-3, 4, rows)
+    return np.clip(base + jitter, 0, segs - 1).astype(np.int32)
+
+
+def timeit(fn, args_dev, repeats, probe):
+    out = fn(*args_dev)
+    _ = np.asarray(probe(out))
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(*args_dev)
+    _ = np.asarray(probe(out))
+    return (time.perf_counter() - t0) / repeats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=8)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    data = jax.device_put(rng.random((ROWS, D), np.float32))
+    idx = jax.device_put(coherent_ids(ROWS, P, rng))
+
+    L = ops._EXACT16_LIMBS
+    nch = -(-ROWS // ops._EXACT16_CHUNK)
+
+    @jax.jit
+    def decompose(data):
+        vmax = jnp.max(jnp.abs(data), axis=0)
+        _, e = jnp.frexp(vmax)
+        scale = jnp.where(vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
+                          jnp.float32(1.0))
+        q = jnp.clip(jnp.round(data * scale[None, :]).astype(jnp.int32)
+                     + (1 << 23), 0, (1 << 24) - 1)
+        shifts = jnp.arange(L, dtype=jnp.int32) * 2
+        limbs = ((q[:, :, None] >> shifts[None, None, :]) & 3) - 2
+        limbs16 = limbs.reshape(ROWS, D * L).astype(jnp.int16)
+        chunk = (jnp.arange(ROWS, dtype=jnp.int32) // ops._EXACT16_CHUNK)
+        cols = (chunk[:, None] == jnp.arange(nch, dtype=jnp.int32)[None, :]
+                ).astype(jnp.int16)
+        return jnp.concatenate([limbs16, cols], axis=1)
+
+    upd = jax.block_until_ready(decompose(data))
+    dt = timeit(decompose, (data,), args.repeats, lambda o: o[0, 0])
+    print(json.dumps({"phase": "quantize+decompose",
+                      "ms": round(dt * 1e3, 2)}), flush=True)
+
+    @jax.jit
+    def decompose_i16(data):
+        # variant: split q into two 12-bit halves, narrow to int16 FIRST,
+        # extract limbs with int16 lane arithmetic (2x vector throughput)
+        vmax = jnp.max(jnp.abs(data), axis=0)
+        _, e = jnp.frexp(vmax)
+        scale = jnp.where(vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
+                          jnp.float32(1.0))
+        q = jnp.clip(jnp.round(data * scale[None, :]).astype(jnp.int32)
+                     + (1 << 23), 0, (1 << 24) - 1)
+        q_lo = (q & 0xFFF).astype(jnp.int16)
+        q_hi = (q >> 12).astype(jnp.int16)
+        shifts = jnp.arange(6, dtype=jnp.int16) * 2
+        lo = ((q_lo[:, :, None] >> shifts[None, None, :]) & 3) - 2
+        hi = ((q_hi[:, :, None] >> shifts[None, None, :]) & 3) - 2
+        limbs16 = jnp.concatenate([lo, hi], axis=2).reshape(ROWS, D * L)
+        chunk = (jnp.arange(ROWS, dtype=jnp.int32) // ops._EXACT16_CHUNK)
+        cols = (chunk[:, None] == jnp.arange(nch, dtype=jnp.int32)[None, :]
+                ).astype(jnp.int16)
+        return jnp.concatenate([limbs16, cols], axis=1)
+
+    jax.block_until_ready(decompose_i16(data))
+    dt = timeit(decompose_i16, (data,), args.repeats, lambda o: o[0, 0])
+    print(json.dumps({"phase": "quantize+decompose_i16",
+                      "ms": round(dt * 1e3, 2)}), flush=True)
+
+    @jax.jit
+    def scat(upd, idx):
+        acc = jnp.zeros((P, L * D + nch), jnp.int16)
+        return acc.at[idx].add(upd, mode="drop")
+
+    acc = jax.block_until_ready(scat(upd, idx))
+    dt = timeit(scat, (upd, idx), args.repeats, lambda o: o[0, 0])
+    print(json.dumps({"phase": "int16_scatter", "ms": round(dt * 1e3, 2)}),
+          flush=True)
+
+    @jax.jit
+    def whole(data, idx):
+        return ops._segment_sum_exact16(data, idx, P)
+
+    dt = timeit(whole, (data, idx), args.repeats, lambda o: o[0, 0])
+    print(json.dumps({"phase": "whole_exact16", "ms": round(dt * 1e3, 2)}),
+          flush=True)
+
+    @jax.jit
+    def f32ref(data, idx):
+        out = jnp.zeros((P, D), jnp.float32)
+        return out.at[idx].add(data, mode="drop")
+
+    dt = timeit(f32ref, (data, idx), args.repeats, lambda o: o[0, 0])
+    print(json.dumps({"phase": "f32_scatter_ref", "ms": round(dt * 1e3, 2)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
