@@ -98,6 +98,40 @@ def main():
                       "ms": round(dt * 1e3, 2)}), flush=True)
 
     @jax.jit
+    def decompose_i16_nocat(data):
+        # isolate the concat cost: limbs only, single reshape, no chunk
+        # columns
+        vmax = jnp.max(jnp.abs(data), axis=0)
+        _, e = jnp.frexp(vmax)
+        scale = jnp.where(vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
+                          jnp.float32(1.0))
+        q = jnp.clip(jnp.round(data * scale[None, :]).astype(jnp.int32)
+                     + (1 << 23), 0, (1 << 24) - 1)
+        q_lo = (q & 0xFFF).astype(jnp.int16)
+        q_hi = (q >> 12).astype(jnp.int16)
+        shifts = jnp.arange(6, dtype=jnp.int16) * 2
+        lo = ((q_lo[:, :, None] >> shifts[None, None, :]) & 3) - 2
+        hi = ((q_hi[:, :, None] >> shifts[None, None, :]) & 3) - 2
+        return lo.reshape(ROWS, D * 6), hi.reshape(ROWS, D * 6)
+
+    jax.block_until_ready(decompose_i16_nocat(data))
+    dt = timeit(decompose_i16_nocat, (data,), args.repeats,
+                probe=lambda o: o[0][0, 0])
+    print(json.dumps({"phase": "decompose_i16_nocat",
+                      "ms": round(dt * 1e3, 2)}), flush=True)
+
+    @jax.jit
+    def narrow_only(data):
+        # floor probe: one elementwise int16 production of the same bytes
+        q = (data * 1024.0).astype(jnp.int16)
+        return jnp.tile(q, (1, 12))
+
+    jax.block_until_ready(narrow_only(data))
+    dt = timeit(narrow_only, (data,), args.repeats, lambda o: o[0, 0])
+    print(json.dumps({"phase": "narrow_tile_floor",
+                      "ms": round(dt * 1e3, 2)}), flush=True)
+
+    @jax.jit
     def scat(upd, idx):
         acc = jnp.zeros((P, L * D + nch), jnp.int16)
         return acc.at[idx].add(upd, mode="drop")
