@@ -154,16 +154,16 @@ def measure_preset(preset, repeats):
     # compile + warm; a tiny device->host readback guarantees execution
     # actually finished (block_until_ready can return early through
     # tunneled transports)
-    float(np.asarray(run_async()[0, 0]))
+    acc, overflow = run_async()
+    float(np.asarray(acc[0, 0]))
     # Steady-state throughput: dispatch `repeats` batches back-to-back and
     # read back once — device execution pipelines across dispatches, so the
     # (axon-tunneled) host readback latency is amortized instead of being
     # charged to every batch.
 
     t0 = time.perf_counter()
-    acc = None
     for _ in range(repeats):
-        acc = run_async()
+        acc, overflow = run_async()
     float(np.asarray(acc[0, 0]))
     dt = (time.perf_counter() - t0) / repeats
     mpix = n_views * width * height / 1e6
@@ -176,6 +176,10 @@ def measure_preset(preset, repeats):
         "resolution": [width, height],
         "classes": classes,
         "seconds_per_batch": round(dt, 5),
+        # dropped candidate pairs across the batch; nonzero means the
+        # measured number rendered LESS than the full mesh — never accept
+        # a throughput with overflow > 0
+        "overflow": int(np.asarray(overflow)),
         "device": str(jax.devices()[0]),
     }
 

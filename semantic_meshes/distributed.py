@@ -108,9 +108,16 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
     probs: (H, W, C) — note (H, W) layout here, not the public API's (W, H).
     prim_transform: optional fn(tri_index, camera_arrays) -> primitive ids
     (the texel shader hook); default uses triangle ids directly.
+
+    Returns ((P, C) fusion delta, overflow): overflow counts candidate
+    pairs the rasterizer dropped under its static budgets this view. The
+    reference never drops geometry (it grows mutex memory instead,
+    ref: include/semantic_meshes/render/TriangleRenderer.h:68-72); our
+    static-shape caps are only acceptable because every drop is counted
+    and surfaced by the batched/sharded pipelines below.
     """
     rot, trans, fl, pp = camera_arrays
-    tri, _depth, _ov = rast.rasterize(
+    tri, _depth, overflow = rast.rasterize(
         vertices, faces, rot, trans, fl, pp,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         y_offset=0 if y_offset is None else y_offset,
@@ -121,10 +128,11 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
         prim = jnp.where(tri >= 0, tri, num_primitives).astype(jnp.int32)
     else:
         prim = prim_transform(tri, camera_arrays)
-    return view_accumulate(
+    delta = view_accumulate(
         prim, probs, weights, images_equal_weight,
         num_primitives, aggregator, axis_name=axis_name,
     )
+    return delta, jnp.asarray(overflow, jnp.int32)
 
 
 @functools.partial(
@@ -141,17 +149,21 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     """Single-chip batched pipeline: scan render+fuse over N views.
 
     rotations (N,3,3), translations (N,3), focal_lengths/principal_points
-    (N,2), probs (N,H,W,C), optional per-pixel weights (N,H,W). Returns the
-    (P, C) accumulator (pair it with fusion._get / MeshAggregator.state to
-    read out distributions).
+    (N,2), probs (N,H,W,C), optional per-pixel weights (N,H,W). Returns
+    (accumulator (P, C), overflow int32): pair the accumulator with
+    fusion._get / MeshAggregator.state to read out distributions; overflow
+    is the total candidate pairs dropped by the rasterizer's static
+    budgets across all views (0 in a correctly-budgeted run — check it,
+    dropped pairs mean missing geometry in the fusion).
     """
     face_vertices = jnp.asarray(vertices, jnp.float32)[
         jnp.asarray(faces, jnp.int32)
     ]  # one gather for all views
 
-    def step(acc, view):
+    def step(carry, view):
+        acc, ov = carry
         rot, trans, fl, pp, pr, wt = view
-        acc = acc + render_and_accumulate(
+        delta, ov_view = render_and_accumulate(
             vertices, faces, (rot, trans, fl, pp), pr, wt,
             images_equal_weight,
             num_primitives=num_primitives, aggregator=aggregator,
@@ -159,15 +171,15 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
             face_vertices=face_vertices, clip_near=clip_near,
             dense_e_cap=dense_e_cap,
         )
-        return acc, None
+        return (acc + delta, ov + ov_view), None
 
     acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
-    acc, _ = jax.lax.scan(
-        step, acc0,
+    (acc, overflow), _ = jax.lax.scan(
+        step, (acc0, jnp.int32(0)),
         (rotations, translations, focal_lengths, principal_points, probs,
          weights),
     )
-    return acc
+    return acc, overflow
 
 
 @functools.partial(
@@ -186,7 +198,8 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
                       dense_e_cap=None):
     """Batched texel-mode pipeline: like fuse_views, but primitives are the
     sub-triangle texels of a TexelsRenderer (pass its reordered `faces`,
-    `resolutions` and `first_texel_index`)."""
+    `resolutions` and `first_texel_index`). Returns (accumulator (P, C),
+    overflow int32) like fuse_views."""
 
     def prim_transform_factory(rot, trans, fl, pp):
         def prim_transform(tri, camera_arrays):
@@ -203,9 +216,10 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
         jnp.asarray(faces, jnp.int32)
     ]
 
-    def step(acc, view):
+    def step(carry, view):
+        acc, ov = carry
         rot, trans, fl, pp, pr, wt = view
-        acc = acc + render_and_accumulate(
+        delta, ov_view = render_and_accumulate(
             vertices, faces, (rot, trans, fl, pp), pr, wt,
             images_equal_weight,
             num_primitives=num_primitives, aggregator=aggregator,
@@ -214,15 +228,15 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
             face_vertices=face_vertices, clip_near=clip_near,
             dense_e_cap=dense_e_cap,
         )
-        return acc, None
+        return (acc + delta, ov + ov_view), None
 
     acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
-    acc, _ = jax.lax.scan(
-        step, acc0,
+    (acc, overflow), _ = jax.lax.scan(
+        step, (acc0, jnp.int32(0)),
         (rotations, translations, focal_lengths, principal_points, probs,
          weights),
     )
-    return acc
+    return acc, overflow
 
 
 def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
@@ -238,9 +252,12 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
 
     Input/output sharding contract of the returned function:
       rotations (N,3,3) etc. sharded P('views'); probs (N,H,W,C) sharded
-      P('views', 'pixels'); returns the fully-merged (P, C) accumulator —
-      replicated, or each chip's block of P rows when
-      shard_primitives=True (out_specs P('pixels')).
+      P('views', 'pixels'); returns (accumulator, overflow): the
+      fully-merged (P, C) accumulator — replicated, or each chip's block
+      of P rows when shard_primitives=True (out_specs P('pixels')) — and
+      the replicated int32 total of rasterizer-dropped candidate pairs,
+      psum'd over both mesh axes (each chip rasterizes its own row band,
+      so drops are per-(view, band)).
 
     texel_params: optional (resolutions, first_texel_index) from a
     TexelsRenderer — primitives become sub-triangle texels (pass the
@@ -266,7 +283,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
             "shard_primitives"
         )
 
-    out_spec = P("pixels") if shard_primitives else P()
+    out_spec = (P("pixels") if shard_primitives else P(), P())
     in_specs = (
         P(), P(),  # vertices, faces replicated
         P("views"), P("views"), P("views"), P("views"),
@@ -284,7 +301,8 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
             jnp.asarray(faces, jnp.int32)
         ]
 
-        def step(acc, view):
+        def step(carry, view):
+            acc, ov = carry
             rot, trans, fl, pp, pr, wt = view
             prim_transform = None
             if texel_params is not None:
@@ -301,7 +319,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                         y_offset=row0, clip_near=clip_near,
                     )
 
-            acc = acc + render_and_accumulate(
+            delta, ov_view = render_and_accumulate(
                 vertices, faces, (rot, trans, fl, pp), pr, wt,
                 images_equal_weight,
                 num_primitives=num_primitives, aggregator=aggregator,
@@ -312,24 +330,29 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                 prim_transform=prim_transform, clip_near=clip_near,
                 dense_e_cap=dense_e_cap,
             )
-            return acc, None
+            return (acc + delta, ov + ov_view), None
 
-        acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
-        acc, _ = jax.lax.scan(
+        acc0 = (
+            jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32),
+            jnp.int32(0),
+        )
+        (acc, overflow), _ = jax.lax.scan(
             step, acc0,
             (rotations, translations, focal_lengths, principal_points, probs,
              weights),
         )
         # Merge: each view's delta was already merged across 'pixels' inside
         # _accumulate_view (counts need the full image), so acc is replicated
-        # along 'pixels' and only 'views' partials remain to sum.
+        # along 'pixels' and only 'views' partials remain to sum. Overflow
+        # is per-(view, row-band): sum over both axes.
         acc = jax.lax.psum(acc, "views")
+        overflow = jax.lax.psum(overflow, ("views", "pixels"))
         if shard_primitives:
             # keep only this chip's P-rows block (out_specs P('pixels'))
             block = num_primitives // n_pixels
             k = jax.lax.axis_index("pixels")
             acc = jax.lax.dynamic_slice_in_dim(acc, k * block, block, axis=0)
-        return acc
+        return acc, overflow
 
     if with_weights:
         def fuse(vertices, faces, rotations, translations, focal_lengths,

@@ -53,7 +53,7 @@ def main():
         height=H, width=W,
     )
     with mesh:
-        acc = jax.jit(fuse)(
+        acc, _overflow = jax.jit(fuse)(
             vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5)
         )
     # out_specs P() -> fully replicated; every process holds a replica

