@@ -62,19 +62,41 @@ class _OverflowPolicy:
     (the eval harness prints it in its summary).
     """
 
+    RECHECK_EVERY = 64
+
     def __init__(self, mode="first"):
         self.mode = mode
-        self._seen = set()
+        self._calls = {}  # key -> number of check() calls so far
         self._pending = []  # per-frame device scalars, summed in total()
         self._base = 0
+        self._warned = 0  # total() watermark already reported by rechecks
 
-    def check(self, overflow, key, max_tris_per_tile, dense=False):
+    def check(self, overflow, key, max_tris_per_tile, dense=False,
+              recheck=False):
+        """recheck: this key's budget cannot absorb ANY candidates (the
+        dense cap probe saw zero pairs), so post-first-frame breaches are
+        plausible — in "first" mode, re-check synchronously at a low duty
+        cycle (frame 2, then every RECHECK_EVERY frames) instead of
+        leaving the loss visible only via overflow_total()."""
         if self.mode == "never":
             return
         self._pending.append(overflow)
-        if self.mode == "first" and key in self._seen:
+        n = self._calls.get(key, 0)
+        self._calls[key] = n + 1
+        if self.mode == "first" and n > 0:
+            if not (recheck and (n == 1 or n % self.RECHECK_EVERY == 0)):
+                return
+            total = self.total()  # one sync, drains pending
+            new = total - self._warned
+            if new:
+                self._warned = total
+                logger.warning(
+                    "rasterizer overflow: %d candidate pairs dropped since "
+                    "the last check (zero-budget dense cap at %s); later "
+                    "frames exceed the probe frame — re-probe or set "
+                    "e_cap_rows explicitly", new, key,
+                )
             return
-        self._seen.add(key)
         ov = int(overflow)
         if ov:
             knob = (
@@ -257,6 +279,7 @@ class TrianglesRenderer:
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile,
             dense=(dense_e_cap is not None),
+            recheck=(dense_e_cap == 0),
         )
         return indices, depth  # (W, H) contract
 
@@ -286,6 +309,7 @@ class TrianglesRenderer:
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile,
             dense=(dense_e_cap is not None),
+            recheck=(dense_e_cap == 0),
         )
         return (
             tri.astype(jnp.uint32).transpose(0, 2, 1),
@@ -510,6 +534,7 @@ class TexelsRenderer:
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile,
             dense=(dense_e_cap is not None),
+            recheck=(dense_e_cap == 0),
         )
         return indices, depth  # (W, H) contract
 
@@ -535,6 +560,7 @@ class TexelsRenderer:
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile,
             dense=(dense_e_cap is not None),
+            recheck=(dense_e_cap == 0),
         )
         return idx, depth
 

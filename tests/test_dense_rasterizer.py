@@ -304,3 +304,33 @@ class TestAdaptiveCandidateBudget:
         i1, d1 = r2.render(cams[0])
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
         np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+    def test_zero_budget_recheck_warns(self, tmp_path, monkeypatch, caplog):
+        """An all-micro probe frame pins the dense candidate budget to 0;
+        a later frame whose triangles DO produce candidates must warn
+        (synchronous re-check at frame 2), not lose geometry silently
+        until overflow_total() (ADVICE r2)."""
+        import logging
+
+        import semantic_meshes
+        from semantic_meshes import testing as sm_testing
+        from semantic_meshes.io.ply import write_mesh
+
+        monkeypatch.setenv("SM_RASTERIZER", "dense")
+        vertices, faces = sm_testing.make_cube(subdivisions=4)
+        write_mesh(tmp_path / "c.ply", vertices, faces)
+        mesh = semantic_meshes.data.Ply(str(tmp_path / "c.ply"))
+        far = sm_testing.make_ring_cameras(num_views=1, width=256,
+                                           height=128, radius=80.0)[0]
+        close = sm_testing.make_ring_cameras(num_views=1, width=256,
+                                             height=128, radius=2.0)[0]
+        r = semantic_meshes.render.triangles(mesh, backend="dense")
+        with caplog.at_level(logging.WARNING, logger="semantic_meshes"):
+            r.render(far)  # probe frame: every triangle micro -> budget 0
+            assert r.dense_cap_policy._cap[(128, 256)] == 0
+            assert not any("overflow" in m for m in caplog.messages)
+            r.render(close)  # frame 2: candidates exist, all spill
+        assert any(
+            "zero-budget" in m for m in caplog.messages
+        ), caplog.messages
+        assert r.overflow_total() > 0
