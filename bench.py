@@ -124,15 +124,17 @@ def measure_preset(preset, repeats):
 
     dense_e_cap = None
     if rast.uses_dense(None, len(faces)):
-        counts = [
-            int(rast.dense_candidate_count(
+        stats = np.stack([
+            np.asarray(rast.dense_candidate_stats(
                 vertices, faces, rot[i], trans[i], fl[i], pp[i],
                 height=height, width=width,
             ))
             for i in range(n_views)
-        ]
-        # 0 => every triangle is micro: the dense path skips binning
-        dense_e_cap = 2 * max(counts)
+        ])
+        # (pair budget, micro budget); pairs 0 => every triangle is
+        # micro and the dense path skips binning entirely
+        dense_e_cap = (2 * int(stats[:, 0].max()),
+                       2 * int(stats[:, 1].max()))
 
     def run_async():
         if texel_params is not None:

@@ -52,8 +52,22 @@ def rasterize(vertices, faces, *args, backend=None, **kwargs):
         if mod.__name__.endswith("dense"):
             kwargs.pop("max_tris_per_tile", None)
             if dense_e_cap is not None:
-                kwargs["e_cap_rows"] = int(dense_e_cap)
+                # int: pair budget only; (pairs, micro) tuple also
+                # right-sizes the micro fragment path (see dense.rasterize)
+                if isinstance(dense_e_cap, tuple):
+                    kwargs["e_cap_rows"] = int(dense_e_cap[0])
+                    kwargs["micro_cap_rows"] = int(dense_e_cap[1])
+                else:
+                    kwargs["e_cap_rows"] = int(dense_e_cap)
     return mod.rasterize(vertices, faces, *args, **kwargs)
+
+
+def dense_zero_budget(dense_e_cap):
+    """True when the dense pair budget is pinned to zero (the all-micro
+    probe regime) — the overflow policy then re-checks at a duty cycle."""
+    if isinstance(dense_e_cap, tuple):
+        return dense_e_cap[0] == 0
+    return dense_e_cap == 0
 
 
 def uses_dense(backend=None, num_tris=None):
@@ -66,6 +80,12 @@ def dense_candidate_count(*args, **kwargs):
     from . import dense
 
     return dense.candidate_count(*args, **kwargs)
+
+
+def dense_candidate_stats(*args, **kwargs):
+    from . import dense
+
+    return dense.candidate_stats(*args, **kwargs)
 
 
 # shared helpers / contract constants re-exported

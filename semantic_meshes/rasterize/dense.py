@@ -7,7 +7,7 @@ triangles) it overflows and the binning dominates.
 
 v2 replaces it with the classic sort-based pipeline, all static shapes:
 
-  1. span: each triangle's tile-bbox on a (16, 128)-pixel tile grid.
+  1. span: each triangle's tile-bbox on an (8, 128)-pixel tile grid.
      Triangles spanning <= 2x2 tiles ("small", the overwhelming majority of
      a dense mesh) emit up to 4 (tile, triangle) pairs; larger triangles
      emit one pair in a shared "global" bucket that every tile also tests
@@ -35,8 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import xla as xla_rast
-from .pallas_kernel import _N_PARAMS, _gather_candidate_tables
+from .pallas_kernel import _ID_BIAS, _N_PARAMS, _gather_candidate_tables
 
+# (16, 128) tiles. An (8, 128) grid (the f32 VPU minimum) was measured
+# SLOWER at the scannet preset (32.1 vs 29.8 ms/view): it halves each
+# candidate's VPU work but doubles the per-tile DMA issue + loop
+# scaffolding, and the kernel is ~half overhead at ~100 candidates/tile.
 TILE_H = 16
 TILE_W = 128
 K_SPAN = 5  # 4 span slots + 1 global-bucket slot per triangle
@@ -160,6 +164,37 @@ def _build_sorted_bins(setup, height, width, y_offset, e_cap, n_global):
     return tri_sorted, starts, overflow, micro
 
 
+def _compact_micro(setup, micro, cap):
+    """Gather the micro-triangle rows of `setup` into a cap-row prefix.
+
+    The fragment path emits 4 slots per row of whatever array it is given;
+    without compaction that is 4 * T sort rows even when only a few
+    thousand triangles are micro (the scannet regime: 8.7k micro of 99k
+    tris — 96% of the fragment-sort rows were sentinels). One stable
+    (not-micro, id) sort puts the micro ids first in ascending order
+    (preserving the deterministic lowest-index tie-break), rows past the
+    cap are dropped INTO THE OVERFLOW COUNTER, never silently.
+
+    Returns (sub_setup, tri_ids (cap,), valid (cap,), dropped_count).
+    """
+    T = micro.shape[0]
+    ids = jnp.arange(T, dtype=jnp.int32)
+    not_micro = jnp.where(micro, 0, 1).astype(jnp.int32)
+    _, ids_sorted = jax.lax.sort(
+        (not_micro, ids), dimension=0, is_stable=True, num_keys=1
+    )
+    take = ids_sorted[:cap]
+    n_micro = jnp.sum(micro.astype(jnp.int32))
+    valid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(n_micro, cap)
+    dropped = jnp.maximum(n_micro - cap, 0).astype(jnp.int32)
+    sub = {
+        k: setup[k][take]
+        for k in ("a", "b", "c", "az", "bz", "cz", "denom",
+                  "xmin", "xmax", "ymin", "ymax")
+    }
+    return sub, take, valid, dropped
+
+
 def _micro_pixel_range(setup):
     """First covered pixel-center (ix0, iy0) and center counts (nx, ny) of
     each triangle's bbox. Pixel centers are at integer + 0.5."""
@@ -176,8 +211,12 @@ def _is_micro(setup, y_offset):
     return (nx <= 2) & (ny <= 2)
 
 
-def _rasterize_micro(setup, micro, height, width, y_offset):
+def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None):
     """Fragment path for micro triangles — scatter-free.
+
+    tri_ids: optional (T,) int32 of the ORIGINAL triangle ids of the rows
+    in `setup` (the compacted-micro path passes a gathered subset; default
+    is row index == triangle id).
 
     Emit <= 4 per-pixel fragments per micro triangle PLUS one background
     fragment per pixel (z = +inf, tri = sentinel), z-resolve with one
@@ -194,6 +233,8 @@ def _rasterize_micro(setup, micro, height, width, y_offset):
     """
     T = setup["denom"].shape[0]
     HW = height * width
+    if tri_ids is None:
+        tri_ids = jnp.arange(T, dtype=jnp.int32)
     ix0, iy0, _, _ = _micro_pixel_range(setup)
 
     pix_list = []
@@ -236,8 +277,7 @@ def _rasterize_micro(setup, micro, height, width, y_offset):
             key_list + [jnp.full((HW,), jnp.int32(0x7F800000))]  # +inf
         )
         tri = jnp.concatenate(
-            [jnp.tile(jnp.arange(T, dtype=jnp.int32), 4),
-             jnp.full((HW,), bg_tri)]
+            [jnp.tile(tri_ids, 4), jnp.full((HW,), bg_tri)]
         )
         # z-resolve: (pixel, z, tri) — tri in the keys gives the
         # deterministic lowest-index tie-break on equal depth
@@ -263,7 +303,7 @@ def _rasterize_micro(setup, micro, height, width, y_offset):
     # <=4T-row sorted set-scatter instead of paying O(HW log HW) sorts
     pix = jnp.concatenate(pix_list)
     zbits = jnp.concatenate(key_list)
-    tri = jnp.tile(jnp.arange(T, dtype=jnp.int32), 4)
+    tri = jnp.tile(tri_ids, 4)
     pix_s, z_s, tri_s = jax.lax.sort(
         (pix, zbits, tri), dimension=0, is_stable=False, num_keys=3
     )
@@ -288,25 +328,21 @@ def _rasterize_micro(setup, micro, height, width, y_offset):
     return z_img.reshape(height, width), idx_img.reshape(height, width)
 
 
-def _candidate_test(p, px, py, z, idx):
-    """Shared z-test body: p(k) reads scalar param k of the candidate."""
-    sgn = p(9)
+def _candidate_test(p, px, py, invz, idx):
+    """Shared z-test body: p(k) reads scalar param k of the candidate.
+
+    Pre-signed edge forms + inverse-z buffer (init 0 = empty): see
+    pallas_kernel._raster_kernel — no per-candidate sign multiply or
+    reciprocal; finalize z = 1/invz once per tile."""
     w0 = p(0) * px + p(1) * py + p(2)
     w1 = p(3) * px + p(4) * py + p(5)
     w2 = p(6) * px + p(7) * py + p(8)
-    inside = (
-        (w0 * sgn >= 0.0)
-        & (w1 * sgn >= 0.0)
-        & (w2 * sgn >= 0.0)
-        & (sgn != 0.0)
-    )
-    inv_z = p(10) * px + p(11) * py + p(12)
-    zc = 1.0 / inv_z
-    ok = inside & (inv_z > 0.0) & (zc < z)
+    inv_zc = p(10) * px + p(11) * py + p(12)
+    ok = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & (inv_zc > invz)
     tid = jax.lax.bitcast_convert_type(
-        jnp.full(px.shape, p(13), jnp.float32), jnp.int32
-    )
-    return jnp.where(ok, zc, z), jnp.where(ok, tid, idx)
+        jnp.full(px.shape, p(9), jnp.float32), jnp.int32
+    ) - _ID_BIAS
+    return jnp.where(ok, inv_zc, invz), jnp.where(ok, tid, idx)
 
 
 def _make_dense_kernel(nbx, n_b, n_global):
@@ -379,15 +415,15 @@ def _make_dense_kernel(nbx, n_b, n_global):
 
             return jax.lax.fori_loop(0, nchunks, chunk_body, carry)
 
-        z0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+        z0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)  # inverse-z buffer
         i0 = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
         # global (big-triangle) bucket, capped at n_global
         g_start = starts_ref[n_b]
         g_end = jnp.minimum(starts_ref[n_b + 1], g_start + n_global)
         carry = stream_range(g_start, g_end, (z0, i0))
         # this tile's own candidates
-        z, idx = stream_range(starts_ref[b], starts_ref[b + 1], carry)
-        zout_ref[0] = z
+        invz, idx = stream_range(starts_ref[b], starts_ref[b + 1], carry)
+        zout_ref[0] = jnp.where(invz > 0.0, 1.0 / invz, jnp.inf)
         iout_ref[0] = idx
 
     return kernel
@@ -396,7 +432,7 @@ def _make_dense_kernel(nbx, n_b, n_global):
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "n_global", "e_cap_factor",
-                     "clip_near", "e_cap_rows"),
+                     "clip_near", "e_cap_rows", "micro_cap_rows"),
 )
 def rasterize(
     vertices,
@@ -414,6 +450,7 @@ def rasterize(
     e_cap_factor=3,
     clip_near=False,
     e_cap_rows=None,
+    micro_cap_rows=None,
 ):
     """Dense-mesh drop-in for rasterize.xla.rasterize (no per-tile cap).
 
@@ -421,7 +458,15 @@ def rasterize(
     CHUNK multiple). Default is e_cap_factor rows per triangle — safe but
     wasteful on micro-heavy meshes where the packed-table gather pays per
     budget row; probe the exact need with `candidate_count` (the
-    renderers do this automatically once per resolution)."""
+    renderers do this automatically once per resolution).
+
+    micro_cap_rows: static budget for the micro fragment path (None =
+    every triangle gets 4 fragment slots, the safe default). When fewer
+    than T, micro triangles are compacted to that many rows first — the
+    fragment sorts then scale with the MICRO count, not the triangle
+    count (4 * 99k slots -> 4 * 17k at the scannet preset, where only
+    8.7k of 99k triangles are micro). Probe via `candidate_stats`; rows
+    past the budget land in the overflow counter."""
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     y_offset = jnp.asarray(y_offset, jnp.float32)
@@ -434,6 +479,20 @@ def rasterize(
     nby = _cdiv(height, TILE_H)
     nbx = _cdiv(width, TILE_W)
     B = nby * nbx
+
+    def micro_images(micro):
+        """Fragment-path images + dropped-micro count (compacted when a
+        micro budget below T is given)."""
+        if micro_cap_rows is not None and int(micro_cap_rows) < T:
+            cap = min(_cdiv(max(int(micro_cap_rows), 8), 8) * 8, T)
+            sub, tri_ids, valid, dropped = _compact_micro(setup, micro, cap)
+            z, i = _rasterize_micro(
+                sub, valid, height, width, y_offset, tri_ids=tri_ids
+            )
+            return z, i, dropped
+        z, i = _rasterize_micro(setup, micro, height, width, y_offset)
+        return z, i, jnp.int32(0)
+
     if e_cap_rows is not None and int(e_cap_rows) == 0:
         # Pure-micro fast path: the candidate probe saw ZERO (tile,
         # triangle) pairs (every visible triangle is sub-2x2-pixel, the
@@ -448,9 +507,8 @@ def rasterize(
             jnp.sum(jnp.where(small, span_h * span_w, 0))
             + jnp.sum(big.astype(jnp.int32))
         ).astype(jnp.int32)
-        z_micro, idx_micro = _rasterize_micro(
-            setup, micro, height, width, y_offset
-        )
+        z_micro, idx_micro, micro_dropped = micro_images(micro)
+        overflow = overflow + micro_dropped
         if clip_near:  # piece id -> original triangle id
             idx_micro = jnp.where(idx_micro >= 0, idx_micro >> 1, -1)
         return idx_micro, z_micro, overflow
@@ -462,9 +520,8 @@ def rasterize(
     tri_sorted, starts, overflow, micro = _build_sorted_bins(
         setup, height, width, y_offset, e_cap, n_global
     )
-    z_micro, idx_micro = _rasterize_micro(
-        setup, micro, height, width, y_offset
-    )
+    z_micro, idx_micro, micro_dropped = micro_images(micro)
+    overflow = overflow + micro_dropped
 
     # packed parameter table: PACK candidates per 128-lane row (HBM)
     table = _gather_candidate_tables(setup, tri_sorted[None, :])[0]
@@ -543,3 +600,30 @@ def candidate_count(vertices, faces, rotation, translation, focal_lengths,
     )
     return count_pairs(setup, height, width,
                        jnp.asarray(y_offset, jnp.float32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "clip_near")
+)
+def candidate_stats(vertices, faces, rotation, translation, focal_lengths,
+                    principal_point, y_offset=0, face_vertices=None, *,
+                    height, width, clip_near=False):
+    """(pair_count, micro_count) for one view as a (2,) int32 device array.
+
+    Same elementwise pass as candidate_count plus the count of triangles
+    the fragment path will resolve — the probe for `micro_cap_rows`.
+    """
+    setup = xla_rast._make_setup(
+        jnp.asarray(vertices, jnp.float32), jnp.asarray(faces, jnp.int32),
+        rotation, translation, focal_lengths, principal_point,
+        face_vertices, clip_near,
+    )
+    y_offset = jnp.asarray(y_offset, jnp.float32)
+    micro, small, big, _, _, span_h, span_w = _classify(
+        setup, height, width, y_offset
+    )
+    pairs = (
+        jnp.sum(jnp.where(small, span_h * span_w, 0))
+        + jnp.sum(big.astype(jnp.int32))
+    ).astype(jnp.int32)
+    return jnp.stack([pairs, jnp.sum(micro.astype(jnp.int32))])

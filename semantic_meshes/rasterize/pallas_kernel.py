@@ -33,35 +33,51 @@ TILE_H = xla_rast.TILE_H
 TILE_W = xla_rast.TILE_W
 
 # params lane layout (padded to 16 lanes for clean VMEM tiling)
-# 0..2: a0,b0,c0 | 3..5: a1,b1,c1 | 6..8: a2,b2,c2 | 9: sign(denom)
-# 10..12: az,bz,cz | 13: triangle id (int32 bitcast to f32) | 14..15: unused
+# 0..2: a0,b0,c0 | 3..5: a1,b1,c1 | 6..8: a2,b2,c2  (edge forms,
+#   PRE-MULTIPLIED by sign(denom): inside test is w_i >= 0 directly — no
+#   per-candidate sign scalar read or multiply in the kernel)
+# 9: triangle id (int32, +_ID_BIAS, bitcast to f32) | 10..12: az,bz,cz
+# 13..15: unused
 # (ids ride inside the f32 table because a separate (1, 1, N) int32 block
 # violates the TPU (8, 128) block-tiling rule)
 _N_PARAMS = 16
+
+# id-lane encoding: bitcast(small int32) is a DENORMAL f32, and TPU
+# flush-to-zero erases it somewhere between the table build and the kernel
+# read (measured: depths bit-identical, every kernel-path id read back 0).
+# Adding 2^23 before the bitcast puts every id bit-pattern in the normal
+# range (exponent >= 1), which all f32 data movement preserves; the kernels
+# subtract it back after the reverse bitcast.
+_ID_BIAS = 1 << 23  # python int: a jnp scalar would be captured by pallas
 
 
 def _gather_candidate_tables(setup, cand):
     """(B, N) candidate ids -> params (B, N, 16) f32 + ids (B, N) i32.
 
-    The sentinel id T maps to a zero row (sign 0 -> never covers)."""
+    Invalid triangles (sign 0) and the sentinel id T get c_i = -1, so the
+    pre-signed inside test w_i = a_i*px + b_i*py + c_i >= 0 always fails.
+    """
     T = setup["denom"].shape[0]
 
-    def pad(x):
-        return jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], 0)
-
     sgn = jnp.sign(jnp.where(setup["valid"], setup["denom"], 0.0))
-    cols = [
-        setup["a"][:, 0], setup["b"][:, 0], setup["c"][:, 0],
-        setup["a"][:, 1], setup["b"][:, 1], setup["c"][:, 1],
-        setup["a"][:, 2], setup["b"][:, 2], setup["c"][:, 2],
-        sgn,
-        setup["az"], setup["bz"], setup["cz"],
-    ]
+    bad = sgn == 0.0
+    zero = jnp.zeros_like(sgn)
+    cols = []
+    for e in range(3):
+        cols.append(jnp.where(bad, zero, setup["a"][:, e] * sgn))
+        cols.append(jnp.where(bad, zero, setup["b"][:, e] * sgn))
+        cols.append(jnp.where(bad, -1.0, setup["c"][:, e] * sgn))
     tri_ids = jnp.arange(T, dtype=jnp.int32)
-    cols.append(jax.lax.bitcast_convert_type(tri_ids, jnp.float32))
-    table = jnp.stack(cols, axis=-1)  # (T, 14)
+    cols.append(
+        jax.lax.bitcast_convert_type(tri_ids + _ID_BIAS, jnp.float32)
+    )
+    cols += [setup["az"], setup["bz"], setup["cz"]]
+    table = jnp.stack(cols, axis=-1)  # (T, 13)
     table = jnp.pad(table, ((0, 0), (0, _N_PARAMS - table.shape[-1])))
-    table = pad(table)  # (T+1, 16)
+    # sentinel row: all zeros except c_i = -1 (never inside)
+    sent = jnp.zeros((1, _N_PARAMS), table.dtype)
+    sent = sent.at[0, jnp.array([2, 5, 8])].set(-1.0)
+    table = jnp.concatenate([table, sent], 0)  # (T+1, 16)
     return table[cand]  # (B, N, 16)
 
 
@@ -89,38 +105,37 @@ def _raster_kernel(yoff_ref, counts_ref, params_ref, zout_ref, iout_ref):
     )
 
     def body(n, carry):
-        z, idx = carry
+        invz, idx = carry
 
         def p(k):
             # dynamic candidate index through the VMEM ref (dynamic_slice on
             # loaded values does not lower on TPU)
             return params_ref[0, 0, n, k]
 
-        sgn = p(9)
+        # pre-signed edge forms: inside is w_i >= 0 directly; the z-test
+        # runs in INVERSE-z space (buffer init 0 = empty; inv_z > buf is
+        # exactly z < z_buf for inv_z > 0, and behind-camera inv_z <= 0
+        # can never beat buf >= 0) — no per-candidate reciprocal, no sign
+        # multiply, one fewer scalar read
         w0 = p(0) * px + p(1) * py + p(2)
         w1 = p(3) * px + p(4) * py + p(5)
         w2 = p(6) * px + p(7) * py + p(8)
-        inside = (
-            (w0 * sgn >= 0.0)
-            & (w1 * sgn >= 0.0)
-            & (w2 * sgn >= 0.0)
-            & (sgn != 0.0)
+        inv_zc = p(10) * px + p(11) * py + p(12)
+        ok = (
+            (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & (inv_zc > invz)
         )
-        inv_z = p(10) * px + p(11) * py + p(12)
-        zc = 1.0 / inv_z
-        ok = inside & (inv_z > 0.0) & (zc < z)
         # scalar bitcast does not lower on TPU; broadcast then bitcast vector
         tid = jax.lax.bitcast_convert_type(
-            jnp.full((TILE_H, TILE_W), p(13), jnp.float32), jnp.int32
-        )
-        z = jnp.where(ok, zc, z)
+            jnp.full((TILE_H, TILE_W), p(9), jnp.float32), jnp.int32
+        ) - _ID_BIAS
+        invz = jnp.where(ok, inv_zc, invz)
         idx = jnp.where(ok, tid, idx)
-        return z, idx
+        return invz, idx
 
-    z0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+    z0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     i0 = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-    z, idx = jax.lax.fori_loop(0, n_cand, body, (z0, i0))
-    zout_ref[...] = z
+    invz, idx = jax.lax.fori_loop(0, n_cand, body, (z0, i0))
+    zout_ref[...] = jnp.where(invz > 0.0, 1.0 / invz, jnp.inf)
     iout_ref[...] = idx
 
 

@@ -137,18 +137,21 @@ class _DenseCapPolicy:
     MARGIN = 2
 
     def __init__(self):
-        self._cap = {}  # (H, W) -> int rows
+        self._cap = {}  # (H, W) -> (pair rows, micro rows)
 
     def lookup(self, key, probe):
-        """probe() -> exact count for a representative view (syncs).
+        """probe() -> exact (pairs, micro) counts for a representative
+        view (syncs once). Returns the budget tuple.
 
-        A probe of 0 (every visible triangle is micro) keeps the budget at
-        0: the dense backend then skips binning+streaming entirely and any
-        later candidate at this resolution spills to the overflow counter.
+        A pair budget of 0 (every visible triangle is micro) makes the
+        dense backend skip binning+streaming entirely; any later
+        candidate at this resolution spills to the overflow counter. The
+        micro budget right-sizes the fragment path the same way — rows
+        past it also spill to overflow.
         """
         if key not in self._cap:
-            count = int(probe())
-            self._cap[key] = self.MARGIN * count
+            pairs, micro = (int(x) for x in np.asarray(probe()))
+            self._cap[key] = (self.MARGIN * pairs, self.MARGIN * micro)
         return self._cap[key]
 
 
@@ -279,7 +282,7 @@ class TrianglesRenderer:
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile,
             dense=(dense_e_cap is not None),
-            recheck=(dense_e_cap == 0),
+            recheck=rast.dense_zero_budget(dense_e_cap),
         )
         return indices, depth  # (W, H) contract
 
@@ -309,7 +312,7 @@ class TrianglesRenderer:
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile,
             dense=(dense_e_cap is not None),
-            recheck=(dense_e_cap == 0),
+            recheck=rast.dense_zero_budget(dense_e_cap),
         )
         return (
             tri.astype(jnp.uint32).transpose(0, 2, 1),
@@ -322,17 +325,19 @@ class TrianglesRenderer:
 )
 def _dense_count_probe(vertices, faces, face_vertices, rot, trans, fl, pp,
                        *, height, width, clip_near):
-    """Max dense-path candidate count over a camera batch (device scalar).
-    O(T) per camera, no sort — the _DenseCapPolicy probe."""
+    """Max dense-path (pair, micro) counts over a camera batch as a (2,)
+    device array. O(T) per camera, no sort — the _DenseCapPolicy probe."""
     def step(m, cam):
         r, t, f, p = cam
-        c = rast.dense_candidate_count(
+        c = rast.dense_candidate_stats(
             vertices, faces, r, t, f, p, face_vertices=face_vertices,
             height=height, width=width, clip_near=clip_near,
         )
         return jnp.maximum(m, c), None
 
-    m, _ = jax.lax.scan(step, jnp.int32(0), (rot, trans, fl, pp))
+    m, _ = jax.lax.scan(
+        step, jnp.zeros((2,), jnp.int32), (rot, trans, fl, pp)
+    )
     return m
 
 
@@ -534,7 +539,7 @@ class TexelsRenderer:
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile,
             dense=(dense_e_cap is not None),
-            recheck=(dense_e_cap == 0),
+            recheck=rast.dense_zero_budget(dense_e_cap),
         )
         return indices, depth  # (W, H) contract
 
@@ -560,7 +565,7 @@ class TexelsRenderer:
         self.overflow_policy.check(
             overflow, (height, width), self.max_tris_per_tile,
             dense=(dense_e_cap is not None),
-            recheck=(dense_e_cap == 0),
+            recheck=rast.dense_zero_budget(dense_e_cap),
         )
         return idx, depth
 

@@ -290,7 +290,8 @@ class TestAdaptiveCandidateBudget:
         key = (128, 256)
         assert key in r.dense_cap_policy._cap
         cap = r.dense_cap_policy._cap[key]
-        assert cap >= 2  # 2x margin over >= 1
+        assert cap[0] >= 2  # 2x margin over >= 1 pair
+        assert cap[1] >= 0  # micro fragment budget rides along
         # second render at the same resolution reuses the cached cap
         r.render(cams[1])
         assert r.dense_cap_policy._cap[key] == cap
@@ -303,7 +304,55 @@ class TestAdaptiveCandidateBudget:
         )
         i1, d1 = r2.render(cams[0])
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
-        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        # winners are identical; depth may wobble a few ulps ACROSS
+        # programs on CPU interpret mode (different budgets compile
+        # different XLA programs, whose fusion contexts evaluate the
+        # kernel's 1/inv_z slightly differently — measured 3.8e-6 max
+        # rel). Each program is itself deterministic, and the compiled
+        # TPU kernel is bit-identical across budgets.
+        np.testing.assert_allclose(
+            np.asarray(d0), np.asarray(d1), rtol=1e-5
+        )
+
+    def test_micro_compaction_matches_and_counts_drops(self):
+        """micro_cap_rows gathers only the micro triangles before the
+        fragment sorts (4*T slots -> 4*cap). Output must be identical to
+        the uncompacted path; a starved budget must spill the dropped
+        micro count into overflow, never silently."""
+        import jax.numpy as jnp
+
+        from semantic_meshes import testing as sm_testing
+        from semantic_meshes.data import stack_cameras
+
+        vertices, faces = sm_testing.make_cube(subdivisions=8)  # 768 tris
+        cams = sm_testing.make_ring_cameras(
+            num_views=1, width=256, height=96, radius=6.0
+        )
+        rot, trans, fl, pp = stack_cameras(cams)
+        args = (jnp.asarray(vertices), jnp.asarray(faces), rot[0], trans[0],
+                fl[0], pp[0])
+        stats = np.asarray(
+            dense.candidate_stats(*args, height=96, width=256)
+        )
+        pairs, micro = int(stats[0]), int(stats[1])
+        assert micro > 16  # the scene exercises the compaction
+
+        i0, z0, ov0 = dense.rasterize(
+            *args, height=96, width=256, e_cap_rows=2 * pairs
+        )
+        i1, z1, ov1 = dense.rasterize(
+            *args, height=96, width=256, e_cap_rows=2 * pairs,
+            micro_cap_rows=2 * micro,
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+        assert int(ov0) == 0 and int(ov1) == 0
+
+        _, _, ov2 = dense.rasterize(
+            *args, height=96, width=256, e_cap_rows=2 * pairs,
+            micro_cap_rows=8,
+        )
+        assert int(ov2) >= micro - 8
 
     def test_zero_budget_recheck_warns(self, tmp_path, monkeypatch, caplog):
         """An all-micro probe frame pins the dense candidate budget to 0;
@@ -327,7 +376,7 @@ class TestAdaptiveCandidateBudget:
         r = semantic_meshes.render.triangles(mesh, backend="dense")
         with caplog.at_level(logging.WARNING, logger="semantic_meshes"):
             r.render(far)  # probe frame: every triangle micro -> budget 0
-            assert r.dense_cap_policy._cap[(128, 256)] == 0
+            assert r.dense_cap_policy._cap[(128, 256)][0] == 0
             assert not any("overflow" in m for m in caplog.messages)
             r.render(close)  # frame 2: candidates exist, all spill
         assert any(

@@ -43,7 +43,11 @@ def test_triangles_feature_stack(tmp_path, seed, clip_near):
             a, b = np.asarray(d0), np.asarray(d1)
             fin = np.isfinite(a)
             np.testing.assert_array_equal(fin, np.isfinite(b))
-            np.testing.assert_allclose(a[fin], b[fin], rtol=1e-6)
+            # winners are exact; depth differs a few ulps vs the xla
+            # oracle because the streaming kernels z-test in inverse-z
+            # and finalize z = 1/inv_z once per tile (measured 5.9e-6
+            # max rel on these scenes)
+            np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5)
 
 
 @pytest.mark.parametrize("clip_near", [False, True])
