@@ -65,6 +65,155 @@ def test_pspnet_predictor():
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
 
 
+class TestSlidingMultiScale:
+    """Sliding-window + multi-scale combinators (the tfcv.predict.sliding /
+    multi_scale roles of the reference demo, ref:
+    python/scripts/colorize_cityscapes_mesh.py:42-43)."""
+
+    def test_window_starts_cover_and_overlap(self):
+        starts = segmentation._window_starts(100, 40, 0.2)
+        assert starts[0] == 0 and starts[-1] == 60
+        assert all(b - a <= 40 for a, b in zip(starts, starts[1:]))
+        assert segmentation._window_starts(30, 40, 0.2) == [0]
+
+    def test_sliding_passthrough_below_window(self):
+        base = segmentation.load_predictor(
+            classes=4, input_hw=(32, 32), widths=(8, 16, 32)
+        )
+        slid = segmentation.sliding(base, (64, 64))
+        img = np.random.default_rng(0).integers(
+            0, 256, (40, 48, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(slid(img)), np.asarray(base(img))
+        )
+
+    def test_sliding_shapes_softmax_and_batched_equals_fallback(self):
+        predict = segmentation.load_predictor(
+            classes=5, input_hw=(32, 32), widths=(8, 16, 32)
+        )
+        img = np.random.default_rng(1).integers(
+            0, 256, (70, 90, 3)).astype(np.uint8)
+        slid = segmentation.sliding(predict, (32, 32), overlap=0.25)
+        probs = np.asarray(slid(img))
+        assert probs.shape == (70, 90, 5)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+        # per-window fallback (no .batch) must agree with the batched path
+        def unbatched(image):
+            return predict(image)
+        unbatched.params = predict.params
+        slow = segmentation.sliding(unbatched, (32, 32), overlap=0.25)
+        np.testing.assert_allclose(
+            probs, np.asarray(slow(img)), atol=1e-5
+        )
+
+    def test_multi_scale_identity_and_average(self):
+        base = segmentation.load_predictor(
+            classes=4, input_hw=(32, 32), widths=(8, 16, 32)
+        )
+        img = np.random.default_rng(2).integers(
+            0, 256, (40, 40, 3)).astype(np.uint8)
+        ms1 = segmentation.multi_scale(base, [1.0])
+        np.testing.assert_allclose(
+            np.asarray(ms1(img)), np.asarray(base(img)), atol=1e-6
+        )
+        ms = segmentation.multi_scale(base, [0.5, 1.0])
+        probs = np.asarray(ms(img))
+        assert probs.shape == (40, 40, 4)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+
+    def test_loader_kwargs_compose(self):
+        predict = segmentation.load_predictor(
+            classes=3, input_hw=(32, 32), widths=(8, 16),
+            sliding=(32, 32), multi_scale=[0.75, 1.0],
+        )
+        img = np.random.default_rng(3).integers(
+            0, 256, (64, 48, 3)).astype(np.uint8)
+        probs = np.asarray(predict(img))
+        assert probs.shape == (64, 48, 3)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+        # grayscale input still normalized before windowing
+        assert np.asarray(
+            predict(np.zeros((64, 48), np.uint8))
+        ).shape == (64, 48, 3)
+
+    def test_rgbd_loader_sliding(self):
+        predict = segmentation.load_rgbd_predictor(
+            classes=5, input_hw=(32, 32), widths=(8, 16, 32),
+            sliding=(32, 32),
+        )
+        rng = np.random.default_rng(4)
+        color = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+        depth = rng.integers(0, 5000, (24, 32)).astype(np.uint16)
+        probs = np.asarray(predict(color, depth))
+        assert probs.shape == (48, 64, 5)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+
+    def test_sliding_beats_single_pass_on_fine_detail(self):
+        """The parity point of sliding inference (ref demo predicts
+        2048x1024 images through a 713x713 window): a model trained at
+        its native input size loses fine structure when a large image is
+        squeezed through one resized pass, and recovers it when windows
+        run at native resolution. Train a tiny 2-class net to label fine
+        checkerboard vs flat at 32x32, then evaluate a 128x128 composite."""
+        import jax.numpy as jnp
+
+        from semantic_meshes.models import training
+
+        rng = np.random.default_rng(5)
+
+        def make_tile(flat):
+            if flat:
+                img = np.full((32, 32, 3), 160, np.float32)
+                lab = np.zeros((32, 32), np.int32)
+            else:
+                yy, xx = np.mgrid[:32, :32]
+                img = np.where(
+                    ((yy + xx) % 2)[..., None] == 0, 220.0, 90.0
+                ).astype(np.float32) * np.ones((1, 1, 3), np.float32)
+                lab = np.ones((32, 32), np.int32)
+            img = img + rng.normal(0, 4, img.shape).astype(np.float32)
+            return img, lab
+
+        trainer = training.SegmentationTrainer(
+            classes=2, input_hw=(32, 32), widths=(8, 16),
+            learning_rate=3e-3,
+        )
+        for _ in range(60):
+            tiles = [make_tile(bool(rng.integers(0, 2))) for _ in range(8)]
+            trainer.train_step({
+                "image": jnp.asarray(np.stack([t[0] for t in tiles])) / 255.0,
+                "labels": jnp.asarray(np.stack([t[1] for t in tiles])),
+            })
+
+        # 128x128 composite: checkerboard quadrant in a flat field
+        big = np.full((128, 128, 3), 160, np.float32)
+        lab = np.zeros((128, 128), np.int32)
+        yy, xx = np.mgrid[:64, :64]
+        big[32:96, 32:96] = np.where(
+            ((yy + xx) % 2)[..., None] == 0, 220.0, 90.0
+        )
+        lab[32:96, 32:96] = 1
+        big = np.clip(
+            big + rng.normal(0, 4, big.shape), 0, 255
+        ).astype(np.uint8)
+
+        def accuracy(predict):
+            pred = np.asarray(predict(big)).argmax(-1)
+            return (pred == lab).mean()
+
+        single = segmentation.load_predictor(
+            classes=2, input_hw=(32, 32), widths=(8, 16),
+            params=trainer.params,
+        )
+        slid = segmentation.sliding(single, (32, 32), overlap=0.0)
+        acc_single = accuracy(single)
+        acc_sliding = accuracy(slid)
+        # single-pass squeezes 128->32 (checker aliases away); sliding
+        # sees native 32x32 tiles it was trained on
+        assert acc_sliding > acc_single + 0.1, (acc_sliding, acc_single)
+        assert acc_sliding > 0.9
+
+
 def test_render_many_matches_single():
     import semantic_meshes
     from semantic_meshes import testing
