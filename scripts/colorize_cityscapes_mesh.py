@@ -53,6 +53,22 @@ parser.add_argument("--aggregator", type=str, default="sum",
 parser.add_argument("--clip_near", action="store_true",
                     help="Near-plane clip instead of culling triangles that "
                     "cross z=0 (for cameras inside the scene)")
+parser.add_argument("--sliding", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="Sliding-window inference window for the jax model "
+                    "(the reference demo uses 713 713 for its PSPNet, ref: "
+                    "colorize_cityscapes_mesh.py:42); windows are batched "
+                    "into one MXU dispatch per image")
+parser.add_argument("--sliding_overlap", type=float, default=0.2)
+parser.add_argument("--multi_scale", type=float, nargs="+", default=None,
+                    help="Average predictions over these input scales "
+                    "(ref demo: 0.5, ref: colorize_cityscapes_mesh.py:43)")
+parser.add_argument("--input_hw", type=int, nargs=2, default=(512, 512),
+                    metavar=("H", "W"),
+                    help="jax model input resolution")
+parser.add_argument("--widths", type=int, nargs="+",
+                    default=(64, 128, 256, 512),
+                    help="jax model channel widths")
 args = parser.parse_args()
 
 import imageio.v2 as imageio  # noqa: E402
@@ -93,7 +109,11 @@ def build_predictor():
     from semantic_meshes.models import segmentation
 
     model = segmentation.load_predictor(
-        classes=CLASSES, params_path=args.params
+        classes=CLASSES, params_path=args.params,
+        input_hw=tuple(args.input_hw), widths=tuple(args.widths),
+        sliding=tuple(args.sliding) if args.sliding else None,
+        sliding_overlap=args.sliding_overlap,
+        multi_scale=args.multi_scale,
     )
 
     def predict(image, image_file):

@@ -133,6 +133,39 @@ def test_colorize_cityscapes_mesh_probs_backend(scene, tmp_path):
     np.testing.assert_array_equal(cols[colored], expected[colored])
 
 
+def test_colorize_cityscapes_mesh_jax_sliding(scene, tmp_path):
+    """--model jax-unet with --sliding/--multi_scale: the reference demo's
+    tfcv.predict.sliding((713,713), 0.2) + multi_scale([0.5]) semantics
+    on the bundled jax model (ref: colorize_cityscapes_mesh.py:42-43).
+    Random weights — asserts the pipeline runs and writes a valid PLY."""
+    root, _ = scene
+    out = tmp_path / "colorized_sliding.ply"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "colorize_cityscapes_mesh.py"),
+            "--colmap", str(root / "ws"),
+            "--input_ply", str(root / "mesh.ply"),
+            "--images", str(root / "images"),
+            "--output_ply", str(out),
+            "--model", "jax-unet",
+            "--input_hw", "32", "32",
+            "--widths", "8", "16",
+            "--sliding", "32", "32",
+            "--sliding_overlap", "0.2",
+            "--multi_scale", "0.75", "1.0",
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    e = read_ply(str(out))
+    assert "red" in e["face"].data
+
+
 def test_colorize_mesh_remap_backend(scene, tmp_path):
     """colorize_mesh.py --remap: color masks -> discovered class ids ->
     colorized PLY reusing the discovered palette."""
