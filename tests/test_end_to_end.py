@@ -440,3 +440,35 @@ class TestDlpackInterop:
             raise
         np.testing.assert_array_equal(idx_np, np.asarray(idx))
         np.testing.assert_array_equal(depth_np, np.asarray(depth))
+
+    def test_dlpack_zero_copy_and_torch_consumer(self, tmp_path,
+                                                 cube_scene):
+        """CPU DLPack export is zero-copy (pointer equality) and feeds a
+        torch consumer, mirroring the reference's TF handoff (docs/
+        INTEROP.md; ref: Renderer.h:37-38, eval_scannet.py:211-212)."""
+        import jax
+
+        vertices, faces, cams = cube_scene
+        mesh = _write_cube(tmp_path, vertices, faces)
+        renderer = semantic_meshes.render.triangles(mesh)
+        idx, depth = renderer.render(cams[0])
+        if list(depth.devices())[0].platform != "cpu":
+            pytest.skip("zero-copy pointer check is CPU-only")
+        depth_np = np.from_dlpack(depth)
+        assert depth_np.__array_interface__["data"][0] == \
+            depth.unsafe_buffer_pointer()
+
+        torch = pytest.importorskip("torch")
+        t = torch.from_dlpack(depth.__dlpack__())
+        assert t.shape == tuple(depth.shape)
+        np.testing.assert_array_equal(t.numpy(), np.asarray(depth))
+        # fusion output follows the same contract
+        agg = semantic_meshes.fusion.MeshAggregator(
+            primitives=renderer.getPrimitivesNum(), classes=3
+        )
+        probs = jax.numpy.ones(tuple(idx.shape) + (3,)) / 3.0
+        agg.add(idx, probs)
+        out = agg.get()
+        np.testing.assert_allclose(
+            torch.from_dlpack(out.__dlpack__()).numpy(), np.asarray(out)
+        )
