@@ -41,6 +41,8 @@ def timeit(fn, args_dev, repeats, probe):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=8)
+    ap.add_argument("--ablate_bits", action="store_true",
+                    help="limb-width ablation (VERDICT r2 #3)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -157,6 +159,38 @@ def main():
     dt = timeit(f32ref, (data, idx), args.repeats, lambda o: o[0, 0])
     print(json.dumps({"phase": "f32_scatter_ref", "ms": round(dt * 1e3, 2)}),
           flush=True)
+
+    if args.ablate_bits:
+        # VERDICT r2 #3: the 12x2-bit layout is one point on the
+        # limbs-vs-correction curve. Wider limbs cut the int16 scatter
+        # column count (and decompose store bytes) by limbs/12, but
+        # shrink the wrap-safe cap, growing the top-k MXU correction
+        # (k = rows/(cap+1)) — and the heavy-segment regime forces the
+        # correction cond TRUE here to charge that cost honestly.
+        import functools
+
+        heavy_idx = np.asarray(idx).copy()
+        L6, _, cap6, _ = ops._exact16_config(6)
+        heavy_idx[: cap6 + 1000] = 17  # wraps every width's cap
+        heavy_idx = jax.device_put(heavy_idx)
+        for bits in (2, 3, 4, 6):
+            L, center, cap, groups = ops._exact16_config(bits)
+
+            @functools.partial(jax.jit, static_argnames=("bits",))
+            def whole_b(data, idx, *, bits):
+                return ops._segment_sum_exact16(data, idx, P, bits=bits)
+
+            f = functools.partial(whole_b, bits=bits)
+            dt = timeit(f, (data, idx), args.repeats, lambda o: o[0, 0])
+            dth = timeit(f, (data, heavy_idx), args.repeats,
+                         lambda o: o[0, 0])
+            print(json.dumps({
+                "phase": f"ablate_bits_{bits}",
+                "limbs": L, "cap": cap,
+                "k": max(ops._EXACT16_K, -(-ROWS // (cap + 1))),
+                "ms_no_correction": round(dt * 1e3, 2),
+                "ms_with_correction": round(dth * 1e3, 2),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -66,19 +66,52 @@ if _SCATTER_METHOD not in ("exact16", "float32", "bfloat16"):
     raise ValueError(f"SM_SCATTER must be exact16|float32|bfloat16, "
                      f"got {_SCATTER_METHOD!r}")
 
-# exact16 parameters: 12 limbs x 2 bits = 24-bit fixed point; a segment
-# with more than _EXACT16_CAP rows could wrap a centered-limb int16 sum,
-# and by pigeonhole at most rows/_EXACT16_CAP segments can do that, all
-# of which sit inside the top-_EXACT16_K counts and get the exact MXU
-# correction. _EXACT16_CHUNK keeps per-(segment, chunk) row counts below
-# 2^16 so the chunk-count columns are bijective mod 2^16 (exact counts).
-_EXACT16_LIMBS = 12
-_EXACT16_CAP = (1 << 14) - 1
+# exact16 parameters: 24/SM_EXACT16_BITS limbs x SM_EXACT16_BITS bits of
+# 24-bit fixed point (bits in {2, 3, 4, 6}; default 2 = 12 limbs, the
+# measured optimum — scripts/microbench_exact16.py --ablate_bits records
+# the limbs-vs-correction tradeoff VERDICT r2 #3 asked for). Wider limbs
+# write fewer int16 scatter columns but shrink the wrap-safe segment size
+# (cap = (2^15-1)/2^(bits-1)), growing the top-k MXU correction. A
+# segment with more than `cap` rows could wrap a centered-limb int16 sum,
+# and by pigeonhole at most rows/(cap+1) segments can do that, all of
+# which sit inside the top-k counts and get the exact MXU correction.
+# _EXACT16_CHUNK keeps per-(segment, chunk) row counts below 2^16 so the
+# chunk-count columns are bijective mod 2^16 (exact counts).
+_EXACT16_BITS = int(os.environ.get("SM_EXACT16_BITS", "2"))
+if _EXACT16_BITS not in (2, 3, 4, 6):
+    raise ValueError(
+        f"SM_EXACT16_BITS must be 2|3|4|6, got {_EXACT16_BITS}"
+    )
 _EXACT16_CHUNK = (1 << 16) - 1
 _EXACT16_K = 64
 
 
-def _segment_sum_exact16(data, idx, num_segments):
+def _exact16_config(bits):
+    """(limbs, center, cap, groups) for a limb width.
+
+    groups are (j0, j1) limb spans whose weighted partial sums stay exact
+    in f32: a span's max value is cap * (B^(j1-j0) - 1) < 2^24 (int32
+    bounds are looser and subsumed). Only segments with <= cap rows rely
+    on these bounds — larger ones are replaced by the MXU correction."""
+    B = 1 << bits
+    limbs = 24 // bits
+    center = 1 << (bits - 1)
+    cap = ((1 << 15) - 1) // center
+    groups = []
+    j = 0
+    while j < limbs:
+        span = 1
+        while j + span < limbs and (B ** (span + 1) - 1) * cap < (1 << 24):
+            span += 1
+        groups.append((j, j + span))
+        j += span
+    return limbs, center, cap, groups
+
+
+_EXACT16_LIMBS, _, _EXACT16_CAP, _ = _exact16_config(_EXACT16_BITS)
+
+
+def _segment_sum_exact16(data, idx, num_segments, bits=None):
     """Segment sum at 16-bit-scatter speed with f32-class accuracy.
 
     Exactness argument (the whole point — read before touching):
@@ -111,9 +144,17 @@ def _segment_sum_exact16(data, idx, num_segments):
 
     data (N, D) f32 (already masked: dropped rows must carry idx ==
     num_segments); idx (N,) int32 in [0, num_segments].
+
+    bits: limb width override (None -> SM_EXACT16_BITS). The centered
+    limb range becomes [-2^(bits-1), 2^(bits-1)-1], the wrap-safe cap
+    (2^15-1)/2^(bits-1) rows, and the reconstruction groups are derived
+    so every partial stays f32-exact (_exact16_config).
     """
     n, d = data.shape
     P = num_segments
+    bits = _EXACT16_BITS if bits is None else bits
+    L, center, cap, groups = _exact16_config(bits)
+    B = 1 << bits
 
     # per-COLUMN power-of-2 scales: columns with different ranges (probs
     # vs counts vs log-space tails) each use their full 24-bit budget
@@ -127,18 +168,18 @@ def _segment_sum_exact16(data, idx, num_segments):
     )  # (n, d) in [0, 2^24)
 
     # limb extraction in int16 lane arithmetic: split q into two 12-bit
-    # halves, narrow FIRST, then shift/mask int16 vectors (2x VPU lane
-    # throughput vs int32: 9.3 vs 12.7 ms/view measured,
-    # scripts/microbench_exact16.py). Layout (n, d, L) keeps the reshape
-    # contiguous; limbs 0..5 come from the low half, 6..11 from the high.
+    # halves (bits | 12 for every supported width), narrow FIRST, then
+    # shift/mask int16 vectors (2x VPU lane throughput vs int32: 9.3 vs
+    # 12.7 ms/view measured, scripts/microbench_exact16.py). Layout
+    # (n, d, L) keeps the reshape contiguous; the low half provides limbs
+    # 0..L/2-1, the high half L/2..L-1.
     q_lo = (q & 0xFFF).astype(jnp.int16)
     q_hi = (q >> 12).astype(jnp.int16)
-    shifts = jnp.arange(_EXACT16_LIMBS // 2, dtype=jnp.int16) * 2
-    lo = ((q_lo[:, :, None] >> shifts[None, None, :]) & 3) - 2
-    hi = ((q_hi[:, :, None] >> shifts[None, None, :]) & 3) - 2
-    limbs16 = jnp.concatenate([lo, hi], axis=2).reshape(
-        n, d * _EXACT16_LIMBS
-    )
+    shifts = (jnp.arange(L // 2, dtype=jnp.int16) * bits).astype(jnp.int16)
+    mask = jnp.int16(B - 1)
+    lo = ((q_lo[:, :, None] >> shifts[None, None, :]) & mask) - center
+    hi = ((q_hi[:, :, None] >> shifts[None, None, :]) & mask) - center
+    limbs16 = jnp.concatenate([lo, hi], axis=2).reshape(n, d * L)
 
     nch = _cdiv_py(n, _EXACT16_CHUNK)
     chunk_of_row = jnp.arange(n, dtype=jnp.int32) // _EXACT16_CHUNK
@@ -147,40 +188,38 @@ def _segment_sum_exact16(data, idx, num_segments):
     ).astype(jnp.int16)
 
     upd = jnp.concatenate([limbs16, chunk_cols], axis=1)
-    acc = jnp.zeros((P, _EXACT16_LIMBS * d + nch), jnp.int16)
+    acc = jnp.zeros((P, L * d + nch), jnp.int16)
     acc = acc.at[idx].add(upd, mode="drop")
 
-    W = acc[:, : _EXACT16_LIMBS * d].astype(jnp.int32).reshape(
-        P, d, _EXACT16_LIMBS
-    )
-    craw = acc[:, _EXACT16_LIMBS * d:].astype(jnp.int32)
+    W = acc[:, : L * d].astype(jnp.int32).reshape(P, d, L)
+    craw = acc[:, L * d:].astype(jnp.int32)
     counts = jnp.sum(jnp.where(craw < 0, craw + (1 << 16), craw), axis=1)
 
-    # true limb sums: S_j = W_j + 2N  (in [0, 3N]); group so every integer
-    # partial and every f32 conversion stays exact (bounds for N <= 16383:
-    # g0 <= N*(4^5-1) = 1.7e7 < 2^24, g1 <= N*255, g2 <= N*63).
-    S = W + 2 * counts[:, None, None]
-    p4 = (4 ** jnp.arange(_EXACT16_LIMBS, dtype=jnp.int32))
-    g0 = jnp.sum(S[:, :, 0:5] * p4[None, 0:5], axis=2)
-    g1 = jnp.sum(S[:, :, 5:9] * (p4[None, 5:9] // 1024), axis=2)
-    # fold the per-row +2^23 offset into g2: 2^23 / 4^9 = 32
-    g2 = jnp.sum(S[:, :, 9:12] * (p4[None, 9:12] // 262144), axis=2) \
-        - 32 * counts[:, None]
-    total = (
-        g0.astype(jnp.float32)
-        + g1.astype(jnp.float32) * 1024.0
-        + g2.astype(jnp.float32) * 262144.0
-    ) / scale
+    # true limb sums: S_j = W_j + center*N (in [0, (B-1)*N]); grouped so
+    # every integer partial and every f32 conversion stays exact for
+    # N <= cap (bound per group: cap * (B^span - 1) < 2^24, by
+    # _exact16_config); the per-row +2^23 offset folds into the last
+    # group (2^23 / B^j0 is integral because both are powers of two).
+    S = W + center * counts[:, None, None]
+    pB = (B ** jnp.arange(L, dtype=jnp.int32))
+    total = jnp.zeros((P, d), jnp.float32)
+    for gi, (j0, j1) in enumerate(groups):
+        g = jnp.sum(S[:, :, j0:j1] * (pB[None, j0:j1] // int(B ** j0)),
+                    axis=2)
+        if gi == len(groups) - 1:
+            g = g - ((1 << 23) // int(B ** j0)) * counts[:, None]
+        total = total + g.astype(jnp.float32) * float(B ** j0)
+    total = total / scale
 
     # exact MXU correction of every possible wrap victim. Only segments
-    # with > _EXACT16_CAP rows can have wrapped, and there are at most
-    # n / (_EXACT16_CAP + 1) of them by pigeonhole — k must scale with
+    # with > cap rows can have wrapped, and there are at most
+    # n / (cap + 1) of them by pigeonhole — k must scale with
     # the ROW count (a 4 MPix view can hold >64 over-cap segments), so
     # the top-k by exact count always covers every possible victim. When
     # the max count stays below the cap (micro-triangle scenes — the
     # common dense case) the whole correction is skipped on-device
     # (lax.cond, ~8 ms saved: top_k 4 ms + one-hot dot 4 ms per view).
-    k = min(P, max(_EXACT16_K, -(-n // (_EXACT16_CAP + 1))))
+    k = min(P, max(_EXACT16_K, -(-n // (cap + 1))))
 
     def _corrected(args):
         total, counts, data, idx = args
@@ -196,7 +235,7 @@ def _segment_sum_exact16(data, idx, num_segments):
                                        unique_indices=True)
 
     return jax.lax.cond(
-        jnp.max(counts) > _EXACT16_CAP,
+        jnp.max(counts) > cap,
         _corrected,
         lambda args: args[0],
         (total, counts, data, idx),

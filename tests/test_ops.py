@@ -68,6 +68,37 @@ class TestExact16:
         atol = float(np.abs(data).max()) * 2.0**-23 * (N / P * 8 + 4)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol)
 
+    @pytest.mark.parametrize("bits", [2, 3, 4, 6])
+    def test_limb_width_ablation_configs(self, bits):
+        """Every supported limb width (SM_EXACT16_BITS / the microbench
+        ablation axis) satisfies the full correctness argument: random
+        rows incl. out-of-range drops, plus a wrap-heavy segment beyond
+        that width's cap that must be MXU-corrected."""
+        import jax.numpy as jnp
+
+        L, center, cap, groups = ops._exact16_config(bits)
+        assert L * bits == 24
+        assert sum(j1 - j0 for j0, j1 in groups) == L
+        B = 1 << bits
+        for j0, j1 in groups:
+            assert (B ** (j1 - j0) - 1) * cap < (1 << 24)
+
+        rng = np.random.default_rng(20 + bits)
+        N, D, P = 30_000, 4, 2000
+        data = rng.normal(size=(N, D)).astype(np.float32)
+        idx = rng.integers(-1, P + 2, size=N).astype(np.int32)
+        # overload one segment past this width's wrap capacity
+        idx[: cap + 500] = 7
+        valid = (idx >= 0) & (idx < P)
+        masked = np.where(valid[:, None], data, 0.0)
+        safe = np.where(valid, idx, P).astype(np.int32)
+        got = np.asarray(ops._segment_sum_exact16(
+            jnp.asarray(masked), jnp.asarray(safe), P, bits=bits
+        ))
+        want = _oracle(data, idx, P)
+        atol = float(np.abs(data).max()) * 2.0**-23 * (N / P * 8 + 4)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol)
+
     def test_heavy_segment_wrap_corrected(self):
         # one segment receives far more rows than the 16383-row limb
         # capacity: its int16 limb sums wrap, and the top-64 MXU pass must
