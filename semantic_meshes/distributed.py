@@ -135,17 +135,29 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
     return delta, jnp.asarray(overflow, jnp.int32)
 
 
+def _scan_classes(probs, predict_fn):
+    """Class count of the scanned accumulator: probs' trailing dim, or the
+    predictor's output width when views carry raw images instead."""
+    if predict_fn is None:
+        return probs.shape[-1]
+    out = jax.eval_shape(predict_fn, jax.ShapeDtypeStruct(
+        probs.shape[1:], probs.dtype
+    ))
+    return out.shape[-1]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_primitives", "aggregator", "height", "width",
-        "max_tris_per_tile", "clip_near", "dense_e_cap"
+        "max_tris_per_tile", "clip_near", "dense_e_cap", "predict_fn"
     ),
 )
 def fuse_views(vertices, faces, rotations, translations, focal_lengths,
                principal_points, probs, images_equal_weight, weights=None, *,
                num_primitives, aggregator, height, width,
-               max_tris_per_tile=256, clip_near=False, dense_e_cap=None):
+               max_tris_per_tile=256, clip_near=False, dense_e_cap=None,
+               predict_fn=None):
     """Single-chip batched pipeline: scan render+fuse over N views.
 
     rotations (N,3,3), translations (N,3), focal_lengths/principal_points
@@ -155,6 +167,14 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     is the total candidate pairs dropped by the rasterizer's static
     budgets across all views (0 in a correctly-budgeted run — check it,
     dropped pairs mean missing geometry in the fusion).
+
+    predict_fn: optional traceable `(H, W, ...) image -> (H, W, C) probs`
+    segmentation model. When given, `probs` carries the raw images and
+    the model forward runs INSIDE the scan body — the whole
+    predict+render+fuse pipeline is one compiled program with one
+    dispatch per batch (the reference pays a host round trip per image
+    per stage, ref: eval-scannet/eval_scannet.py:203-238). Must be a
+    stable callable (it is part of the jit cache key).
     """
     face_vertices = jnp.asarray(vertices, jnp.float32)[
         jnp.asarray(faces, jnp.int32)
@@ -163,6 +183,8 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     def step(carry, view):
         acc, ov = carry
         rot, trans, fl, pp, pr, wt = view
+        if predict_fn is not None:
+            pr = predict_fn(pr)
         delta, ov_view = render_and_accumulate(
             vertices, faces, (rot, trans, fl, pp), pr, wt,
             images_equal_weight,
@@ -173,7 +195,9 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
         )
         return (acc + delta, ov + ov_view), None
 
-    acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
+    acc0 = jnp.zeros(
+        (num_primitives, _scan_classes(probs, predict_fn)), jnp.float32
+    )
     (acc, overflow), _ = jax.lax.scan(
         step, (acc0, jnp.int32(0)),
         (rotations, translations, focal_lengths, principal_points, probs,
@@ -186,7 +210,7 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     jax.jit,
     static_argnames=(
         "num_primitives", "aggregator", "height", "width",
-        "max_tris_per_tile", "clip_near", "dense_e_cap"
+        "max_tris_per_tile", "clip_near", "dense_e_cap", "predict_fn"
     ),
 )
 def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
@@ -195,11 +219,12 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
                       weights=None, *,
                       num_primitives, aggregator, height, width,
                       max_tris_per_tile=256, clip_near=False,
-                      dense_e_cap=None):
+                      dense_e_cap=None, predict_fn=None):
     """Batched texel-mode pipeline: like fuse_views, but primitives are the
     sub-triangle texels of a TexelsRenderer (pass its reordered `faces`,
     `resolutions` and `first_texel_index`). Returns (accumulator (P, C),
-    overflow int32) like fuse_views."""
+    overflow int32) like fuse_views. predict_fn: see fuse_views — runs the
+    segmentation forward inside the scan (probs then carries raw images)."""
 
     def prim_transform_factory(rot, trans, fl, pp):
         def prim_transform(tri, camera_arrays):
@@ -219,6 +244,8 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
     def step(carry, view):
         acc, ov = carry
         rot, trans, fl, pp, pr, wt = view
+        if predict_fn is not None:
+            pr = predict_fn(pr)
         delta, ov_view = render_and_accumulate(
             vertices, faces, (rot, trans, fl, pp), pr, wt,
             images_equal_weight,
@@ -230,7 +257,9 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
         )
         return (acc + delta, ov + ov_view), None
 
-    acc0 = jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32)
+    acc0 = jnp.zeros(
+        (num_primitives, _scan_classes(probs, predict_fn)), jnp.float32
+    )
     (acc, overflow), _ = jax.lax.scan(
         step, (acc0, jnp.int32(0)),
         (rotations, translations, focal_lengths, principal_points, probs,
