@@ -30,7 +30,7 @@ import numpy as np
 from semantic_meshes import testing
 from semantic_meshes.data import stack_cameras
 from semantic_meshes.rasterize import dense, xla as xr
-from semantic_meshes import fusion
+from semantic_meshes import distributed, fusion
 
 SUB, W, H, C = 91, 1296, 968, 40
 REPS = 20
@@ -165,6 +165,53 @@ def main():
         f"full render+fuse step: "
         f"{timed(functools.partial(full, e_cap=e_cap2), *args, probs_d):.2f} ms"
     )
+
+    # marginal in-pipeline costs over an 8-view scan (the bench preset's
+    # actual program shape — isolated phase numbers do NOT compose, XLA
+    # overlaps phases inside the scan)
+    NV = 8
+    cams8 = testing.make_ring_cameras(num_views=NV, width=W, height=H)
+    rot8, trans8, fl8, pp8 = jax.device_put(stack_cameras(cams8))
+    probs8 = jax.device_put(
+        jnp.broadcast_to(jnp.asarray(probs), (NV, H, W, C))
+    )
+    stats8 = np.asarray(dense.candidate_stats(
+        v, f, rot8[0], trans8[0], fl8[0], pp8[0], height=H, width=W
+    ))
+    caps8 = (2 * int(stats8[0]), 2 * int(stats8[1]))
+
+    fuse = functools.partial(
+        distributed.fuse_views,
+        num_primitives=len(faces), aggregator="sum",
+        height=H, width=W, dense_e_cap=caps8,
+    )
+    t_fuse = timed(
+        lambda: fuse(v, f, rot8, trans8, fl8, pp8, probs8,
+                     jnp.float32(0.5))[0][:1, :1],
+        reps=4,
+    )
+    print(f"fuse_views 8v: {t_fuse / NV:.2f} ms/view")
+
+    @functools.partial(jax.jit, static_argnames=("e_cap",))
+    def render_only(v, f, rot8, trans8, fl8, pp8, *, e_cap):
+        def step(acc, view):
+            r, t, fl_, pp_ = view
+            tri, z, ov = dense.rasterize(
+                v, f, r, t, fl_, pp_, height=H, width=W,
+                e_cap_rows=e_cap[0], micro_cap_rows=e_cap[1],
+            )
+            return acc + jnp.sum(tri[::64, ::64]) + ov, None
+        acc, _ = jax.lax.scan(
+            step, jnp.int32(0), (rot8, trans8, fl8, pp8)
+        )
+        return acc
+
+    t_r = timed(
+        lambda: render_only(v, f, rot8, trans8, fl8, pp8, e_cap=caps8),
+        reps=4,
+    )
+    print(f"render-only scan 8v: {t_r / NV:.2f} ms/view "
+          f"(fusion marginal: {(t_fuse - t_r) / NV:.2f} ms/view)")
 
 
 if __name__ == "__main__":
