@@ -37,10 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 from . import xla as xla_rast
 from .pallas_kernel import _ID_BIAS, _N_PARAMS, _gather_candidate_tables
 
-# (16, 128) tiles. An (8, 128) grid (the f32 VPU minimum) was measured
-# SLOWER at the scannet preset (32.1 vs 29.8 ms/view): it halves each
-# candidate's VPU work but doubles the per-tile DMA issue + loop
-# scaffolding, and the kernel is ~half overhead at ~100 candidates/tile.
+# (16, 128) tiles. Two finer-granularity variants were measured SLOWER
+# at the scannet preset and rejected:
+# - an (8, 128) tile GRID (the f32 VPU minimum): 32.1 vs 29.8 ms/view —
+#   halves each candidate's VPU work but doubles the per-tile DMA issue
+#   + loop scaffolding (kernel is ~half overhead at ~100 cands/tile);
+# - a per-candidate HALF-TILE test (round 3: class 0/1/2 = bbox in the
+#   top (8,128) half / bottom half / both, carried in param lane 13,
+#   selected by nested scalar lax.cond in the candidate loop): 12.9 vs
+#   25.5 MPix/s END TO END — a 2x REGRESSION; Mosaic's per-candidate
+#   scalar branching costs far more than the (8,128) vreg work it skips.
+#   Sub-tile savings would need branch-free restructuring (pre-sorted
+#   per-half candidate ranges with separate DMA streams), which the
+#   (8,128)-grid measurement already bounds as DMA-overhead-dominated.
 TILE_H = 16
 TILE_W = 128
 K_SPAN = 5  # 4 span slots + 1 global-bucket slot per triangle
