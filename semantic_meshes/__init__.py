@@ -34,7 +34,6 @@ from . import fusion  # noqa: F401
 from . import geometry  # noqa: F401
 from . import metrics  # noqa: F401
 from . import ops  # noqa: F401
-from . import parallel  # noqa: F401
 from . import profiling  # noqa: F401
 from . import render  # noqa: F401
 
