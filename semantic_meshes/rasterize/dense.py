@@ -560,7 +560,7 @@ def rasterize(
             jax.ShapeDtypeStruct((B, TILE_H, TILE_W), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK_ROWS, PACK * _N_PARAMS), jnp.float32),
+            pltpu.SMEM((2, CHUNK_ROWS, PACK * _N_PARAMS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() != "tpu",
