@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import xla as xla_rast
 from .pallas_kernel import _ID_BIAS, _N_PARAMS, _gather_candidate_tables
 
-# (16, 128) tiles. Two finer-granularity variants were measured SLOWER
+# (16, 128) tiles. Three finer-granularity variants were measured SLOWER
 # at the scannet preset and rejected:
 # - an (8, 128) tile GRID (the f32 VPU minimum): 32.1 vs 29.8 ms/view —
 #   halves each candidate's VPU work but doubles the per-tile DMA issue
@@ -46,10 +46,15 @@ from .pallas_kernel import _ID_BIAS, _N_PARAMS, _gather_candidate_tables
 #   top (8,128) half / bottom half / both, carried in param lane 13,
 #   selected by nested scalar lax.cond in the candidate loop): 12.9 vs
 #   25.5 MPix/s END TO END — a 2x REGRESSION; Mosaic's per-candidate
-#   scalar branching costs far more than the (8,128) vreg work it skips.
-#   Sub-tile savings would need branch-free restructuring (pre-sorted
-#   per-half candidate ranges with separate DMA streams), which the
-#   (8,128)-grid measurement already bounds as DMA-overhead-dominated.
+#   scalar branching costs far more than the (8,128) vreg work it skips;
+# - BRANCH-FREE half-tile ranges (round 3: same (16, 128) grid, binning
+#   sort key = tile * 3 + class so each tile gets pre-sorted top-only /
+#   bottom-only / spans-both ranges, single-half ranges tested on an
+#   (8, 128) block with two (8, 128) z-carries): render-only 8-view scan
+#   20.4 vs 19.1 ms/view same-session — the 2 extra DMA ranges + loop
+#   scaffolding per tile cost more than the ~35% VPU saving, which the
+#   scan's phase overlap already hides. The per-candidate test work is
+#   NOT the in-pipeline bottleneck at ~160 candidates/tile.
 TILE_H = 16
 TILE_W = 128
 K_SPAN = 5  # 4 span slots + 1 global-bucket slot per triangle
