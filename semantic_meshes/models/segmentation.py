@@ -177,13 +177,27 @@ def _ensure_rgb(image):
     return image
 
 
+def _ensure_rgb_batch(images):
+    """(N, H, W) / (N, H, W, 1|3|4) -> (N, H, W, 3) — so the batch fast
+    path accepts every shape the per-image predictor does (sliding()
+    feeds raw window crops straight to .batch)."""
+    x = jnp.asarray(images)
+    if x.ndim == 3:
+        x = x[..., None]
+    if x.shape[-1] == 1:
+        x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+    if x.shape[-1] == 4:
+        x = x[..., :3]
+    return x
+
+
 def _window_starts(size, win, overlap):
     """Static window start offsets covering [0, size) with >= `overlap`
     fractional overlap between neighbours; the last window is clamped to
     end exactly at `size` (every pixel covered, no padding)."""
     if size <= win:
         return [0]
-    stride = max(int(round(win * (1.0 - overlap))), 1)
+    stride = max(int(win * (1.0 - overlap)), 1)  # floor honors >= overlap
     starts = list(range(0, size - win, stride))
     starts.append(size - win)
     return starts
@@ -296,6 +310,8 @@ def load_predictor(classes=19, params_path=None, input_hw=(512, 512),
         raise ImportError("flax is required for the bundled segmentation model")
     cls = {"unet": UNet, "pspnet": PSPNet}[arch]
     model = cls(classes=classes, widths=tuple(widths))
+    if params is not None and params_path is not None:
+        raise ValueError("pass params or params_path, not both")
     if params is None:
         rng = jax.random.PRNGKey(0)
         params = model.init(
@@ -312,7 +328,7 @@ def load_predictor(classes=19, params_path=None, input_hw=(512, 512),
 
     def predict_batch(images):
         """(N, H, W, 3) uint8-like -> (N, H, W, classes), one dispatch."""
-        x = jnp.asarray(images).astype(jnp.float32) / 255.0
+        x = _ensure_rgb_batch(images).astype(jnp.float32) / 255.0
         n, h, w = x.shape[:3]
         x = jax.image.resize(x, (n,) + tuple(input_hw) + (3,), "bilinear")
         probs = run(params, x)
@@ -354,6 +370,8 @@ def load_rgbd_predictor(classes=40, params_path=None, input_hw=(480, 640),
     if not HAVE_FLAX:  # pragma: no cover
         raise ImportError("flax is required for the bundled segmentation model")
     model = RGBDUNet(classes=classes, widths=tuple(widths))
+    if params is not None and params_path is not None:
+        raise ValueError("pass params or params_path, not both")
     if params is None:
         rng = jax.random.PRNGKey(0)
         params = model.init(
@@ -372,7 +390,7 @@ def load_rgbd_predictor(classes=40, params_path=None, input_hw=(480, 640),
 
     def predict_batch(colors, depths):
         """(N, H, W, 3) + (N, H, W, 1) [meters] -> (N, H, W, classes)."""
-        rgb = jnp.asarray(colors).astype(jnp.float32) / 255.0
+        rgb = _ensure_rgb_batch(colors).astype(jnp.float32) / 255.0
         n, h, w = rgb.shape[:3]
         rgb = jax.image.resize(rgb, (n,) + tuple(input_hw) + (3,),
                                "bilinear")

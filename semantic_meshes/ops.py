@@ -122,21 +122,26 @@ def _segment_sum_exact16(data, idx, num_segments, bits=None):
     - values are quantized to 24-bit fixed point q = round(v * scale) + 2^23
       with a power-of-2 `scale` chosen from max|v| (so quantization is the
       ONLY rounding; error <= 0.5/scale per row).
-    - each q is decomposed into 12 centered 2-bit limbs c_j = l_j - 2 in
-      [-2, 1]; limbs ride as int16 columns of ONE scatter-add (columns are
-      free: 63 vs 20 cols both ~15 ms, scripts/microbench_scatter.py).
-      int16 addition wraps mod 2^16 (verified on TPU), so a segment's limb
-      sum is EXACT (no wrap at all) while |sum c_j| <= 2N < 2^15, i.e. for
-      any segment with N <= 16383 rows.
+    - each q is decomposed into L = 24/bits centered `bits`-wide limbs
+      c_j = l_j - 2^(bits-1) in [-2^(bits-1), 2^(bits-1) - 1] (bits from
+      SM_EXACT16_BITS, default 6 -> 4 limbs); limbs ride as int16 columns
+      of ONE scatter-add (columns are free: 63 vs 20 cols both ~15 ms,
+      scripts/microbench_scatter.py). int16 addition wraps mod 2^16
+      (verified on TPU), so a segment's limb sum is EXACT (no wrap at
+      all) while |sum c_j| <= 2^(bits-1) * N < 2^15, i.e. for any
+      segment with N <= cap = (2^15 - 1) / 2^(bits-1) rows (16383 at
+      bits=2, 1023 at the default bits=6).
     - per-segment row counts are recovered EXACTLY for every N: chunk-count
       column k holds ones for rows with linear index in chunk k (chunks of
       65535 rows), so each per-(segment, chunk) count is < 2^16 and its
       int16 readout is bijective; summing decoded chunks in int32 gives N.
-    - segments with N > 16383 (whose limb sums may have wrapped) number at
-      most rows/16384 < 64 by pigeonhole; the top-64 segments by exact
-      count are ALWAYS recomputed with a masked one-hot MXU matmul
-      (exact f32 dot; XLA fuses the one-hot compare into the dot operands,
-      nothing materializes) and replace the limb results.
+    - segments with N > cap (whose limb sums may have wrapped) number at
+      most rows/(cap + 1) by pigeonhole; the top-k segments by exact
+      count with k = max(64, ceil(rows/(cap + 1))) are ALWAYS recomputed
+      with a masked one-hot MXU matmul (exact f32 dot; XLA fuses the
+      one-hot compare into the dot operands, nothing materializes) and
+      replace the limb results — so every possible wrap victim is fixed
+      at every limb width, and accuracy is width-independent.
     - reconstruction groups limbs so every integer partial fits int32 and
       every f32 conversion is < 2^24 (exact); only the final two adds and
       the /scale round.

@@ -63,10 +63,11 @@ def rasterize(vertices, faces, *args, backend=None, **kwargs):
 
 
 def dense_zero_budget(dense_e_cap):
-    """True when the dense pair budget is pinned to zero (the all-micro
-    probe regime) — the overflow policy then re-checks at a duty cycle."""
+    """True when the dense pair budget OR micro budget is pinned to zero
+    (the probe frame saw none of that class, so ANY later occurrence
+    spills) — the overflow policy then re-checks at a duty cycle."""
     if isinstance(dense_e_cap, tuple):
-        return dense_e_cap[0] == 0
+        return dense_e_cap[0] == 0 or dense_e_cap[1] == 0
     return dense_e_cap == 0
 
 

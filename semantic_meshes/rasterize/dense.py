@@ -98,6 +98,16 @@ def _classify(setup, height, width, y_offset):
     return micro, small, big, bx0, by0, span_h, span_w
 
 
+def _pair_count(small, big, span_h, span_w):
+    """Exact (tile, triangle) pair count the binning will emit for a
+    _classify result — the ONE definition both probes and the zero-budget
+    fast path share (a drift here would under-size budgets silently)."""
+    span_pairs = jnp.where(small, span_h * span_w, 0)
+    return (jnp.sum(span_pairs) + jnp.sum(big.astype(jnp.int32))).astype(
+        jnp.int32
+    )
+
+
 def count_pairs(setup, height, width, y_offset):
     """Exact (tile, triangle) pair count the dense binning will produce —
     closed form, no sort. The right-sizing probe for `e_cap_rows`: the
@@ -107,10 +117,7 @@ def count_pairs(setup, height, width, y_offset):
     micro, small, big, _, _, span_h, span_w = _classify(
         setup, height, width, y_offset
     )
-    span_pairs = jnp.where(small, span_h * span_w, 0)
-    return (jnp.sum(span_pairs) + jnp.sum(big.astype(jnp.int32))).astype(
-        jnp.int32
-    )
+    return _pair_count(small, big, span_h, span_w)
 
 
 def _build_sorted_bins(setup, height, width, y_offset, e_cap, n_global):

@@ -67,9 +67,9 @@ class _OverflowPolicy:
     def __init__(self, mode="first"):
         self.mode = mode
         self._calls = {}  # key -> number of check() calls so far
-        self._pending = []  # per-frame device scalars, summed in total()
-        self._base = 0
-        self._warned = 0  # total() watermark already reported by rechecks
+        self._pending = {}  # key -> per-frame device scalars (unsynced)
+        self._base = {}  # key -> synced drop total
+        self._warned = {}  # key -> drop total already reported
 
     def check(self, overflow, key, max_tris_per_tile, dense=False,
               recheck=False):
@@ -80,33 +80,50 @@ class _OverflowPolicy:
         leaving the loss visible only via overflow_total()."""
         if self.mode == "never":
             return
-        self._pending.append(overflow)
+        self._pending.setdefault(key, []).append(overflow)
         n = self._calls.get(key, 0)
         self._calls[key] = n + 1
-        if self.mode == "first" and n > 0:
-            if not (recheck and (n == 1 or n % self.RECHECK_EVERY == 0)):
-                return
-            total = self.total()  # one sync, drains pending
-            new = total - self._warned
-            if new:
-                self._warned = total
-                logger.warning(
-                    "rasterizer overflow: %d candidate pairs dropped since "
-                    "the last check (zero-budget dense cap at %s); later "
-                    "frames exceed the probe frame — re-probe or set "
-                    "e_cap_rows explicitly", new, key,
-                )
+        first = n == 0
+        if (
+            self.mode == "first"
+            and not first
+            and not (recheck and (n == 1 or n % self.RECHECK_EVERY == 0))
+        ):
             return
-        ov = int(overflow)
-        if ov:
+        # bookkeeping is per KEY (totals and the already-reported
+        # watermark), so a warning never attributes one resolution's
+        # drops to another and never re-reports drops the first-frame
+        # check already printed
+        total = self._key_total(key)  # one sync, drains this key's pending
+        new = total - self._warned.get(key, 0)
+        if not new:
+            return
+        self._warned[key] = total
+        if first or self.mode == "always":
             knob = (
                 "e_cap_rows/n_global (dense backend)" if dense
                 else f"max_tris_per_tile (current {max_tris_per_tile})"
             )
             logger.warning(
                 "rasterizer overflow: %d candidate pairs dropped; "
-                "raise %s", ov, knob,
+                "raise %s", new, knob,
             )
+        else:
+            logger.warning(
+                "rasterizer overflow: %d candidate pairs dropped since "
+                "the last check (zero-budget dense cap at %s); later "
+                "frames exceed the probe frame — re-probe or set "
+                "e_cap_rows explicitly", new, key,
+            )
+
+    def _key_total(self, key) -> int:
+        pend = self._pending.get(key)
+        if pend:
+            self._base[key] = self._base.get(key, 0) + int(
+                jnp.sum(jnp.stack(pend))
+            )
+            pend.clear()
+        return self._base.get(key, 0)
 
     def total(self) -> int:
         """Accumulated dropped pairs across all renders so far.
@@ -114,10 +131,9 @@ class _OverflowPolicy:
         One device sync per call (stack + sum of the pending per-frame
         scalars) — intended for end-of-run summaries, not the hot loop.
         """
-        if self._pending:
-            self._base += int(jnp.sum(jnp.stack(self._pending)))
-            self._pending.clear()
-        return self._base
+        for key in list(self._pending):
+            self._key_total(key)
+        return sum(self._base.values())
 
 
 class _DenseCapPolicy:
