@@ -254,3 +254,58 @@ def test_texels_render_many_matches_single():
         np.testing.assert_array_equal(
             np.asarray(depth_b[i]), np.asarray(depth)
         )
+
+
+class TestPredictorInputHandling:
+    """Review-fix coverage: the batch fast path must accept every image
+    shape the per-image predictor does, the sliding stride must honor the
+    requested overlap, and params/params_path are mutually exclusive."""
+
+    def test_batch_accepts_gray_and_rgba(self):
+        predict = segmentation.load_predictor(
+            classes=4, input_hw=(32, 32), widths=(8, 16)
+        )
+        gray = np.zeros((2, 40, 40), np.uint8)
+        assert np.asarray(predict.batch(gray)).shape == (2, 40, 40, 4)
+        rgba = np.zeros((2, 40, 40, 4), np.uint8)
+        assert np.asarray(predict.batch(rgba)).shape == (2, 40, 40, 4)
+        chan1 = np.zeros((2, 40, 40, 1), np.uint8)
+        assert np.asarray(predict.batch(chan1)).shape == (2, 40, 40, 4)
+
+    def test_sliding_gray_input_through_batch_path(self):
+        # sliding() feeds raw window crops straight to .batch — a gray
+        # input must survive the fast path end to end
+        predict = segmentation.load_predictor(
+            classes=3, input_hw=(32, 32), widths=(8, 16)
+        )
+        slid = segmentation.sliding(predict, (32, 32), overlap=0.25)
+        img = np.random.default_rng(6).integers(
+            0, 256, (64, 80)).astype(np.uint8)
+        probs = np.asarray(slid(img))
+        assert probs.shape == (64, 80, 3)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+
+    def test_window_stride_honors_overlap(self):
+        # floor(win * (1 - overlap)) guarantees actual overlap >= request
+        for size, win, overlap in [(100, 40, 0.2), (97, 33, 0.33),
+                                   (512, 100, 0.15), (64, 63, 0.5)]:
+            starts = segmentation._window_starts(size, win, overlap)
+            assert starts[0] == 0 and starts[-1] == size - win
+            for a, b in zip(starts, starts[1:]):
+                got = (win - (b - a)) / win
+                assert got >= overlap - 1e-9, (size, win, overlap, a, b)
+
+    def test_params_and_params_path_exclusive(self, tmp_path):
+        p = tmp_path / "params.msgpack"
+        p.write_bytes(b"")
+        dummy = {"w": np.zeros(3)}
+        with pytest.raises(ValueError, match="not both"):
+            segmentation.load_predictor(
+                classes=3, input_hw=(32, 32), widths=(8, 16),
+                params=dummy, params_path=str(p),
+            )
+        with pytest.raises(ValueError, match="not both"):
+            segmentation.load_rgbd_predictor(
+                classes=3, input_hw=(32, 32), widths=(8, 16),
+                params=dummy, params_path=str(p),
+            )

@@ -1,0 +1,136 @@
+"""Unit tests for the overflow-reporting policy (render._OverflowPolicy)
+and the zero-budget dense-cap predicate.
+
+The policy's contract (render.py:48-136): one synchronous check per
+resolution key on its first frame, async accumulation afterwards, with a
+low-duty-cycle synchronous re-check for keys whose dense budget is pinned
+to zero. Bookkeeping is PER KEY: one resolution's drops must never be
+attributed to another, and a re-check must never re-report drops the
+first-frame warning already printed.
+"""
+
+import logging
+
+import jax.numpy as jnp
+import pytest
+
+from semantic_meshes.rasterize import dense_zero_budget
+from semantic_meshes.render import _OverflowPolicy
+
+
+def _ov(n):
+    return jnp.asarray(n, jnp.int32)
+
+
+class TestOverflowPolicy:
+    def test_first_frame_warns_per_key(self, caplog):
+        pol = _OverflowPolicy()
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            pol.check(_ov(5), ("a",), 8)
+            pol.check(_ov(3), ("b",), 8)
+        msgs = [r.getMessage() for r in caplog.records]
+        assert len(msgs) == 2
+        assert "5 candidate pairs dropped" in msgs[0]
+        assert "3 candidate pairs dropped" in msgs[1]
+        assert pol.total() == 8
+
+    def test_no_warning_when_zero(self, caplog):
+        pol = _OverflowPolicy()
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            pol.check(_ov(0), ("a",), 8)
+        assert not caplog.records
+        assert pol.total() == 0
+
+    def test_post_first_frames_stay_async(self, caplog):
+        pol = _OverflowPolicy()
+        pol.check(_ov(0), ("a",), 8)
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            for _ in range(10):
+                pol.check(_ov(7), ("a",), 8)
+        # no sync, no warning — the drops are only visible via total()
+        assert not caplog.records
+        assert pol.total() == 70
+
+    def test_recheck_reports_only_new_drops(self, caplog):
+        pol = _OverflowPolicy()
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            pol.check(_ov(5), ("a",), 8, recheck=True)  # frame 1: warns 5
+            pol.check(_ov(2), ("a",), 8, recheck=True)  # frame 2: warns 2
+        msgs = [r.getMessage() for r in caplog.records]
+        assert len(msgs) == 2
+        # the frame-2 re-check reports the NEW drops, not first-frame's 5
+        assert "2 candidate pairs dropped" in msgs[1]
+        assert "re-probe" in msgs[1]
+
+    def test_recheck_silent_when_nothing_new(self, caplog):
+        pol = _OverflowPolicy()
+        pol.check(_ov(5), ("a",), 8, recheck=True)
+        caplog.clear()  # drop the frame-1 warning; records span the test
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            pol.check(_ov(0), ("a",), 8, recheck=True)  # frame 2, no drops
+        assert not caplog.records
+
+    def test_recheck_duty_cycle(self, caplog):
+        pol = _OverflowPolicy()
+        pol.check(_ov(0), ("a",), 8, recheck=True)  # frame 1
+        pol.check(_ov(0), ("a",), 8, recheck=True)  # frame 2 (syncs, clean)
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            for _ in range(_OverflowPolicy.RECHECK_EVERY - 2):
+                pol.check(_ov(1), ("a",), 8, recheck=True)
+            assert not caplog.records  # between duty ticks: async
+            pol.check(_ov(1), ("a",), 8, recheck=True)  # frame 65 = tick
+        msgs = [r.getMessage() for r in caplog.records]
+        assert len(msgs) == 1
+        assert f"{_OverflowPolicy.RECHECK_EVERY - 1} candidate" in msgs[0]
+
+    def test_keys_do_not_cross_contaminate(self, caplog):
+        pol = _OverflowPolicy()
+        pol.check(_ov(0), ("a",), 8, recheck=True)  # key a: clean probe
+        pol.check(_ov(100), ("b",), 8)  # key b: big first-frame drop
+        caplog.clear()  # drop b's first-frame warning; records span the test
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            pol.check(_ov(0), ("a",), 8, recheck=True)  # a's frame-2 sync
+        # a's re-check must not report b's 100 drops
+        assert not caplog.records
+        assert pol.total() == 100
+
+    def test_always_mode_warns_every_breach(self, caplog):
+        pol = _OverflowPolicy(mode="always")
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            pol.check(_ov(4), ("a",), 8)
+            pol.check(_ov(0), ("a",), 8)
+            pol.check(_ov(6), ("a",), 8)
+        msgs = [r.getMessage() for r in caplog.records]
+        assert len(msgs) == 2
+        assert "4 candidate" in msgs[0] and "6 candidate" in msgs[1]
+
+    def test_never_mode(self, caplog):
+        pol = _OverflowPolicy(mode="never")
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            pol.check(_ov(9), ("a",), 8)
+        assert not caplog.records
+        assert pol.total() == 0
+
+    def test_total_sums_across_keys(self):
+        pol = _OverflowPolicy()
+        pol.check(_ov(1), ("a",), 8)
+        pol.check(_ov(2), ("b",), 8)
+        pol.check(_ov(3), ("a",), 8)
+        assert pol.total() == 6
+        assert pol.total() == 6  # idempotent after drain
+
+
+class TestDenseZeroBudget:
+    @pytest.mark.parametrize(
+        "cap,expected",
+        [
+            ((0, 5), True),  # no pair budget: any small/big triangle spills
+            ((5, 0), True),  # no micro budget: any micro triangle spills
+            ((0, 0), True),
+            ((5, 5), False),
+            (0, True),  # scalar legacy form
+            (5, False),
+        ],
+    )
+    def test_zero_budget(self, cap, expected):
+        assert dense_zero_budget(cap) is expected
