@@ -55,8 +55,18 @@ from .pallas_kernel import _ID_BIAS, _N_PARAMS, _gather_candidate_tables
 #   scaffolding per tile cost more than the ~35% VPU saving, which the
 #   scan's phase overlap already hides. The per-candidate test work is
 #   NOT the in-pipeline bottleneck at ~160 candidates/tile.
-TILE_H = 16
-TILE_W = 128
+# The COARSER direction ties (round 3, closing the axis): a (32, 128)
+# grid halves the per-tile scaffolding and emits 6.5% fewer pairs
+# (99.7k vs 106.7k at the scannet preset) but measures a dead tie
+# in-pipeline — render-only 8-view scan 19.28 vs 19.21 ms/view, fused
+# 40.45 vs 40.46 (same session, microbench_scannet.py) — and the dense
+# preset is all-micro (zero candidates), so the grid is irrelevant
+# there. (16, 128) stays; SM_DENSE_TILE_H/W remain as ablation knobs
+# (any multiple of 8 x multiple of 128; bit-parity verified at 32).
+import os as _os
+
+TILE_H = int(_os.environ.get("SM_DENSE_TILE_H", "16"))
+TILE_W = int(_os.environ.get("SM_DENSE_TILE_W", "128"))
 K_SPAN = 5  # 4 span slots + 1 global-bucket slot per triangle
 PACK = 8  # candidates per 128-lane row of the packed parameter table
 CHUNK_ROWS = 32  # packed rows per DMA (= 256 candidates)
@@ -308,7 +318,14 @@ def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None):
         first = jnp.concatenate(
             [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
         ) & (pix_s < HW)
-        # compact: exactly HW winners (one per pixel), pixel-ascending
+        # compact: exactly HW winners (one per pixel), pixel-ascending.
+        # Measured alternative (round 3): carry only a ROW-INDEX payload
+        # here (2 int32 operands instead of 3) and gather z/tri at the HW
+        # winning rows afterwards — rasterize_micro 36.8 vs 16.4 ms at the
+        # dense preset. The winner rows ascend but stride ~(4T+HW)/HW
+        # apart, so the two 786k-row gathers from 2.8M-row arrays pay the
+        # random-gather rate and swamp the ~1/3 sort-byte saving. Keep all
+        # three operands in the sort.
         _, wz, wtri = jax.lax.sort(
             (jnp.where(first, pix_s, HW), z_s, tri_s),
             dimension=0,

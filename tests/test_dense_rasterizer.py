@@ -112,6 +112,38 @@ class TestDenseMatchesOracle:
         assert int(ov) == 0
 
 
+class TestDenseRegimeFragmentBranch:
+    def test_bg_fragment_branch_matches_oracle(self):
+        """The micro path's dense-regime branch (4*T*2 >= H*W: background
+        fragments + sort compaction, no scatter) must match the oracle
+        bit-for-bit. Every other scene in this file has few triangles
+        relative to the image and rides the set-scatter branch, so this is
+        the only coverage of the branch the dense/scannet presets use.
+        The oracle's per-tile cap is raised so IT doesn't overflow (its
+        default 256 drops ~19k pairs on a scene this dense)."""
+        vertices, faces = testing.make_cube(subdivisions=30)  # 10800 tris
+        h, w = 64, 128
+        assert 4 * len(faces) * 2 >= h * w  # dense-regime branch
+        cams = testing.make_ring_cameras(num_views=1, width=w, height=h)
+        rot, trans, fl, pp = stack_cameras(cams)
+        cam = (rot[0], trans[0], fl[0], pp[0])
+        t1, d1, o1 = xla.rasterize(
+            vertices, faces, *cam, height=h, width=w,
+            max_tris_per_tile=8192,
+        )
+        assert int(o1) == 0  # oracle output is trustworthy
+        t2, d2, o2 = dense.rasterize(
+            vertices, faces, *cam, height=h, width=w
+        )
+        assert int(o2) == 0
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        fin = np.isfinite(np.asarray(d1))
+        np.testing.assert_array_equal(fin, np.isfinite(np.asarray(d2)))
+        np.testing.assert_allclose(
+            np.asarray(d1)[fin], np.asarray(d2)[fin], rtol=1e-6
+        )
+
+
 class TestMicroClassification:
     def test_micro_flag(self):
         from semantic_meshes.rasterize.xla import _make_setup
