@@ -49,19 +49,22 @@ def main():
     data = jax.device_put(rng.random((ROWS, D), np.float32))
     idx = jax.device_put(coherent_ids(ROWS, P, rng))
 
-    L = ops._EXACT16_LIMBS
+    BITS = ops._EXACT16_BITS
+    L, CENTER, _, _ = ops._exact16_config(BITS)
+    B = 1 << BITS
     nch = -(-ROWS // ops._EXACT16_CHUNK)
 
     @jax.jit
     def decompose(data):
+        # int32-lane extraction of the ACTIVE width's limbs
         vmax = jnp.max(jnp.abs(data), axis=0)
         _, e = jnp.frexp(vmax)
         scale = jnp.where(vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
                           jnp.float32(1.0))
         q = jnp.clip(jnp.round(data * scale[None, :]).astype(jnp.int32)
                      + (1 << 23), 0, (1 << 24) - 1)
-        shifts = jnp.arange(L, dtype=jnp.int32) * 2
-        limbs = ((q[:, :, None] >> shifts[None, None, :]) & 3) - 2
+        shifts = jnp.arange(L, dtype=jnp.int32) * BITS
+        limbs = ((q[:, :, None] >> shifts[None, None, :]) & (B - 1)) - CENTER
         limbs16 = limbs.reshape(ROWS, D * L).astype(jnp.int16)
         chunk = (jnp.arange(ROWS, dtype=jnp.int32) // ops._EXACT16_CHUNK)
         cols = (chunk[:, None] == jnp.arange(nch, dtype=jnp.int32)[None, :]
@@ -73,60 +76,79 @@ def main():
     print(json.dumps({"phase": "quantize+decompose",
                       "ms": round(dt * 1e3, 2)}), flush=True)
 
-    @jax.jit
-    def decompose_i16(data):
-        # variant: split q into two 12-bit halves, narrow to int16 FIRST,
-        # extract limbs with int16 lane arithmetic (2x vector throughput)
-        vmax = jnp.max(jnp.abs(data), axis=0)
-        _, e = jnp.frexp(vmax)
-        scale = jnp.where(vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
-                          jnp.float32(1.0))
-        q = jnp.clip(jnp.round(data * scale[None, :]).astype(jnp.int32)
-                     + (1 << 23), 0, (1 << 24) - 1)
-        q_lo = (q & 0xFFF).astype(jnp.int16)
-        q_hi = (q >> 12).astype(jnp.int16)
-        shifts = jnp.arange(6, dtype=jnp.int16) * 2
-        lo = ((q_lo[:, :, None] >> shifts[None, None, :]) & 3) - 2
-        hi = ((q_hi[:, :, None] >> shifts[None, None, :]) & 3) - 2
-        limbs16 = jnp.concatenate([lo, hi], axis=2).reshape(ROWS, D * L)
-        chunk = (jnp.arange(ROWS, dtype=jnp.int32) // ops._EXACT16_CHUNK)
-        cols = (chunk[:, None] == jnp.arange(nch, dtype=jnp.int32)[None, :]
-                ).astype(jnp.int16)
-        return jnp.concatenate([limbs16, cols], axis=1)
+    if 12 % BITS == 0:
+        @jax.jit
+        def decompose_i16(data):
+            # variant: split q into two 12-bit halves, narrow to int16
+            # FIRST, extract limbs with int16 lane arithmetic (2x vector
+            # throughput; needs bits | 12 — the production path for
+            # widths 2|3|4|6, ops._segment_sum_exact16)
+            vmax = jnp.max(jnp.abs(data), axis=0)
+            _, e = jnp.frexp(vmax)
+            scale = jnp.where(
+                vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
+                jnp.float32(1.0),
+            )
+            q = jnp.clip(jnp.round(data * scale[None, :]).astype(jnp.int32)
+                         + (1 << 23), 0, (1 << 24) - 1)
+            q_lo = (q & 0xFFF).astype(jnp.int16)
+            q_hi = (q >> 12).astype(jnp.int16)
+            shifts = (jnp.arange(L // 2, dtype=jnp.int16)
+                      * jnp.int16(BITS))
+            lo = ((q_lo[:, :, None] >> shifts[None, None, :])
+                  & jnp.int16(B - 1)) - jnp.int16(CENTER)
+            hi = ((q_hi[:, :, None] >> shifts[None, None, :])
+                  & jnp.int16(B - 1)) - jnp.int16(CENTER)
+            limbs16 = jnp.concatenate([lo, hi], axis=2).reshape(
+                ROWS, D * L
+            )
+            chunk = (jnp.arange(ROWS, dtype=jnp.int32)
+                     // ops._EXACT16_CHUNK)
+            cols = (chunk[:, None]
+                    == jnp.arange(nch, dtype=jnp.int32)[None, :]
+                    ).astype(jnp.int16)
+            return jnp.concatenate([limbs16, cols], axis=1)
 
-    jax.block_until_ready(decompose_i16(data))
-    dt = timeit(decompose_i16, (data,), args.repeats, lambda o: o[0, 0])
-    print(json.dumps({"phase": "quantize+decompose_i16",
-                      "ms": round(dt * 1e3, 2)}), flush=True)
+        jax.block_until_ready(decompose_i16(data))
+        dt = timeit(decompose_i16, (data,), args.repeats, lambda o: o[0, 0])
+        print(json.dumps({"phase": "quantize+decompose_i16",
+                          "ms": round(dt * 1e3, 2)}), flush=True)
 
-    @jax.jit
-    def decompose_i16_nocat(data):
-        # isolate the concat cost: limbs only, single reshape, no chunk
-        # columns
-        vmax = jnp.max(jnp.abs(data), axis=0)
-        _, e = jnp.frexp(vmax)
-        scale = jnp.where(vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
-                          jnp.float32(1.0))
-        q = jnp.clip(jnp.round(data * scale[None, :]).astype(jnp.int32)
-                     + (1 << 23), 0, (1 << 24) - 1)
-        q_lo = (q & 0xFFF).astype(jnp.int16)
-        q_hi = (q >> 12).astype(jnp.int16)
-        shifts = jnp.arange(6, dtype=jnp.int16) * 2
-        lo = ((q_lo[:, :, None] >> shifts[None, None, :]) & 3) - 2
-        hi = ((q_hi[:, :, None] >> shifts[None, None, :]) & 3) - 2
-        return lo.reshape(ROWS, D * 6), hi.reshape(ROWS, D * 6)
+    if 12 % BITS == 0:
+        @jax.jit
+        def decompose_i16_nocat(data):
+            # isolate the concat cost: limbs only, single reshape, no
+            # chunk columns
+            vmax = jnp.max(jnp.abs(data), axis=0)
+            _, e = jnp.frexp(vmax)
+            scale = jnp.where(
+                vmax > 0, jnp.exp2(23.0 - e.astype(jnp.float32)),
+                jnp.float32(1.0),
+            )
+            q = jnp.clip(jnp.round(data * scale[None, :]).astype(jnp.int32)
+                         + (1 << 23), 0, (1 << 24) - 1)
+            q_lo = (q & 0xFFF).astype(jnp.int16)
+            q_hi = (q >> 12).astype(jnp.int16)
+            shifts = (jnp.arange(L // 2, dtype=jnp.int16)
+                      * jnp.int16(BITS))
+            lo = ((q_lo[:, :, None] >> shifts[None, None, :])
+                  & jnp.int16(B - 1)) - jnp.int16(CENTER)
+            hi = ((q_hi[:, :, None] >> shifts[None, None, :])
+                  & jnp.int16(B - 1)) - jnp.int16(CENTER)
+            half = D * (L // 2)
+            return lo.reshape(ROWS, half), hi.reshape(ROWS, half)
 
-    jax.block_until_ready(decompose_i16_nocat(data))
-    dt = timeit(decompose_i16_nocat, (data,), args.repeats,
-                probe=lambda o: o[0][0, 0])
-    print(json.dumps({"phase": "decompose_i16_nocat",
-                      "ms": round(dt * 1e3, 2)}), flush=True)
+        jax.block_until_ready(decompose_i16_nocat(data))
+        dt = timeit(decompose_i16_nocat, (data,), args.repeats,
+                    probe=lambda o: o[0][0, 0])
+        print(json.dumps({"phase": "decompose_i16_nocat",
+                          "ms": round(dt * 1e3, 2)}), flush=True)
 
     @jax.jit
     def narrow_only(data):
         # floor probe: one elementwise int16 production of the same bytes
         q = (data * 1024.0).astype(jnp.int16)
-        return jnp.tile(q, (1, 12))
+        return jnp.tile(q, (1, L))
 
     jax.block_until_ready(narrow_only(data))
     dt = timeit(narrow_only, (data,), args.repeats, lambda o: o[0, 0])
@@ -173,7 +195,7 @@ def main():
         L6, _, cap6, _ = ops._exact16_config(6)
         heavy_idx[: cap6 + 1000] = 17  # wraps every width's cap
         heavy_idx = jax.device_put(heavy_idx)
-        for bits in (2, 3, 4, 6):
+        for bits in (2, 3, 4, 6, 8):
             L, center, cap, groups = ops._exact16_config(bits)
 
             @functools.partial(jax.jit, static_argnames=("bits",))

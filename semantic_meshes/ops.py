@@ -67,13 +67,19 @@ if _SCATTER_METHOD not in ("exact16", "float32", "bfloat16"):
                      f"got {_SCATTER_METHOD!r}")
 
 # exact16 parameters: 24/SM_EXACT16_BITS limbs x SM_EXACT16_BITS bits of
-# 24-bit fixed point (bits in {2, 3, 4, 6}; default 6 = 4 limbs — the
+# 24-bit fixed point (bits in {2, 3, 4, 6, 8}; default 6 = 4 limbs — the
 # measured optimum: the round-2 12x2-bit layout costs 38.4 ms at the
 # dense shape (786k rows x 21 cols, P=500k) vs 26.9 for 8x3 and 21.9
 # (23.4 with the correction forced on) for 4x6, because the int16
 # scatter/store volume scales with the limb count while the top-k MXU
 # correction stays cheap (scripts/microbench_exact16.py --ablate_bits —
-# the VERDICT r2 #3 ablation). Wider limbs shrink the wrap-safe segment
+# the VERDICT r2 #3 ablation). The curve BOTTOMS at 4x6: 3x8-bit limbs
+# measured a statistical tie without the correction (20.3 vs 20.5 ms)
+# and a loss with it forced (25.4 vs 22.8 — k grows 768 -> 3072 at
+# cap=255), because scatter columns are ~free below ~100 and 21 cols x
+# 4 limbs already sits under that threshold; fewer limbs save nothing
+# there while the 8-bit extraction loses the int16-lane split
+# (8 does not divide 12). Wider limbs shrink the wrap-safe segment
 # size (cap = (2^15-1)/2^(bits-1)), growing the correction k. A segment
 # with more than `cap` rows could wrap a centered-limb int16 sum, and by
 # pigeonhole at most rows/(cap+1) segments can do that, all of which sit
@@ -82,9 +88,9 @@ if _SCATTER_METHOD not in ("exact16", "float32", "bfloat16"):
 # _EXACT16_CHUNK keeps per-(segment, chunk) row counts below 2^16 so the
 # chunk-count columns are bijective mod 2^16 (exact counts).
 _EXACT16_BITS = int(os.environ.get("SM_EXACT16_BITS", "6"))
-if _EXACT16_BITS not in (2, 3, 4, 6):
+if _EXACT16_BITS not in (2, 3, 4, 6, 8):
     raise ValueError(
-        f"SM_EXACT16_BITS must be 2|3|4|6, got {_EXACT16_BITS}"
+        f"SM_EXACT16_BITS must be 2|3|4|6|8, got {_EXACT16_BITS}"
     )
 _EXACT16_CHUNK = (1 << 16) - 1
 _EXACT16_K = 64
@@ -176,19 +182,33 @@ def _segment_sum_exact16(data, idx, num_segments, bits=None):
         0, (1 << 24) - 1,
     )  # (n, d) in [0, 2^24)
 
-    # limb extraction in int16 lane arithmetic: split q into two 12-bit
-    # halves (bits | 12 for every supported width), narrow FIRST, then
-    # shift/mask int16 vectors (2x VPU lane throughput vs int32: 9.3 vs
-    # 12.7 ms/view measured, scripts/microbench_exact16.py). Layout
-    # (n, d, L) keeps the reshape contiguous; the low half provides limbs
-    # 0..L/2-1, the high half L/2..L-1.
-    q_lo = (q & 0xFFF).astype(jnp.int16)
-    q_hi = (q >> 12).astype(jnp.int16)
-    shifts = (jnp.arange(L // 2, dtype=jnp.int16) * bits).astype(jnp.int16)
-    mask = jnp.int16(B - 1)
-    lo = ((q_lo[:, :, None] >> shifts[None, None, :]) & mask) - center
-    hi = ((q_hi[:, :, None] >> shifts[None, None, :]) & mask) - center
-    limbs16 = jnp.concatenate([lo, hi], axis=2).reshape(n, d * L)
+    if bits == 8:
+        # 8 does not divide 12, so the 12|12 int16-lane split below can't
+        # apply (limb 1 would straddle the halves); extract the three
+        # byte limbs with int32 shifts and narrow after — slower per limb
+        # than the int16-lane path (12.7 vs 9.3 ms/view class at 4 limbs)
+        # but there are only 3 limbs.
+        parts = [
+            (((q >> (8 * j)) & 0xFF).astype(jnp.int16) - center)[:, :, None]
+            for j in range(3)
+        ]
+        limbs16 = jnp.concatenate(parts, axis=2).reshape(n, d * L)
+    else:
+        # limb extraction in int16 lane arithmetic: split q into two
+        # 12-bit halves (bits | 12 for widths 2|3|4|6), narrow FIRST,
+        # then shift/mask int16 vectors (2x VPU lane throughput vs int32:
+        # 9.3 vs 12.7 ms/view measured, scripts/microbench_exact16.py).
+        # Layout (n, d, L) keeps the reshape contiguous; the low half
+        # provides limbs 0..L/2-1, the high half L/2..L-1.
+        q_lo = (q & 0xFFF).astype(jnp.int16)
+        q_hi = (q >> 12).astype(jnp.int16)
+        shifts = (jnp.arange(L // 2, dtype=jnp.int16) * bits).astype(
+            jnp.int16
+        )
+        mask = jnp.int16(B - 1)
+        lo = ((q_lo[:, :, None] >> shifts[None, None, :]) & mask) - center
+        hi = ((q_hi[:, :, None] >> shifts[None, None, :]) & mask) - center
+        limbs16 = jnp.concatenate([lo, hi], axis=2).reshape(n, d * L)
 
     nch = _cdiv_py(n, _EXACT16_CHUNK)
     chunk_of_row = jnp.arange(n, dtype=jnp.int32) // _EXACT16_CHUNK

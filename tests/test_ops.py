@@ -68,7 +68,7 @@ class TestExact16:
         atol = float(np.abs(data).max()) * 2.0**-23 * (N / P * 8 + 4)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol)
 
-    @pytest.mark.parametrize("bits", [2, 3, 4, 6])
+    @pytest.mark.parametrize("bits", [2, 3, 4, 6, 8])
     def test_limb_width_ablation_configs(self, bits):
         """Every supported limb width (SM_EXACT16_BITS / the microbench
         ablation axis) satisfies the full correctness argument: random
