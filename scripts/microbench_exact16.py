@@ -52,6 +52,8 @@ def main():
     BITS = ops._EXACT16_BITS
     L, CENTER, _, _ = ops._exact16_config(BITS)
     B = 1 << BITS
+    # the int16-lane 12|12 split variants only exist for widths dividing 12
+    I16_SPLIT_OK = 12 % BITS == 0
     nch = -(-ROWS // ops._EXACT16_CHUNK)
 
     @jax.jit
@@ -76,7 +78,7 @@ def main():
     print(json.dumps({"phase": "quantize+decompose",
                       "ms": round(dt * 1e3, 2)}), flush=True)
 
-    if 12 % BITS == 0:
+    if I16_SPLIT_OK:
         @jax.jit
         def decompose_i16(data):
             # variant: split q into two 12-bit halves, narrow to int16
@@ -114,7 +116,7 @@ def main():
         print(json.dumps({"phase": "quantize+decompose_i16",
                           "ms": round(dt * 1e3, 2)}), flush=True)
 
-    if 12 % BITS == 0:
+    if I16_SPLIT_OK:
         @jax.jit
         def decompose_i16_nocat(data):
             # isolate the concat cost: limbs only, single reshape, no

@@ -37,6 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import xla as xla_rast
 from .pallas_kernel import _ID_BIAS, _N_PARAMS, _gather_candidate_tables
 
+import os
+
 # (16, 128) tiles. Three finer-granularity variants were measured SLOWER
 # at the scannet preset and rejected:
 # - an (8, 128) tile GRID (the f32 VPU minimum): 32.1 vs 29.8 ms/view —
@@ -63,10 +65,16 @@ from .pallas_kernel import _ID_BIAS, _N_PARAMS, _gather_candidate_tables
 # preset is all-micro (zero candidates), so the grid is irrelevant
 # there. (16, 128) stays; SM_DENSE_TILE_H/W remain as ablation knobs
 # (any multiple of 8 x multiple of 128; bit-parity verified at 32).
-import os as _os
-
-TILE_H = int(_os.environ.get("SM_DENSE_TILE_H", "16"))
-TILE_W = int(_os.environ.get("SM_DENSE_TILE_W", "128"))
+TILE_H = int(os.environ.get("SM_DENSE_TILE_H", "16"))
+TILE_W = int(os.environ.get("SM_DENSE_TILE_W", "128"))
+if TILE_H <= 0 or TILE_H % 8 or TILE_W <= 0 or TILE_W % 128:
+    # fail at import with a named error, not 30-130 s later inside the
+    # tunneled compile service with a cryptic Mosaic block-shape error
+    raise ValueError(
+        f"SM_DENSE_TILE_H must be a positive multiple of 8 and "
+        f"SM_DENSE_TILE_W a positive multiple of 128 (f32 Pallas block "
+        f"minimum); got ({TILE_H}, {TILE_W})"
+    )
 K_SPAN = 5  # 4 span slots + 1 global-bucket slot per triangle
 PACK = 8  # candidates per 128-lane row of the packed parameter table
 CHUNK_ROWS = 32  # packed rows per DMA (= 256 candidates)
