@@ -102,8 +102,13 @@ class TestSlidingMultiScale:
             return predict(image)
         unbatched.params = predict.params
         slow = segmentation.sliding(unbatched, (32, 32), overlap=0.25)
+        # On TPU the default conv precision is bf16-class, and the batched
+        # (N windows) vs per-window (N=1) programs round differently; only
+        # f32 CPU gives near-exact agreement.
+        import jax
+        atol = 1e-5 if jax.default_backend() == "cpu" else 5e-3
         np.testing.assert_allclose(
-            probs, np.asarray(slow(img)), atol=1e-5
+            probs, np.asarray(slow(img)), atol=atol
         )
 
     def test_multi_scale_identity_and_average(self):
