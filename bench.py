@@ -16,6 +16,8 @@ per-primitive distributions (segment reductions), all inside one jitted scan
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -52,6 +54,16 @@ def main():
                              "on the default preset")
     args = parser.parse_args()
 
+    if not _device_reachable():
+        # the tunneled TPU can wedge so hard that jax.devices() hangs
+        # forever — fail fast with a clear message instead of hanging the
+        # caller (a stale number is worse than no number)
+        print(
+            "bench.py: device backend unreachable (probe subprocess timed "
+            "out); not benchmarking", file=sys.stderr,
+        )
+        sys.exit(2)
+
     if args.preset == "e2e":
         return bench_e2e(args)
 
@@ -75,6 +87,30 @@ def main():
             }
         )
     )
+
+
+def _device_reachable(timeout=240):
+    """Probe the jax backend in a subprocess (mirrors this process's
+    platform selection: SM_PLATFORM pin, else the environment default).
+    A wedged axon tunnel hangs jax.devices() indefinitely; the subprocess
+    boundary lets us time that out. The probe exits before this process
+    initializes jax, so the two never race the axon plugin init."""
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('SM_PLATFORM')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "jax.devices()\n"
+        "import jax.numpy as jnp\n"
+        "print(float(jnp.ones((8, 8)).sum()))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def measure_preset(preset, repeats):
