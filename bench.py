@@ -69,13 +69,18 @@ def main():
 
     value, detail = measure_preset(args.preset, args.repeats)
     if args.preset == "default" and not args.no_extra:
-        # also surface the historically-weakest preset (ScanNet-density
-        # meshes) so the driver-recorded number can't hide it
-        dense_value, dense_detail = measure_preset("dense", max(
-            2, args.repeats // 2))
+        # also surface the historically-weakest presets (dense meshes,
+        # ScanNet frames, texel primitives) so the driver-recorded number
+        # can't hide them
+        sub_repeats = max(2, args.repeats // 2)
+        dense_value, dense_detail = measure_preset("dense", sub_repeats)
         detail["dense_MPix_s"] = dense_value
         detail["dense_seconds_per_batch"] = dense_detail[
             "seconds_per_batch"]
+        for sub in ("scannet", "texels"):
+            sub_value, sub_detail = measure_preset(sub, sub_repeats)
+            detail[f"{sub}_MPix_s"] = sub_value
+            detail[f"{sub}_overflow"] = sub_detail["overflow"]
     print(
         json.dumps(
             {
