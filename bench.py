@@ -77,6 +77,7 @@ def main():
         detail["dense_MPix_s"] = dense_value
         detail["dense_seconds_per_batch"] = dense_detail[
             "seconds_per_batch"]
+        detail["dense_overflow"] = dense_detail["overflow"]
         for sub in ("scannet", "texels"):
             sub_value, sub_detail = measure_preset(sub, sub_repeats)
             detail[f"{sub}_MPix_s"] = sub_value
@@ -94,16 +95,24 @@ def main():
     )
 
 
-def _device_reachable(timeout=240):
+def _device_reachable(timeout=300):
     """Probe the jax backend in a subprocess (mirrors this process's
     platform selection: SM_PLATFORM pin, else the environment default).
     A wedged axon tunnel hangs jax.devices() indefinitely; the subprocess
     boundary lets us time that out. The probe exits before this process
-    initializes jax, so the two never race the axon plugin init."""
+    initializes jax, so the two never race the axon plugin init. The
+    probe inherits JAX_COMPILATION_CACHE_DIR (set above) via env, but we
+    pin it explicitly too: the probe compile must be a one-time cost, not
+    a 30-130 s tunneled-compile tax per bench run."""
     code = (
         "import os, jax\n"
         "p = os.environ.get('SM_PLATFORM')\n"
         "if p: jax.config.update('jax_platforms', p)\n"
+        "c = os.environ.get('JAX_COMPILATION_CACHE_DIR')\n"
+        "if c:\n"
+        "    jax.config.update('jax_compilation_cache_dir', c)\n"
+        "    jax.config.update("
+        "'jax_persistent_cache_min_compile_time_secs', 1.0)\n"
         "jax.devices()\n"
         "import jax.numpy as jnp\n"
         "print(float(jnp.ones((8, 8)).sum()))\n"

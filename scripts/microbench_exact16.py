@@ -193,12 +193,18 @@ def main():
         # correction cond TRUE here to charge that cost honestly.
         import functools
 
-        heavy_idx = np.asarray(idx).copy()
-        L6, _, cap6, _ = ops._exact16_config(6)
-        heavy_idx[: cap6 + 1000] = 17  # wraps every width's cap
-        heavy_idx = jax.device_put(heavy_idx)
+        base_idx = np.asarray(idx).copy()
         for bits in (2, 3, 4, 6, 8):
             L, center, cap, groups = ops._exact16_config(bits)
+            # the heavy segment must exceed THIS width's wrap cap or the
+            # correction cond stays False and dth silently measures the
+            # uncorrected path (same construction as test_ops' per-width
+            # heavy tests). Widths 2/3/4 have caps 16383/8191/4095, so a
+            # single shared 2023-row segment (the original bug) only
+            # charged the correction for bits 6 and 8.
+            heavy_idx = base_idx.copy()
+            heavy_idx[: cap + 500] = 17
+            heavy_idx = jax.device_put(heavy_idx)
 
             @functools.partial(jax.jit, static_argnames=("bits",))
             def whole_b(data, idx, *, bits):

@@ -7,7 +7,8 @@ triangles) it overflows and the binning dominates.
 
 v2 replaces it with the classic sort-based pipeline, all static shapes:
 
-  1. span: each triangle's tile-bbox on an (8, 128)-pixel tile grid.
+  1. span: each triangle's tile-bbox on a (TILE_H, TILE_W)-pixel tile grid
+     (default (16, 128); see the granularity ablations below).
      Triangles spanning <= 2x2 tiles ("small", the overwhelming majority of
      a dense mesh) emit up to 4 (tile, triangle) pairs; larger triangles
      emit one pair in a shared "global" bucket that every tile also tests
@@ -379,7 +380,17 @@ def _candidate_test(p, px, py, invz, idx):
 
     Pre-signed edge forms + inverse-z buffer (init 0 = empty): see
     pallas_kernel._raster_kernel — no per-candidate sign multiply or
-    reciprocal; finalize z = 1/invz once per tile."""
+    reciprocal; finalize z = 1/invz once per tile.
+
+    Tie semantics: strictly-greater inv_z wins, so equal-inv_z candidates
+    resolve to the earliest (lowest-id) one — deterministic. Cross-backend
+    caveat: the xla oracle compares z = 1/inv_z instead, so two DISTINCT
+    inv_z values whose f32 reciprocals collide tie there (lowest id wins)
+    but not here; and Mosaic may fuse the inv_z multiply-adds differently
+    (ulp-level value differences). Winner identity therefore matches the
+    oracle only when depths are separated beyond ulp noise — true for real
+    scenes and all test scenes; per-backend determinism is the contract
+    (the CUDA reference is nondeterministic on ANY tie, MIGRATION.md)."""
     w0 = p(0) * px + p(1) * py + p(2)
     w1 = p(3) * px + p(4) * py + p(5)
     w2 = p(6) * px + p(7) * py + p(8)
@@ -549,10 +560,7 @@ def rasterize(
         micro, small, big, _, _, span_h, span_w = _classify(
             setup, height, width, y_offset
         )
-        overflow = (
-            jnp.sum(jnp.where(small, span_h * span_w, 0))
-            + jnp.sum(big.astype(jnp.int32))
-        ).astype(jnp.int32)
+        overflow = _pair_count(small, big, span_h, span_w)
         z_micro, idx_micro, micro_dropped = micro_images(micro)
         overflow = overflow + micro_dropped
         if clip_near:  # piece id -> original triangle id
@@ -668,8 +676,5 @@ def candidate_stats(vertices, faces, rotation, translation, focal_lengths,
     micro, small, big, _, _, span_h, span_w = _classify(
         setup, height, width, y_offset
     )
-    pairs = (
-        jnp.sum(jnp.where(small, span_h * span_w, 0))
-        + jnp.sum(big.astype(jnp.int32))
-    ).astype(jnp.int32)
+    pairs = _pair_count(small, big, span_h, span_w)
     return jnp.stack([pairs, jnp.sum(micro.astype(jnp.int32))])
