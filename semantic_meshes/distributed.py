@@ -282,11 +282,25 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     Input/output sharding contract of the returned function:
       rotations (N,3,3) etc. sharded P('views'); probs (N,H,W,C) sharded
       P('views', 'pixels'); returns (accumulator, overflow): the
-      fully-merged (P, C) accumulator — replicated, or each chip's block
-      of P rows when shard_primitives=True (out_specs P('pixels')) — and
+      fully-merged (P, C) accumulator — replicated, or sharded into
+      P/(views*pixels)-row blocks across ALL chips when
+      shard_primitives=True (out_specs P(('views', 'pixels'))) — and
       the replicated int32 total of rasterizer-dropped candidate pairs,
       psum'd over both mesh axes (each chip rasterizes its own row band,
       so drops are per-(view, band)).
+
+    shard_primitives=True is the huge-P memory mode: instead of carrying
+    the full (P, C) accumulator on every chip and all-reducing it once at
+    the end, each view's delta is merged with a per-view
+    `psum_scatter` (ring reduce-scatter over 'views' — HALF the bytes of
+    an all-reduce per merge) plus a local row-block slice over 'pixels',
+    so the live scan carry is (P / n_chips, C). The full (P, C) exists
+    only as the transient per-view delta (freed between views), cutting
+    the live accumulator footprint ~2x and returning the result already
+    sharded. Traffic tradeoff: (N/views_axis) per-view reduce-scatters vs
+    one final all-reduce — prefer the default (False) when P fits
+    comfortably and views are many; see docs/PERFORMANCE.md for the cost
+    model.
 
     texel_params: optional (resolutions, first_texel_index) from a
     TexelsRenderer — primitives become sub-triangle texels (pass the
@@ -298,21 +312,23 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     (ref: include/semantic_meshes/fusion/Mesh.h:66,103).
 
     Requires: N % mesh.shape['views'] == 0, H % mesh.shape['pixels'] == 0,
-    and P % mesh.shape['pixels'] == 0 when shard_primitives.
+    and P % (mesh.shape['views'] * mesh.shape['pixels']) == 0 when
+    shard_primitives.
     """
     n_pixels = mesh.shape["pixels"]
+    n_views = mesh.shape["views"]
     local_h = height // n_pixels
     if local_h * n_pixels != height:
         raise ValueError(
             f"height {height} must divide by 'pixels' axis {n_pixels}"
         )
-    if shard_primitives and num_primitives % n_pixels != 0:
+    if shard_primitives and num_primitives % (n_views * n_pixels) != 0:
         raise ValueError(
-            "num_primitives must divide by the 'pixels' axis for "
-            "shard_primitives"
+            f"num_primitives ({num_primitives}) must divide by the total "
+            f"chip count {n_views * n_pixels} for shard_primitives"
         )
 
-    out_spec = (P("pixels") if shard_primitives else P(), P())
+    out_spec = (P(("views", "pixels")) if shard_primitives else P(), P())
     in_specs = (
         P(), P(),  # vertices, faces replicated
         P("views"), P("views"), P("views"), P("views"),
@@ -359,10 +375,30 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                 prim_transform=prim_transform, clip_near=clip_near,
                 dense_e_cap=dense_e_cap,
             )
+            if shard_primitives:
+                # huge-P mode: merge THIS view's delta with a ring
+                # reduce-scatter over 'views' (half an all-reduce's bytes)
+                # and keep only this chip's row block along 'pixels'
+                # (delta is already pixels-replicated — the per-view count
+                # psum inside _accumulate_view merged the row bands — so
+                # the pixels direction is a pure local slice, no traffic).
+                # The scan carry never holds more than P / n_chips rows.
+                delta = jax.lax.psum_scatter(
+                    delta, "views", scatter_dimension=0, tiled=True
+                )
+                j = jax.lax.axis_index("pixels")
+                blk = num_primitives // (n_views * n_pixels)
+                delta = jax.lax.dynamic_slice_in_dim(
+                    delta, j * blk, blk, axis=0
+                )
             return (acc + delta, ov + ov_view), None
 
+        p_rows = (
+            num_primitives // (n_views * n_pixels)
+            if shard_primitives else num_primitives
+        )
         acc0 = (
-            jnp.zeros((num_primitives, probs.shape[-1]), jnp.float32),
+            jnp.zeros((p_rows, probs.shape[-1]), jnp.float32),
             jnp.int32(0),
         )
         (acc, overflow), _ = jax.lax.scan(
@@ -372,15 +408,12 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
         )
         # Merge: each view's delta was already merged across 'pixels' inside
         # _accumulate_view (counts need the full image), so acc is replicated
-        # along 'pixels' and only 'views' partials remain to sum. Overflow
+        # along 'pixels' and only 'views' partials remain to sum — unless
+        # shard_primitives already reduce-scattered them per view. Overflow
         # is per-(view, row-band): sum over both axes.
-        acc = jax.lax.psum(acc, "views")
+        if not shard_primitives:
+            acc = jax.lax.psum(acc, "views")
         overflow = jax.lax.psum(overflow, ("views", "pixels"))
-        if shard_primitives:
-            # keep only this chip's P-rows block (out_specs P('pixels'))
-            block = num_primitives // n_pixels
-            k = jax.lax.axis_index("pixels")
-            acc = jax.lax.dynamic_slice_in_dim(acc, k * block, block, axis=0)
         return acc, overflow
 
     if with_weights:

@@ -15,6 +15,11 @@ scaling cost model"):
 - no other collectives anywhere (no all_gather / ppermute / all_to_all /
   reduce_scatter): inputs are view-sharded, the mesh is replicated, and
   nothing else moves.
+- shard_primitives=True (the huge-P memory mode) replaces the once-per-
+  call (P, C) all-reduce with a per-view (P, C) ring reduce-scatter over
+  'views' (half the bytes per merge; the scan carry holds only
+  P / n_chips rows) — asserted as exactly one reduce_scatter inside the
+  scan and NO (P, C) psum anywhere.
 """
 
 import numpy as np
@@ -48,10 +53,15 @@ def collect_collectives(jaxpr, path="root"):
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
         if "psum" in name or name in COLLECTIVES:
+            axes = eqn.params.get("axes", None)
+            if axes is None:  # reduce_scatter names its axis differently
+                axes = eqn.params.get("axis_name", ())
+            if not isinstance(axes, tuple):
+                axes = (axes,)
             out.append((
                 path,
                 name,
-                tuple(eqn.params.get("axes", ())),
+                axes,
                 [tuple(v.aval.shape) for v in eqn.invars],
             ))
         for v in eqn.params.values():
@@ -73,15 +83,17 @@ def scene():
 def _trace(mesh, scene, **kw):
     vertices, faces, cams, probs, H, W = scene
     rot, trans, fl, pp = stack_cameras(cams)
+    num_primitives = kw.pop("num_primitives", len(faces))
     fuse = distributed.make_sharded_fuse(
-        mesh, num_primitives=len(faces), aggregator=kw.pop("aggregator", "sum"),
+        mesh, num_primitives=num_primitives,
+        aggregator=kw.pop("aggregator", "sum"),
         height=H, width=W, **kw,
     )
     jaxpr = jax.make_jaxpr(fuse)(
         jnp.asarray(vertices), jnp.asarray(faces), rot, trans, fl, pp,
         probs, jnp.float32(0.5),
     )
-    return collect_collectives(jaxpr.jaxpr), len(faces), probs.shape[-1]
+    return collect_collectives(jaxpr.jaxpr), num_primitives, probs.shape[-1]
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
@@ -119,14 +131,41 @@ class TestCollectiveStructure:
         outside = [c for c in colls if "/scan" not in c[0]]
         assert [c for c in outside if "views" in c[2] and c[3] == [(P, C)]]
 
-    def test_shard_primitives_adds_no_collectives(self, scene):
+    def test_shard_primitives_reduce_scatter_structure(self, scene):
+        # huge-P mode: the (P, C) views merge becomes a per-view ring
+        # reduce-scatter INSIDE the scan (half an all-reduce's bytes, and
+        # the scan carry holds only P / n_chips rows); the 'pixels'
+        # direction stays a local slice (no traffic). No (P, C) psum may
+        # remain anywhere.
         mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
                     ("views", "pixels"))
-        base, P, C = _trace(mesh, scene)
-        sharded, _, _ = _trace(mesh, scene, shard_primitives=True)
-        # the P-rows block slice is local: same collective inventory
-        assert [(c[1], c[2]) for c in base] == \
-            [(c[1], c[2]) for c in sharded]
+        colls, P, C = _trace(
+            mesh, scene, shard_primitives=True, num_primitives=112
+        )
+
+        in_scan = [c for c in colls if "/scan" in c[0]]
+        rs = [c for c in in_scan if c[1] == "reduce_scatter"]
+        assert len(rs) == 1, in_scan
+        assert rs[0][2] == ("views",) and rs[0][3] == [(P, C)], rs
+        # the per-view pixel-count psum is unchanged
+        counts = [c for c in in_scan if "psum" in c[1]]
+        assert len(counts) == 1 and counts[0][2] == ("pixels",), in_scan
+
+        outside = [c for c in colls if "/scan" not in c[0]]
+        # only the scalar overflow psum remains outside the scan
+        assert [(c[2], c[3]) for c in outside] == [
+            (("views", "pixels"), [()])
+        ], outside
+
+    def test_shard_primitives_requires_divisible_p(self, scene):
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("views", "pixels"))
+        vertices, faces, cams, probs, H, W = scene
+        with pytest.raises(ValueError, match="chip count"):
+            distributed.make_sharded_fuse(
+                mesh, num_primitives=len(faces) * 8 + 1, aggregator="sum",
+                height=H, width=W, shard_primitives=True,
+            )
 
     def test_mul_aggregator_same_structure(self, scene):
         mesh = Mesh(np.array(jax.devices()).reshape(4, 2),

@@ -317,16 +317,20 @@ class TestShardedPipeline:
         assert np.abs(got - got0).max() > 1e-3
 
     def test_sharded_primitives_output(self, cube_scene):
+        # huge-P mode: per-view reduce-scatter merge, output sharded into
+        # P/n_chips-row blocks over (views, pixels). The assembled global
+        # array must equal the unsharded accumulator exactly — on BOTH a
+        # views x pixels mesh and a views-only mesh (where the old
+        # psum+pixels-slice design degenerated to full replication).
         import jax
         from jax.sharding import Mesh
 
         devices = np.array(jax.devices())
         if devices.size < 8:
             pytest.skip("needs 8 devices (virtual cpu mesh)")
-        mesh = Mesh(devices[:8].reshape(2, 4), ("views", "pixels"))
 
         vertices, faces, cams = cube_scene
-        T = len(faces)  # 300 -> divisible by 4
+        T = len(faces)  # 300 -> divisible by 4, not by 8
         C = 3
         rng = np.random.default_rng(4)
         W, H = cams[0].resolution
@@ -339,16 +343,24 @@ class TestShardedPipeline:
                 num_primitives=T, aggregator="sum", height=H, width=W,
             )[0]
         )
-        fuse = distributed.make_sharded_fuse(
-            mesh, num_primitives=T, aggregator="sum", height=H, width=W,
-            shard_primitives=True,
-        )
-        with mesh:
-            got = np.asarray(
-                fuse(vertices, faces, rot, trans, fl, pp, probs,
-                     np.float32(0.5))[0]
+        for shape in ((2, 2), (4, 1)):
+            mesh = Mesh(
+                devices[: shape[0] * shape[1]].reshape(shape),
+                ("views", "pixels"),
             )
-        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+            fuse = distributed.make_sharded_fuse(
+                mesh, num_primitives=T, aggregator="sum", height=H, width=W,
+                shard_primitives=True,
+            )
+            with mesh:
+                out = fuse(vertices, faces, rot, trans, fl, pp, probs,
+                           np.float32(0.5))[0]
+            # each chip holds a distinct P/n_chips-row block
+            shard_rows = {s.data.shape[0] for s in out.addressable_shards}
+            assert shard_rows == {T // (shape[0] * shape[1])}
+            np.testing.assert_allclose(
+                np.asarray(out), ref, rtol=2e-5, atol=1e-5
+            )
 
 
 class TestOverflowReporting:
