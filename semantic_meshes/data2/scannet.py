@@ -35,8 +35,43 @@ COMPRESSION_TYPE_DEPTH = {
 }
 
 
-def _read_mat4(f):
-    return np.frombuffer(f.read(64), dtype="<f4").reshape(4, 4).copy()
+class SensError(ValueError):
+    """Malformed/truncated .sens stream. Every parse failure raises this
+    (mutation fuzzing found raw struct.error/KeyError/MemoryError leaking
+    from the old reads — tests/test_io.py::TestSensFuzz)."""
+
+
+def _compression_name(table, code, what):
+    try:
+        return table[code]
+    except KeyError:
+        raise SensError(
+            f"invalid {what} compression code {code} in .sens header"
+        ) from None
+
+
+def _file_size(f):
+    try:
+        return os.fstat(f.fileno()).st_size
+    except (OSError, AttributeError):
+        return None
+
+
+def _read_exact(f, n, what, size=None):
+    """Read exactly n bytes or raise SensError. The size guard rejects
+    absurd declared lengths BEFORE f.read tries to allocate them."""
+    if n < 0 or (size is not None and n > size):
+        raise SensError(f"implausible {what} length {n} in .sens stream")
+    data = f.read(n)
+    if len(data) != n:
+        raise SensError(f"truncated .sens stream reading {what}")
+    return data
+
+
+def _read_mat4(f, size=None):
+    return np.frombuffer(
+        _read_exact(f, 64, "4x4 matrix", size), dtype="<f4"
+    ).reshape(4, 4).copy()
 
 
 class RGBDFrame:
@@ -53,15 +88,20 @@ class RGBDFrame:
     )
 
     def __init__(self, f):
-        self.camera_to_world = _read_mat4(f)
+        size = _file_size(f)
+        self.camera_to_world = _read_mat4(f, size)
         (
             self.timestamp_color,
             self.timestamp_depth,
             self.color_size_bytes,
             self.depth_size_bytes,
-        ) = struct.unpack("<QQQQ", f.read(32))
-        self.color_data = f.read(self.color_size_bytes)
-        self.depth_data = f.read(self.depth_size_bytes)
+        ) = struct.unpack("<QQQQ", _read_exact(f, 32, "frame header", size))
+        self.color_data = _read_exact(
+            f, self.color_size_bytes, "color blob", size
+        )
+        self.depth_data = _read_exact(
+            f, self.depth_size_bytes, "depth blob", size
+        )
 
     def decompress_color(self, compression_type="jpeg"):
         if compression_type != "jpeg":
@@ -141,28 +181,45 @@ class SensFile:
         if self._try_native(filename, max_frames):
             return
         with open(filename, "rb") as f:
-            (version,) = struct.unpack("<I", f.read(4))
+            size = _file_size(f)
+            (version,) = struct.unpack(
+                "<I", _read_exact(f, 4, "version", size)
+            )
             if version != self.VERSION:
-                raise ValueError(
+                raise SensError(
                     f"{filename}: unsupported .sens version {version}"
                 )
-            (strlen,) = struct.unpack("<Q", f.read(8))
-            self.sensor_name = f.read(strlen).decode()
-            self.intrinsic_color = _read_mat4(f)
-            self.extrinsic_color = _read_mat4(f)
-            self.intrinsic_depth = _read_mat4(f)
-            self.extrinsic_depth = _read_mat4(f)
-            (color_comp, depth_comp) = struct.unpack("<ii", f.read(8))
-            self.color_compression_type = COMPRESSION_TYPE_COLOR[color_comp]
-            self.depth_compression_type = COMPRESSION_TYPE_DEPTH[depth_comp]
+            (strlen,) = struct.unpack(
+                "<Q", _read_exact(f, 8, "name length", size)
+            )
+            self.sensor_name = _read_exact(
+                f, strlen, "sensor name", size
+            ).decode(errors="replace")
+            self.intrinsic_color = _read_mat4(f, size)
+            self.extrinsic_color = _read_mat4(f, size)
+            self.intrinsic_depth = _read_mat4(f, size)
+            self.extrinsic_depth = _read_mat4(f, size)
+            (color_comp, depth_comp) = struct.unpack(
+                "<ii", _read_exact(f, 8, "compression codes", size)
+            )
+            self.color_compression_type = _compression_name(
+                COMPRESSION_TYPE_COLOR, color_comp, "color"
+            )
+            self.depth_compression_type = _compression_name(
+                COMPRESSION_TYPE_DEPTH, depth_comp, "depth"
+            )
             (
                 self.color_width,
                 self.color_height,
                 self.depth_width,
                 self.depth_height,
-            ) = struct.unpack("<IIII", f.read(16))
-            (self.depth_shift,) = struct.unpack("<f", f.read(4))
-            (num_frames,) = struct.unpack("<Q", f.read(8))
+            ) = struct.unpack("<IIII", _read_exact(f, 16, "resolutions", size))
+            (self.depth_shift,) = struct.unpack(
+                "<f", _read_exact(f, 4, "depth shift", size)
+            )
+            (num_frames,) = struct.unpack(
+                "<Q", _read_exact(f, 8, "frame count", size)
+            )
             if max_frames is not None:
                 num_frames = min(num_frames, max_frames)
             self.frames = [RGBDFrame(f) for _ in range(num_frames)]
@@ -181,19 +238,19 @@ class SensFile:
             hdr.num_frames if max_frames is None
             else min(hdr.num_frames, max_frames),
         )
-        self.sensor_name = hdr.sensor_name.decode()
+        self.sensor_name = hdr.sensor_name.decode(errors="replace")
         for attr in ("intrinsic_color", "extrinsic_color", "intrinsic_depth",
                      "extrinsic_depth"):
             setattr(
                 self, attr,
                 np.asarray(getattr(hdr, attr), np.float32).reshape(4, 4),
             )
-        self.color_compression_type = COMPRESSION_TYPE_COLOR[
-            hdr.color_compression
-        ]
-        self.depth_compression_type = COMPRESSION_TYPE_DEPTH[
-            hdr.depth_compression
-        ]
+        self.color_compression_type = _compression_name(
+            COMPRESSION_TYPE_COLOR, hdr.color_compression, "color"
+        )
+        self.depth_compression_type = _compression_name(
+            COMPRESSION_TYPE_DEPTH, hdr.depth_compression, "depth"
+        )
         self.color_width = hdr.color_width
         self.color_height = hdr.color_height
         self.depth_width = hdr.depth_width

@@ -75,30 +75,47 @@ def _parse_header(f):
         tokens = line.decode("ascii", "replace").strip().split()
         if not tokens or tokens[0] == "comment" or tokens[0] == "obj_info":
             continue
-        if tokens[0] == "format":
-            fmt = tokens[1]
-        elif tokens[0] == "element":
-            elements.append(PlyElement(tokens[1], int(tokens[2])))
-        elif tokens[0] == "property":
-            if not elements:
-                raise PlyError("property before element in PLY header")
-            if tokens[1] == "list":
-                elements[-1].properties.append(
-                    PlyProperty(
-                        tokens[4],
-                        _PLY_TO_NP[tokens[3]],
-                        is_list=True,
-                        count_dtype=_PLY_TO_NP[tokens[2]],
+        # malformed lines (missing tokens, unknown type names, non-numeric
+        # counts) must surface as PlyError, not IndexError/KeyError — found
+        # by mutation fuzzing (tests/test_io.py::TestPlyFuzz)
+        try:
+            if tokens[0] == "format":
+                fmt = tokens[1]
+            elif tokens[0] == "element":
+                count = int(tokens[2])
+                if count < 0:
+                    # a negative count would flow into np.frombuffer, where
+                    # count=-1 means "read everything" — reject loudly
+                    raise PlyError(
+                        f"negative element count in PLY header: {count}"
                     )
-                )
+                elements.append(PlyElement(tokens[1], count))
+            elif tokens[0] == "property":
+                if not elements:
+                    raise PlyError("property before element in PLY header")
+                if tokens[1] == "list":
+                    elements[-1].properties.append(
+                        PlyProperty(
+                            tokens[4],
+                            _PLY_TO_NP[tokens[3]],
+                            is_list=True,
+                            count_dtype=_PLY_TO_NP[tokens[2]],
+                        )
+                    )
+                else:
+                    elements[-1].properties.append(
+                        PlyProperty(tokens[2], _PLY_TO_NP[tokens[1]])
+                    )
+            elif tokens[0] == "end_header":
+                break
             else:
-                elements[-1].properties.append(
-                    PlyProperty(tokens[2], _PLY_TO_NP[tokens[1]])
-                )
-        elif tokens[0] == "end_header":
-            break
-        else:
-            raise PlyError(f"unknown PLY header line: {' '.join(tokens)}")
+                raise PlyError(f"unknown PLY header line: {' '.join(tokens)}")
+        except PlyError:
+            raise
+        except (IndexError, KeyError, ValueError):
+            raise PlyError(
+                f"malformed PLY header line: {' '.join(tokens)!r}"
+            ) from None
     if fmt not in ("ascii", "binary_little_endian", "binary_big_endian"):
         raise PlyError(f"unsupported PLY format: {fmt}")
     return fmt, elements
@@ -115,9 +132,18 @@ def _read_binary_element(buf, offset, element, bo):
         for p in props:
             element.data[p.name] = np.zeros((0,), dtype=p.dtype)
         return offset
+    def from_buffer(dtype, count, off):
+        try:
+            return np.frombuffer(buf, dtype=dtype, count=count, offset=off)
+        except ValueError:
+            raise PlyError(
+                f"truncated PLY body: element '{element.name}' declares "
+                f"{element.count} rows but the file ends early"
+            ) from None
+
     if not any(p.is_list for p in props):
         dt = np.dtype([(p.name, bo + p.dtype) for p in props])
-        arr = np.frombuffer(buf, dtype=dt, count=element.count, offset=offset)
+        arr = from_buffer(dt, element.count, offset)
         for p in props:
             element.data[p.name] = arr[p.name]
         return offset + dt.itemsize * element.count
@@ -129,9 +155,7 @@ def _read_binary_element(buf, offset, element, bo):
     counts = {}
     for p in props:
         if p.is_list:
-            n = int(
-                np.frombuffer(buf, dtype=bo + p.count_dtype, count=1, offset=probe)[0]
-            )
+            n = int(from_buffer(bo + p.count_dtype, 1, probe)[0])
             counts[p.name] = n
             probe += np.dtype(p.count_dtype).itemsize + n * np.dtype(p.dtype).itemsize
         else:
@@ -144,7 +168,7 @@ def _read_binary_element(buf, offset, element, bo):
         else:
             fields.append((p.name, bo + p.dtype))
     dt = np.dtype(fields)
-    arr = np.frombuffer(buf, dtype=dt, count=element.count, offset=offset)
+    arr = from_buffer(dt, element.count, offset)
     for p in props:
         if p.is_list:
             if not np.all(arr[p.name + "__n"] == counts[p.name]):
@@ -161,34 +185,64 @@ def _read_binary_element(buf, offset, element, bo):
 def _read_ascii_elements(f, elements):
     # One token stream for the whole body; vectorized with np.loadtxt-like
     # splitting. Lists require row-wise parsing; keep it simple and correct.
-    body = f.read().decode("ascii")
+    body = f.read().decode("ascii", "replace")
     rows = [r.split() for r in body.splitlines() if r.strip()]
     cursor = 0
     for element in elements:
         has_list = any(p.is_list for p in element.properties)
         chunk = rows[cursor : cursor + element.count]
         cursor += element.count
-        if element.count == 0:
-            for p in element.properties:
-                element.data[p.name] = np.zeros((0,), dtype=p.dtype)
-        elif not has_list:
-            mat = np.asarray(chunk, dtype=np.float64)
-            for j, p in enumerate(element.properties):
-                element.data[p.name] = mat[:, j].astype(p.dtype)
-        else:
-            cols = {p.name: [] for p in element.properties}
-            for row in chunk:
-                i = 0
+        if len(chunk) < element.count:
+            raise PlyError(
+                f"truncated PLY body: element '{element.name}' declares "
+                f"{element.count} rows, found {len(chunk)}"
+            )
+        # malformed rows (short, non-numeric, bad list counts) must surface
+        # as PlyError, not IndexError — found by mutation fuzzing
+        try:
+            if element.count == 0:
                 for p in element.properties:
-                    if p.is_list:
-                        n = int(row[i])
-                        cols[p.name].append(row[i + 1 : i + 1 + n])
-                        i += 1 + n
-                    else:
-                        cols[p.name].append(row[i])
-                        i += 1
-            for p in element.properties:
-                element.data[p.name] = np.asarray(cols[p.name], dtype=p.dtype)
+                    element.data[p.name] = np.zeros((0,), dtype=p.dtype)
+            elif not has_list:
+                mat = np.asarray(chunk, dtype=np.float64)
+                if mat.ndim != 2 or mat.shape[1] < len(element.properties):
+                    raise PlyError(
+                        f"malformed rows in PLY element '{element.name}'"
+                    )
+                for j, p in enumerate(element.properties):
+                    element.data[p.name] = mat[:, j].astype(p.dtype)
+            else:
+                cols = {p.name: [] for p in element.properties}
+                for row in chunk:
+                    i = 0
+                    for p in element.properties:
+                        if p.is_list:
+                            n = int(row[i])
+                            if n < 0 or i + 1 + n > len(row):
+                                raise PlyError(
+                                    f"malformed list row in PLY element "
+                                    f"'{element.name}'"
+                                )
+                            cols[p.name].append(row[i + 1 : i + 1 + n])
+                            i += 1 + n
+                        else:
+                            if i >= len(row):
+                                raise PlyError(
+                                    f"short row in PLY element "
+                                    f"'{element.name}'"
+                                )
+                            cols[p.name].append(row[i])
+                            i += 1
+                for p in element.properties:
+                    element.data[p.name] = np.asarray(
+                        cols[p.name], dtype=p.dtype
+                    )
+        except PlyError:
+            raise
+        except (IndexError, ValueError):
+            raise PlyError(
+                f"malformed rows in PLY element '{element.name}'"
+            ) from None
     return elements
 
 

@@ -476,3 +476,169 @@ class TestNativeColmapRobustness:
         data = struct.pack("<Q", 1) + rec
         with pytest.raises(ValueError):
             native.index_colmap_images(data)
+
+
+class _Mutator:
+    """Deterministic byte-level mutations shared by the codec fuzz tests.
+
+    Every parser must either succeed or raise its typed error
+    (PlyError / ColmapError / SensError — all ValueError subclasses) on ANY
+    input; raw IndexError / KeyError / struct.error / MemoryError leaking
+    from numpy or struct mean a missing validation (each class of leak
+    below was actually found by this fuzz before being fixed)."""
+
+    def __init__(self, seed_bytes, rng):
+        self.seed = seed_bytes
+        self.rng = rng
+
+    def case(self):
+        rng = self.rng
+        data = bytearray(self.seed)
+        op = rng.integers(0, 4)
+        if op == 0 and len(data):  # flip random bytes
+            for _ in range(int(rng.integers(1, 8))):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+        elif op == 1:  # truncate
+            data = data[: rng.integers(0, len(data) + 1)]
+        elif op == 2:  # append junk
+            data += bytes(
+                rng.integers(0, 256, size=int(rng.integers(1, 64)),
+                             dtype=np.uint8)
+            )
+        elif len(data) > 8:  # splice-shuffle a segment
+            a, b = sorted(rng.integers(0, len(data), 2))
+            seg = data[a:b]
+            del data[a:b]
+            c = rng.integers(0, len(data) + 1)
+            data[c:c] = seg
+        return bytes(data)
+
+
+def _fuzz(parse, seed_bytes, n, allowed, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    mut = _Mutator(seed_bytes, rng)
+    fails = []
+    for i in range(n):
+        data = mut.case()
+        try:
+            parse(data)
+        except allowed:
+            pass
+        except Exception as e:  # noqa: BLE001 - the assertion target
+            fails.append((i, type(e).__name__, str(e)[:80]))
+    assert not fails, fails[:10]
+
+
+class TestPlyFuzz:
+    N = 150
+
+    def _seed(self, tmp_path, binary):
+        verts = np.array(
+            [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+        )
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        p = tmp_path / "seed.ply"
+        ply_io.write_mesh(str(p), verts, faces, binary=binary)
+        return p.read_bytes()
+
+    @pytest.mark.parametrize("binary", [True, False])
+    def test_mutations_raise_typed_errors(self, tmp_path, binary):
+        seed = self._seed(tmp_path, binary)
+        target = tmp_path / "fz.ply"
+
+        def parse(data):
+            target.write_bytes(data)
+            ply_io.read_ply(str(target))
+
+        _fuzz(parse, seed, self.N, (ply_io.PlyError, ValueError),
+              rng_seed=1 if binary else 2)
+
+
+class TestColmapFuzz:
+    N = 150
+
+    def test_cameras_bin_mutations(self, tmp_path):
+        import struct
+
+        seed = (
+            struct.pack("<Q", 1)
+            + struct.pack("<iiQQ", 1, 1, 64, 48)
+            + struct.pack("<4d", 60.0, 32.0, 24.0, 0)
+        )
+        target = tmp_path / "cameras.bin"
+
+        def parse(data):
+            target.write_bytes(data)
+            colmap_io.read_cameras(str(target))
+
+        _fuzz(parse, seed, self.N,
+              (colmap_io.ColmapError, ValueError), rng_seed=3)
+
+    def test_images_bin_mutations(self, tmp_path):
+        import struct
+
+        seed = (
+            struct.pack("<Q", 1)
+            + struct.pack("<I", 1)
+            + struct.pack("<7d", 1, 0, 0, 0, 0, 0, 1)
+            + struct.pack("<I", 1)
+            + b"img0.png\x00"
+            + struct.pack("<Q", 0)
+        )
+        target = tmp_path / "images.bin"
+
+        def parse(data):
+            target.write_bytes(data)
+            colmap_io.read_images(str(target))
+
+        _fuzz(parse, seed, self.N,
+              (colmap_io.ColmapError, ValueError), rng_seed=4)
+
+
+class TestSensFuzz:
+    N = 150
+
+    def _seed(self, tmp_path):
+        import zlib
+
+        from semantic_meshes.data2 import scannet
+
+        eye = np.eye(4, dtype=np.float32)
+        frames = []
+        for i in range(2):
+            depth = zlib.compress(
+                np.full((8 * 6,), 1000, np.uint16).tobytes()
+            )
+            frames.append(dict(
+                camera_to_world=eye, timestamp_color=i, timestamp_depth=i,
+                color_data=b"\xff\xd8fakejpeg\xff\xd9", depth_data=depth,
+            ))
+        p = tmp_path / "seed.sens"
+        scannet.write_sens(
+            str(p), "sensor", eye, eye, eye, eye, (6, 8), (6, 8), 1000.0,
+            frames,
+        )
+        return p.read_bytes()
+
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_mutations_raise_typed_errors(self, tmp_path, use_native):
+        from semantic_meshes.data2 import scannet
+
+        seed = self._seed(tmp_path)
+        target = tmp_path / "fz.sens"
+
+        def parse(data):
+            target.write_bytes(data)
+            if use_native:
+                scannet.SensFile(str(target))
+            else:
+                orig = scannet.SensFile._try_native
+                scannet.SensFile._try_native = lambda self, fn, mf: False
+                try:
+                    scannet.SensFile(str(target))
+                finally:
+                    scannet.SensFile._try_native = orig
+
+        _fuzz(parse, seed, self.N,
+              (scannet.SensError, ValueError, NotImplementedError),
+              rng_seed=5 if use_native else 6)
