@@ -594,6 +594,38 @@ class TestColmapFuzz:
         _fuzz(parse, seed, self.N,
               (colmap_io.ColmapError, ValueError), rng_seed=4)
 
+    def test_cameras_txt_mutations(self, tmp_path):
+        seed = (
+            b"# Camera list\n"
+            b"1 PINHOLE 64 48 60.0 60.0 32.0 24.0\n"
+            b"2 SIMPLE_PINHOLE 64 48 60.0 32.0 24.0\n"
+        )
+        target = tmp_path / "cameras.txt"
+
+        def parse(data):
+            target.write_bytes(data)
+            colmap_io.read_cameras(str(target))
+
+        _fuzz(parse, seed, self.N,
+              (colmap_io.ColmapError, ValueError), rng_seed=7)
+
+    def test_images_txt_mutations(self, tmp_path):
+        seed = (
+            b"# Image list\n"
+            b"1 1 0 0 0 0 0 1 1 img0.png\n"
+            b"0 0 1 2\n"
+            b"2 1 0 0 0 0 0 1 1 img1.png\n"
+            b"\n"
+        )
+        target = tmp_path / "images.txt"
+
+        def parse(data):
+            target.write_bytes(data)
+            colmap_io.read_images(str(target))
+
+        _fuzz(parse, seed, self.N,
+              (colmap_io.ColmapError, ValueError), rng_seed=8)
+
 
 class TestSensFuzz:
     N = 150
