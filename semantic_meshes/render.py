@@ -73,13 +73,19 @@ class _OverflowPolicy:
 
     def check(self, overflow, key, max_tris_per_tile, dense=False,
               recheck=False):
-        """recheck: this key's budget cannot absorb ANY candidates (the
-        dense cap probe saw zero pairs), so post-first-frame breaches are
-        plausible — in "first" mode, re-check synchronously at a low duty
-        cycle (frame 2, then every RECHECK_EVERY frames) instead of
-        leaving the loss visible only via overflow_total()."""
+        """Returns the number of NEW drops detected at this call (0 when
+        the call stayed async or nothing new accrued) — the renderers use
+        a nonzero return to invalidate the dense cap so the next frame
+        re-probes and grows the budget.
+
+        recheck: post-first-frame breaches are plausible for this key
+        (every dense-path key: later frames can exceed the probe frame's
+        budget; worst case is a zero-pinned budget) — in "first" mode,
+        re-check synchronously at a low duty cycle (frame 2, then every
+        RECHECK_EVERY frames) instead of leaving the loss visible only
+        via overflow_total()."""
         if self.mode == "never":
-            return
+            return 0
         self._pending.setdefault(key, []).append(overflow)
         n = self._calls.get(key, 0)
         self._calls[key] = n + 1
@@ -89,7 +95,7 @@ class _OverflowPolicy:
             and not first
             and not (recheck and (n == 1 or n % self.RECHECK_EVERY == 0))
         ):
-            return
+            return 0
         # bookkeeping is per KEY (totals and the already-reported
         # watermark), so a warning never attributes one resolution's
         # drops to another and never re-reports drops the first-frame
@@ -97,7 +103,7 @@ class _OverflowPolicy:
         total = self._key_total(key)  # one sync, drains this key's pending
         new = total - self._warned.get(key, 0)
         if not new:
-            return
+            return 0
         self._warned[key] = total
         if first or self.mode == "always":
             knob = (
@@ -111,10 +117,10 @@ class _OverflowPolicy:
         else:
             logger.warning(
                 "rasterizer overflow: %d candidate pairs dropped since "
-                "the last check (zero-budget dense cap at %s); later "
-                "frames exceed the probe frame — re-probe or set "
-                "e_cap_rows explicitly", new, key,
+                "the last check at %s; later frames exceed the probe "
+                "frame — re-probe or set e_cap_rows explicitly", new, key,
             )
+        return new
 
     def _key_total(self, key) -> int:
         pend = self._pending.get(key)
@@ -147,13 +153,16 @@ class _DenseCapPolicy:
     the same pattern as _OverflowPolicy) and specialize with a 2x margin.
     render_many probes the max over the whole batch (an exact bound); for
     single renders, later views that exceed 2x the probe frame's count
-    spill to the overflow counter like any other budget breach.
+    spill to the overflow counter — and when the overflow policy's duty-
+    cycle re-check detects the breach, the cap is invalidated so the next
+    render re-probes and grows the budget (grow-only; see invalidate).
     """
 
     MARGIN = 2
 
     def __init__(self):
         self._cap = {}  # (H, W) -> (pair rows, micro rows)
+        self._floor = {}  # (H, W) -> previous cap (grow-only re-probes)
 
     def lookup(self, key, probe):
         """probe() -> exact (pairs, micro) counts for a representative
@@ -167,8 +176,21 @@ class _DenseCapPolicy:
         """
         if key not in self._cap:
             pairs, micro = (int(x) for x in np.asarray(probe()))
-            self._cap[key] = (self.MARGIN * pairs, self.MARGIN * micro)
+            floor = self._floor.get(key, (0, 0))
+            self._cap[key] = (
+                max(self.MARGIN * pairs, floor[0]),
+                max(self.MARGIN * micro, floor[1]),
+            )
         return self._cap[key]
+
+    def invalidate(self, key):
+        """Drop the cached budget so the next render re-probes (called by
+        the renderers when the overflow policy detects post-probe drops).
+        Re-probes are grow-only — the old cap becomes a floor — so an
+        oscillating scene can't thrash recompiles downward."""
+        cap = self._cap.pop(key, None)
+        if cap is not None:
+            self._floor[key] = cap
 
 
 def _size_bucket(t: int, floor: int) -> int:
@@ -295,12 +317,25 @@ class TrianglesRenderer:
             backend=self.backend, clip_near=self.clip_near,
             dense_e_cap=dense_e_cap,
         )
-        self.overflow_policy.check(
-            overflow, (height, width), self.max_tris_per_tile,
-            dense=(dense_e_cap is not None),
-            recheck=rast.dense_zero_budget(dense_e_cap),
-        )
+        self._check_overflow(overflow, (height, width), dense_e_cap)
         return indices, depth  # (W, H) contract
+
+    def _check_overflow(self, overflow, key, dense_e_cap):
+        """Overflow policy check + automatic dense-budget regrowth: every
+        dense-path key rechecks at the policy's low duty cycle, and any
+        detected post-probe drop invalidates the cached cap so the NEXT
+        render re-probes with a grow-only budget (the reference never
+        drops geometry — it grows mutex memory,
+        ref: include/semantic_meshes/render/TriangleRenderer.h:68-72; here
+        a breach is at worst visible for one duty-cycle window, counted,
+        and then self-heals at the cost of one re-probe + recompile)."""
+        new = self.overflow_policy.check(
+            overflow, key, self.max_tris_per_tile,
+            dense=(dense_e_cap is not None),
+            recheck=(dense_e_cap is not None),
+        )
+        if new and dense_e_cap is not None:
+            self.dense_cap_policy.invalidate(key)
 
     def overflow_total(self) -> int:
         """Total dropped candidate pairs across all renders (syncs once)."""
@@ -325,11 +360,7 @@ class TrianglesRenderer:
             backend=self.backend, clip_near=self.clip_near,
             dense_e_cap=dense_e_cap,
         )
-        self.overflow_policy.check(
-            overflow, (height, width), self.max_tris_per_tile,
-            dense=(dense_e_cap is not None),
-            recheck=rast.dense_zero_budget(dense_e_cap),
-        )
+        self._check_overflow(overflow, (height, width), dense_e_cap)
         return (
             tri.astype(jnp.uint32).transpose(0, 2, 1),
             depth.transpose(0, 2, 1),
@@ -552,13 +583,10 @@ class TexelsRenderer:
             backend=self.backend, num_primitives=self._primitive_num,
             clip_near=self.clip_near, dense_e_cap=dense_e_cap,
         )
-        self.overflow_policy.check(
-            overflow, (height, width), self.max_tris_per_tile,
-            dense=(dense_e_cap is not None),
-            recheck=rast.dense_zero_budget(dense_e_cap),
-        )
+        self._check_overflow(overflow, (height, width), dense_e_cap)
         return indices, depth  # (W, H) contract
 
+    _check_overflow = TrianglesRenderer._check_overflow
     overflow_total = TrianglesRenderer.overflow_total
 
     def render_many(self, cameras):
@@ -578,11 +606,7 @@ class TexelsRenderer:
             num_primitives=self._primitive_num, backend=self.backend,
             clip_near=self.clip_near, dense_e_cap=dense_e_cap,
         )
-        self.overflow_policy.check(
-            overflow, (height, width), self.max_tris_per_tile,
-            dense=(dense_e_cap is not None),
-            recheck=rast.dense_zero_budget(dense_e_cap),
-        )
+        self._check_overflow(overflow, (height, width), dense_e_cap)
         return idx, depth
 
 

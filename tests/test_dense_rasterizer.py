@@ -412,6 +412,13 @@ class TestAdaptiveCandidateBudget:
             assert not any("overflow" in m for m in caplog.messages)
             r.render(close)  # frame 2: candidates exist, all spill
         assert any(
-            "zero-budget" in m for m in caplog.messages
+            "re-probe" in m for m in caplog.messages
         ), caplog.messages
-        assert r.overflow_total() > 0
+        dropped = r.overflow_total()
+        assert dropped > 0
+        # the breach invalidated the zero cap: the next render re-probes
+        # (grow-only) and stops dropping
+        assert (128, 256) not in r.dense_cap_policy._cap
+        r.render(close)
+        assert r.dense_cap_policy._cap[(128, 256)][0] > 0
+        assert r.overflow_total() == dropped
