@@ -84,17 +84,32 @@ def _intrinsics_from_params(model_name, params):
     )
 
 
+def _bin_read(f, n, path, what):
+    """Read exactly n bytes or raise ColmapError (truncated .bin files used
+    to leak raw struct.error — mutation fuzz, tests/test_io.py)."""
+    data = f.read(n)
+    if len(data) != n:
+        raise ColmapError(f"{path}: truncated COLMAP binary reading {what}")
+    return data
+
+
 def read_cameras_bin(path):
     cameras = {}
     with open(path, "rb") as f:
-        (num,) = struct.unpack("<Q", f.read(8))
+        (num,) = struct.unpack("<Q", _bin_read(f, 8, path, "camera count"))
         for _ in range(num):
-            cam_id, model_id = struct.unpack("<ii", f.read(8))
-            width, height = struct.unpack("<QQ", f.read(16))
+            cam_id, model_id = struct.unpack(
+                "<ii", _bin_read(f, 8, path, "camera header")
+            )
+            width, height = struct.unpack(
+                "<QQ", _bin_read(f, 16, path, "camera resolution")
+            )
             if model_id not in CAMERA_MODELS:
                 raise ColmapError(f"{path}: unknown camera model id {model_id}")
             name, nparams = CAMERA_MODELS[model_id]
-            params = np.frombuffer(f.read(8 * nparams), dtype="<f8")
+            params = np.frombuffer(
+                _bin_read(f, 8 * nparams, path, "camera params"), dtype="<f8"
+            )
             fl, pp = _intrinsics_from_params(name, params)
             cameras[cam_id] = ColmapCamera(cam_id, name, width, height, fl, pp)
     return cameras
@@ -102,20 +117,33 @@ def read_cameras_bin(path):
 
 def read_cameras_txt(path):
     cameras = {}
-    with open(path, "r") as f:
+    with open(path, "r", errors="replace") as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             parts = line.split()
-            cam_id = int(parts[0])
-            model_name = parts[1]
-            if model_name not in _MODEL_NAME_TO_ID:
-                raise ColmapError(f"{path}: unknown camera model {model_name}")
-            width, height = int(parts[2]), int(parts[3])
-            params = np.asarray([float(p) for p in parts[4:]])
-            fl, pp = _intrinsics_from_params(model_name, params)
-            cameras[cam_id] = ColmapCamera(cam_id, model_name, width, height, fl, pp)
+            # short or non-numeric lines raised IndexError/unpack ValueError
+            # with no context (mutation fuzz) — give them a named error
+            try:
+                cam_id = int(parts[0])
+                model_name = parts[1]
+                if model_name not in _MODEL_NAME_TO_ID:
+                    raise ColmapError(
+                        f"{path}: unknown camera model {model_name}"
+                    )
+                width, height = int(parts[2]), int(parts[3])
+                params = np.asarray([float(p) for p in parts[4:]])
+                fl, pp = _intrinsics_from_params(model_name, params)
+            except ColmapError:
+                raise
+            except (IndexError, ValueError):
+                raise ColmapError(
+                    f"{path}: malformed cameras.txt line: {line!r}"
+                ) from None
+            cameras[cam_id] = ColmapCamera(
+                cam_id, model_name, width, height, fl, pp
+            )
     return cameras
 
 
@@ -145,29 +173,40 @@ def read_images_bin(path):
 
     images = {}
     with open(path, "rb") as f:
-        (num,) = struct.unpack("<Q", f.read(8))
+        (num,) = struct.unpack("<Q", _bin_read(f, 8, path, "image count"))
         for _ in range(num):
-            (image_id,) = struct.unpack("<i", f.read(4))
-            qvec = np.frombuffer(f.read(32), dtype="<f8").copy()
-            tvec = np.frombuffer(f.read(24), dtype="<f8").copy()
-            (camera_id,) = struct.unpack("<i", f.read(4))
+            (image_id,) = struct.unpack(
+                "<i", _bin_read(f, 4, path, "image id")
+            )
+            qvec = np.frombuffer(
+                _bin_read(f, 32, path, "qvec"), dtype="<f8"
+            ).copy()
+            tvec = np.frombuffer(
+                _bin_read(f, 24, path, "tvec"), dtype="<f8"
+            ).copy()
+            (camera_id,) = struct.unpack(
+                "<i", _bin_read(f, 4, path, "camera id")
+            )
             name_bytes = bytearray()
             while True:
                 c = f.read(1)
                 if c == b"\x00" or c == b"":
                     break
                 name_bytes += c
-            (num_points,) = struct.unpack("<Q", f.read(8))
+            (num_points,) = struct.unpack(
+                "<Q", _bin_read(f, 8, path, "point count")
+            )
             f.seek(num_points * 24, os.SEEK_CUR)  # skip 2D points (x, y, p3d_id)
             images[image_id] = ColmapImage(
-                image_id, qvec, tvec, camera_id, name_bytes.decode("utf-8")
+                image_id, qvec, tvec, camera_id,
+                name_bytes.decode("utf-8", errors="replace"),
             )
     return images
 
 
 def read_images_txt(path):
     images = {}
-    with open(path, "r") as f:
+    with open(path, "r", errors="replace") as f:
         # images.txt alternates metadata lines and points2D lines; points
         # lines may be blank (zero 2D points), so keep blanks for parity.
         lines = [ln.strip() for ln in f if not ln.strip().startswith("#")]
@@ -175,11 +214,16 @@ def read_images_txt(path):
         if not meta:
             continue
         parts = meta.split()
-        image_id = int(parts[0])
-        qvec = np.asarray([float(x) for x in parts[1:5]])
-        tvec = np.asarray([float(x) for x in parts[5:8]])
-        camera_id = int(parts[8])
-        name = parts[9]
+        try:
+            image_id = int(parts[0])
+            qvec = np.asarray([float(x) for x in parts[1:5]])
+            tvec = np.asarray([float(x) for x in parts[5:8]])
+            camera_id = int(parts[8])
+            name = parts[9]
+        except (IndexError, ValueError):
+            raise ColmapError(
+                f"{path}: malformed images.txt metadata line: {meta!r}"
+            ) from None
         images[image_id] = ColmapImage(image_id, qvec, tvec, camera_id, name)
     return images
 

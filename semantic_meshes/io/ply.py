@@ -156,6 +156,12 @@ def _read_binary_element(buf, offset, element, bo):
     for p in props:
         if p.is_list:
             n = int(from_buffer(bo + p.count_dtype, 1, probe)[0])
+            if n < 0:  # signed count dtype: would become a negative
+                # subarray shape in np.dtype below (raw ValueError)
+                raise PlyError(
+                    f"negative list count for property '{p.name}' in "
+                    f"element '{element.name}'"
+                )
             counts[p.name] = n
             probe += np.dtype(p.count_dtype).itemsize + n * np.dtype(p.dtype).itemsize
         else:

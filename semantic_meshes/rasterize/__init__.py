@@ -62,15 +62,6 @@ def rasterize(vertices, faces, *args, backend=None, **kwargs):
     return mod.rasterize(vertices, faces, *args, **kwargs)
 
 
-def dense_zero_budget(dense_e_cap):
-    """True when the dense pair budget OR micro budget is pinned to zero
-    (the probe frame saw none of that class, so ANY later occurrence
-    spills) — the overflow policy then re-checks at a duty cycle."""
-    if isinstance(dense_e_cap, tuple):
-        return dense_e_cap[0] == 0 or dense_e_cap[1] == 0
-    return dense_e_cap == 0
-
-
 def uses_dense(backend=None, num_tris=None):
     """True when dispatch would pick the dense backend (the renderers use
     this to decide whether the e_cap probe is worth a one-time sync)."""

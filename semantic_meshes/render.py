@@ -70,6 +70,7 @@ class _OverflowPolicy:
         self._pending = {}  # key -> per-frame device scalars (unsynced)
         self._base = {}  # key -> synced drop total
         self._warned = {}  # key -> drop total already reported
+        self._dropped = set()  # keys with any detected drops so far
 
     def check(self, overflow, key, max_tris_per_tile, dense=False,
               recheck=False):
@@ -81,9 +82,13 @@ class _OverflowPolicy:
         recheck: post-first-frame breaches are plausible for this key
         (every dense-path key: later frames can exceed the probe frame's
         budget; worst case is a zero-pinned budget) — in "first" mode,
-        re-check synchronously at a low duty cycle (frame 2, then every
-        RECHECK_EVERY frames) instead of leaving the loss visible only
-        via overflow_total()."""
+        re-check synchronously at power-of-two call counts (frames 2, 3,
+        5, 9, 17, ...): any persistent breach is detected within ~2x its
+        onset frame, yet a healthy stream pays only O(log N) total syncs,
+        keeping steady-state dispatch fully async (a sync costs ~25 ms
+        through a tunneled TPU AND breaks pipelining — CLAUDE.md). Keys
+        with detected drops additionally re-check every RECHECK_EVERY
+        frames (the power-of-two ticks alone go sparse late)."""
         if self.mode == "never":
             return 0
         self._pending.setdefault(key, []).append(overflow)
@@ -93,7 +98,10 @@ class _OverflowPolicy:
         if (
             self.mode == "first"
             and not first
-            and not (recheck and (n == 1 or n % self.RECHECK_EVERY == 0))
+            and not (recheck and (
+                (n & (n - 1)) == 0  # n is a power of two
+                or (key in self._dropped and n % self.RECHECK_EVERY == 0)
+            ))
         ):
             return 0
         # bookkeeping is per KEY (totals and the already-reported
@@ -105,6 +113,7 @@ class _OverflowPolicy:
         if not new:
             return 0
         self._warned[key] = total
+        self._dropped.add(key)
         if first or self.mode == "always":
             knob = (
                 "e_cap_rows/n_global (dense backend)" if dense
@@ -186,11 +195,20 @@ class _DenseCapPolicy:
     def invalidate(self, key):
         """Drop the cached budget so the next render re-probes (called by
         the renderers when the overflow policy detects post-probe drops).
-        Re-probes are grow-only — the old cap becomes a floor — so an
-        oscillating scene can't thrash recompiles downward."""
+
+        The floor for future re-probes is DOUBLE the breached cap (min
+        256 rows): the re-probe uses whichever camera renders next, which
+        with alternating small/large views may be a small one whose probe
+        alone would re-pin the old budget — the geometric floor guarantees
+        the budget converges past any fixed need in O(log) detected
+        breaches either way, and grow-only means an oscillating scene
+        can't thrash recompiles downward."""
         cap = self._cap.pop(key, None)
         if cap is not None:
-            self._floor[key] = cap
+            self._floor[key] = (
+                max(2 * cap[0], 256),
+                max(2 * cap[1], 256),
+            )
 
 
 def _size_bucket(t: int, floor: int) -> int:

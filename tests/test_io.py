@@ -555,44 +555,52 @@ class TestPlyFuzz:
 
 
 class TestColmapFuzz:
+    """read_cameras/read_images take a WORKSPACE DIRECTORY — each target
+    writes the mutated bytes as <stem>.<ext> inside its own directory so
+    the mutation actually reaches the bin/txt parser (an earlier version
+    passed the file path itself, which _find rejected before parsing a
+    single byte, making the fuzz vacuous). A sanity call on the unmutated
+    seed pins that the parser really runs."""
+
     N = 150
+
+    def _run(self, tmp_path, filename, reader, seed, rng_seed):
+        ws = tmp_path / "ws"
+        ws.mkdir()
+        target = ws / filename
+
+        def parse(data):
+            target.write_bytes(data)
+            reader(str(ws))
+
+        parse(seed)  # the unmutated seed must parse (fuzz is non-vacuous)
+        _fuzz(parse, seed, self.N,
+              (colmap_io.ColmapError, ValueError), rng_seed=rng_seed)
 
     def test_cameras_bin_mutations(self, tmp_path):
         import struct
 
         seed = (
             struct.pack("<Q", 1)
-            + struct.pack("<iiQQ", 1, 1, 64, 48)
-            + struct.pack("<4d", 60.0, 32.0, 24.0, 0)
+            + struct.pack("<ii", 1, 1)
+            + struct.pack("<QQ", 64, 48)
+            + struct.pack("<4d", 60.0, 60.0, 32.0, 24.0)
         )
-        target = tmp_path / "cameras.bin"
-
-        def parse(data):
-            target.write_bytes(data)
-            colmap_io.read_cameras(str(target))
-
-        _fuzz(parse, seed, self.N,
-              (colmap_io.ColmapError, ValueError), rng_seed=3)
+        self._run(tmp_path, "cameras.bin", colmap_io.read_cameras, seed, 3)
 
     def test_images_bin_mutations(self, tmp_path):
         import struct
 
         seed = (
             struct.pack("<Q", 1)
-            + struct.pack("<I", 1)
-            + struct.pack("<7d", 1, 0, 0, 0, 0, 0, 1)
-            + struct.pack("<I", 1)
+            + struct.pack("<i", 1)
+            + struct.pack("<4d", 1, 0, 0, 0)
+            + struct.pack("<3d", 0, 0, 0)
+            + struct.pack("<i", 1)
             + b"img0.png\x00"
             + struct.pack("<Q", 0)
         )
-        target = tmp_path / "images.bin"
-
-        def parse(data):
-            target.write_bytes(data)
-            colmap_io.read_images(str(target))
-
-        _fuzz(parse, seed, self.N,
-              (colmap_io.ColmapError, ValueError), rng_seed=4)
+        self._run(tmp_path, "images.bin", colmap_io.read_images, seed, 4)
 
     def test_cameras_txt_mutations(self, tmp_path):
         seed = (
@@ -600,14 +608,7 @@ class TestColmapFuzz:
             b"1 PINHOLE 64 48 60.0 60.0 32.0 24.0\n"
             b"2 SIMPLE_PINHOLE 64 48 60.0 32.0 24.0\n"
         )
-        target = tmp_path / "cameras.txt"
-
-        def parse(data):
-            target.write_bytes(data)
-            colmap_io.read_cameras(str(target))
-
-        _fuzz(parse, seed, self.N,
-              (colmap_io.ColmapError, ValueError), rng_seed=7)
+        self._run(tmp_path, "cameras.txt", colmap_io.read_cameras, seed, 7)
 
     def test_images_txt_mutations(self, tmp_path):
         seed = (
@@ -617,14 +618,7 @@ class TestColmapFuzz:
             b"2 1 0 0 0 0 0 1 1 img1.png\n"
             b"\n"
         )
-        target = tmp_path / "images.txt"
-
-        def parse(data):
-            target.write_bytes(data)
-            colmap_io.read_images(str(target))
-
-        _fuzz(parse, seed, self.N,
-              (colmap_io.ColmapError, ValueError), rng_seed=8)
+        self._run(tmp_path, "images.txt", colmap_io.read_images, seed, 8)
 
 
 class TestSensFuzz:

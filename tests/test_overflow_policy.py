@@ -1,12 +1,13 @@
 """Unit tests for the overflow-reporting policy (render._OverflowPolicy)
-and the zero-budget dense-cap predicate.
+and the dense-cap self-healing loop.
 
-The policy's contract (render.py:48-136): one synchronous check per
-resolution key on its first frame, async accumulation afterwards, with a
-low-duty-cycle synchronous re-check for keys whose dense budget is pinned
-to zero. Bookkeeping is PER KEY: one resolution's drops must never be
-attributed to another, and a re-check must never re-report drops the
-first-frame warning already printed.
+The policy's contract (render.py): one synchronous check per resolution
+key on its first frame, async accumulation afterwards, with synchronous
+re-checks for dense keys at power-of-two call counts (O(log N) total
+syncs; any persistent breach detected within ~2x its onset) plus every
+RECHECK_EVERY frames once a key has dropped. Bookkeeping is PER KEY: one
+resolution's drops must never be attributed to another, and a re-check
+must never re-report drops the first-frame warning already printed.
 """
 
 import logging
@@ -14,7 +15,6 @@ import logging
 import jax.numpy as jnp
 import pytest
 
-from semantic_meshes.rasterize import dense_zero_budget
 from semantic_meshes.render import _OverflowPolicy
 
 
@@ -70,18 +70,50 @@ class TestOverflowPolicy:
             pol.check(_ov(0), ("a",), 8, recheck=True)  # frame 2, no drops
         assert not caplog.records
 
-    def test_recheck_duty_cycle(self, caplog):
+    def test_recheck_power_of_two_schedule(self, caplog):
+        # clean frames tick at n = 1, 2, 4, ... without warning; a breach
+        # starting at n=3 is detected at the n=4 tick (within ~2x onset)
         pol = _OverflowPolicy()
-        pol.check(_ov(0), ("a",), 8, recheck=True)  # frame 1
-        pol.check(_ov(0), ("a",), 8, recheck=True)  # frame 2 (syncs, clean)
+        pol.check(_ov(0), ("a",), 8, recheck=True)  # n=0: first (sync)
+        pol.check(_ov(0), ("a",), 8, recheck=True)  # n=1: tick, clean
+        pol.check(_ov(0), ("a",), 8, recheck=True)  # n=2: tick, clean
         with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
-            for _ in range(_OverflowPolicy.RECHECK_EVERY - 2):
-                pol.check(_ov(1), ("a",), 8, recheck=True)
-            assert not caplog.records  # between duty ticks: async
-            pol.check(_ov(1), ("a",), 8, recheck=True)  # frame 65 = tick
+            assert pol.check(_ov(1), ("a",), 8, recheck=True) == 0  # n=3
+            assert not caplog.records  # between ticks: async
+            got = pol.check(_ov(1), ("a",), 8, recheck=True)  # n=4: tick
         msgs = [r.getMessage() for r in caplog.records]
-        assert len(msgs) == 1
-        assert f"{_OverflowPolicy.RECHECK_EVERY - 1} candidate" in msgs[0]
+        assert len(msgs) == 1 and "2 candidate" in msgs[0]
+        assert got == 2
+
+    def test_dropped_key_rechecks_at_duty_cycle(self, caplog):
+        # once a key has dropped, it re-checks every RECHECK_EVERY frames
+        # even between (late, sparse) power-of-two ticks
+        every = _OverflowPolicy.RECHECK_EVERY
+        pol = _OverflowPolicy()
+        pol.check(_ov(0), ("a",), 8, recheck=True)  # n=0
+        pol.check(_ov(1), ("a",), 8, recheck=True)  # n=1: tick, drops
+        # advance past n=128 so the next power-of-two tick is n=256,
+        # feeding zero overflow (ticks at 2,4,...,128 stay silent)
+        while pol._calls[("a",)] <= 2 * every:
+            pol.check(_ov(0), ("a",), 8, recheck=True)
+        n0 = pol._calls[("a",)]  # 129
+        with caplog.at_level(logging.WARNING, "semantic_meshes.render"):
+            new = 0
+            for _ in range(every):  # one full duty window covers n=192
+                new += pol.check(_ov(1), ("a",), 8, recheck=True)
+        assert new > 0  # detected at n=192 (3*64), not a power of two
+        assert pol._calls[("a",)] - n0 == every
+
+    def test_undropped_key_stays_async_between_power_ticks(self):
+        # a clean key pays NO sync between power-of-two ticks: pending
+        # scalars accumulate un-synced (length grows) through n=65..127
+        pol = _OverflowPolicy()
+        for _ in range(65):  # n = 0..64 (ticks at 0,1,2,4,...,64)
+            pol.check(_ov(0), ("a",), 8, recheck=True)
+        assert not pol._pending[("a",)]  # the n=64 tick drained pending
+        for _ in range(62):  # n = 65..126: no ticks for a clean key
+            pol.check(_ov(0), ("a",), 8, recheck=True)
+        assert len(pol._pending[("a",)]) == 62
 
     def test_keys_do_not_cross_contaminate(self, caplog):
         pol = _OverflowPolicy()
@@ -118,22 +150,6 @@ class TestOverflowPolicy:
         pol.check(_ov(3), ("a",), 8)
         assert pol.total() == 6
         assert pol.total() == 6  # idempotent after drain
-
-
-class TestDenseZeroBudget:
-    @pytest.mark.parametrize(
-        "cap,expected",
-        [
-            ((0, 5), True),  # no pair budget: any small/big triangle spills
-            ((5, 0), True),  # no micro budget: any micro triangle spills
-            ((0, 0), True),
-            ((5, 5), False),
-            (0, True),  # scalar legacy form
-            (5, False),
-        ],
-    )
-    def test_zero_budget(self, cap, expected):
-        assert dense_zero_budget(cap) is expected
 
 
 class TestDenseCapRegrow:
@@ -182,9 +198,35 @@ class TestDenseCapRegrow:
         cap_near = renderer.dense_cap_policy._cap[key]
         assert cap_near[0] >= cap_far[0] and cap_near[1] >= cap_far[1]
         assert cap_near != cap_far  # actually grew somewhere
-        # grow-only: the old cap is a floor for future re-probes
-        assert renderer.dense_cap_policy._floor[key] == cap_far
+        # the floor doubles the breached cap (geometric growth)
+        assert renderer.dense_cap_policy._floor[key] == (
+            max(2 * cap_far[0], 256), max(2 * cap_far[1], 256)
+        )
         # no further drops accrue at the regrown budget
         assert renderer.overflow_policy.total() == dropped
         renderer.render(cams["near"])
         assert renderer.overflow_policy.total() == dropped
+
+    def test_alternating_cameras_converge(self):
+        """The re-probe after a breach uses whichever camera renders NEXT
+        — with alternating far/near views that is the small (far) one, so
+        the probe alone would re-pin the old budget forever. The doubled
+        floor guarantees geometric convergence: after O(log need) detected
+        breaches the near views stop dropping."""
+        from types import SimpleNamespace
+
+        from semantic_meshes import render as render_mod
+
+        vertices, faces, cams = self._scene()
+        mesh = SimpleNamespace(vertices=vertices, faces=faces)
+        renderer = render_mod.TrianglesRenderer(mesh, backend="dense")
+
+        for _ in range(12):  # power-of-two ticks at n=1,2,4,8 detect+double
+            renderer.render(cams["far"])
+            renderer.render(cams["near"])
+        settled = renderer.overflow_policy.total()
+        assert settled > 0  # the early near frames did breach
+        for _ in range(3):  # converged: no new drops on either camera
+            renderer.render(cams["far"])
+            renderer.render(cams["near"])
+        assert renderer.overflow_policy.total() == settled
