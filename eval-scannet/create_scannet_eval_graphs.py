@@ -30,6 +30,11 @@ parser = argparse.ArgumentParser(
 )
 parser.add_argument("--path", type=str, required=True,
                     help="Path to scannet evaluation .yaml files")
+parser.add_argument("--min_scenes", type=int, default=100,
+                    help="Drop scannet runs evaluated on fewer scenes "
+                         "(the reference hardcodes 100, ref lines 90-96); "
+                         "lower it for small/synthetic datasets, e.g. "
+                         "scripts/make_paper_graphs.py passes 1")
 args = parser.parse_args()
 
 plotargs = {"marker": "o", "markersize": 6}
@@ -113,7 +118,8 @@ while i1 < len(params):
 # drop incomplete scannet runs (ref lines 90-96)
 params = [
     p for p in params
-    if not (p["params"]["mesh"] == "scannet" and p["params"]["num"] < 100)
+    if not (p["params"]["mesh"] == "scannet"
+            and p["params"]["num"] < args.min_scenes)
 ]
 
 for p in params:

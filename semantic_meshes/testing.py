@@ -89,13 +89,23 @@ def write_scannet_label_tsv(path, num_classes=6):
 def build_synthetic_scannet_scene(root, name, *, subdivisions=3,
                                   num_views=4, width=128, height=96,
                                   classes=40, radius=3.0,
-                                  write_probs=True, renderer=None):
+                                  write_probs=True, renderer=None,
+                                  prob_noise=0.0, noise_seed=0):
     """Build a fake ScanNet scene directory for eval tests/benchmarks.
 
     Creates scans/<name>/ with <name>_vh_clean_2.labels.ply (cube mesh,
     per-vertex raw labels 1..6 by cube side), <name>.sens (posed frames
     with jpeg color + zlib depth), label-filt/<i>.png ground truth, and
-    (optionally) probs/<name>/<i>.npy perfect one-hot predictions.
+    (optionally) probs/<name>/<i>.npy one-hot predictions.
+
+    prob_noise > 0 makes the written predictions imperfect (so fusion has
+    something to fix — scripts/make_paper_graphs.py uses this to produce
+    non-degenerate versions of the paper's plots): per covered pixel, the
+    label is flipped to a random class with probability
+    prob_noise * frame_index / (num_views - 1) (later frames are noisier,
+    so per-image vs per-pixel weighting genuinely differ), then every
+    distribution is smoothed with 30% uniform mass (so the mul
+    aggregator sees graded confidences). Deterministic via noise_seed.
 
     Returns (num_faces, num_views). Rendering the gt label images uses a
     TrianglesRenderer on the current default device — pass `renderer=None`
@@ -158,6 +168,7 @@ def build_synthetic_scannet_scene(root, name, *, subdivisions=3,
     probs_dir = os.path.join(root, "probs", name)
     if write_probs:
         os.makedirs(probs_dir, exist_ok=True)
+    noise_rng = np.random.default_rng(noise_seed)
 
     frames = []
     for i, cam in enumerate(cams):
@@ -178,7 +189,21 @@ def build_synthetic_scannet_scene(root, name, *, subdivisions=3,
         if write_probs:
             probs = np.zeros((H, W, classes), np.float32)
             ys, xs = np.nonzero(covered)
-            probs[ys, xs, gt[covered].astype(np.int64) - 1] = 1.0
+            labels = gt[covered].astype(np.int64) - 1
+            if prob_noise > 0:
+                frame_noise = prob_noise * (
+                    i / max(num_views - 1, 1)
+                )
+                flip = noise_rng.random(len(labels)) < frame_noise
+                labels = np.where(
+                    flip,
+                    noise_rng.integers(0, classes, size=len(labels)),
+                    labels,
+                )
+            probs[ys, xs, labels] = 1.0
+            if prob_noise > 0:
+                # 30% uniform smoothing: graded confidences for "mul"
+                probs[ys, xs] = 0.7 * probs[ys, xs] + 0.3 / classes
             np.save(os.path.join(probs_dir, f"{i}.npy"), probs)
 
         color = np.zeros((H, W, 3), np.uint8)

@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -104,3 +105,50 @@ def test_graphs_same_offset_guard(tmp_path):
     )
     assert proc.returncode != 0  # duplicate-offset exit(-1)
     assert "Same offset" in proc.stdout
+
+
+@pytest.mark.slow
+def test_make_paper_graphs_end_to_end(tmp_path):
+    """The capstone composition: synthetic scenes -> eval_scannet.py grid
+    -> result YAMLs -> create_scannet_eval_graphs.py, via
+    scripts/make_paper_graphs.py (no dataset mount). Asserts the four
+    plots + aggregator CSV exist and that fusion beat the noisy network
+    predictions (the paper's core claim)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "make_paper_graphs.py"),
+            "--out", str(tmp_path),
+            "--grid", "smoke",
+            "--scenes", "1", "--views", "4",
+            "--subdivisions", "4", "--width", "128", "--height", "96",
+        ],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    results = tmp_path / "results"
+    for artifact in (
+        "texelres_to_accuracy.png",
+        "imagesequalweight_to_accuracy.png",
+        "simplify_to_accuracy.png",
+        "framesstep_to_accuracy.png",
+        "aggregators.csv",
+    ):
+        assert (results / artifact).is_file(), artifact
+    yamls = sorted(results.glob("run-*.yaml"))
+    assert len(yamls) == 3  # the smoke grid
+    for y in yamls:
+        d = yaml.safe_load(y.read_text())
+        net = d["metrics"]["image_network"]["accuracy"]
+        fused = d["metrics"]["image_fused"]["accuracy"]
+        assert net < 0.9  # the seeded noise really degraded the network
+        assert fused > net + 0.05  # and fusion really fixed it
+    # the aggregator table has a row per aggregator in the grid
+    csv = (results / "aggregators.csv").read_text().splitlines()
+    assert csv[0] == "aggregator,accuracy_w_i,accuracy_w_p"
+    assert {r.split(",")[0] for r in csv[1:]} == {"sum", "mul"}
