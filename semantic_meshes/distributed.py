@@ -59,22 +59,31 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
             raise
 
 
-def make_device_mesh(views_axis=None, pixels_axis=1):
-    """Build a (views, pixels) Mesh over all global devices.
+def make_device_mesh(views_axis=None, pixels_axis=1, faces_axis=1):
+    """Build a (views, pixels[, faces]) Mesh over all global devices.
 
     Defaults put every device on the 'views' (data-parallel) axis — the
     right layout when images are plentiful; set pixels_axis > 1 to split
-    image rows across chips for very large frames.
+    image rows across chips for very large frames, and faces_axis > 1 to
+    split the MESH's triangles across chips (make_sharded_fuse rasterizes
+    per-block and z-merges; for meshes whose rasterize working set
+    outgrows one chip).
     """
     import jax
 
     devices = np.array(jax.devices())
     n = devices.size
     if views_axis is None:
-        views_axis = n // pixels_axis
-    if views_axis * pixels_axis != n:
+        views_axis = n // (pixels_axis * faces_axis)
+    if views_axis * pixels_axis * faces_axis != n:
         raise ValueError(
-            f"views_axis * pixels_axis must equal device count {n}"
+            f"views_axis * pixels_axis * faces_axis must equal device "
+            f"count {n}"
+        )
+    if faces_axis > 1:
+        return Mesh(
+            devices.reshape(views_axis, pixels_axis, faces_axis),
+            ("views", "pixels", "faces"),
         )
     return Mesh(
         devices.reshape(views_axis, pixels_axis), ("views", "pixels")
@@ -278,6 +287,20 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     Mesh axes used (any subset may have size 1):
       - 'views': views sharded across chips (data parallel)
       - 'pixels': image rows sharded across chips (spatial parallel)
+      - 'faces' (optional third axis): TRIANGLES sharded across chips —
+        each chip rasterizes only its contiguous block of T/D faces
+        (binning sort, candidate table, per-triangle setup and the
+        pre-expanded face_vertices all scale with the block), and the
+        per-pixel winners merge across the axis with an exact
+        lexicographic (z, primitive-id) minimum: one inverse-image pmin
+        of the z bits, then one pmin of the block winners' ids masked to
+        the global minimum (f32 bitcast to int32 is order-preserving for
+        the non-negative depths the rasterizer emits; ties resolve to
+        the lowest id, the same deterministic contract as one chip).
+        This is INPUT-side mesh parallelism for meshes whose rasterize
+        working set outgrows one chip, complementing shard_primitives
+        (OUTPUT-side accumulator sharding). Requires T % faces_axis == 0
+        (pad with degenerate faces like render._pad_faces does).
 
     Input/output sharding contract of the returned function:
       rotations (N,3,3) etc. sharded P('views'); probs (N,H,W,C) sharded
@@ -317,6 +340,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     """
     n_pixels = mesh.shape["pixels"]
     n_views = mesh.shape["views"]
+    n_faces_axis = mesh.shape.get("faces", 1)
     local_h = height // n_pixels
     if local_h * n_pixels != height:
         raise ValueError(
@@ -342,39 +366,99 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                   principal_points, probs, images_equal_weight,
                   weights=None):
         row0 = jax.lax.axis_index("pixels") * local_h
-        face_vertices = jnp.asarray(vertices, jnp.float32)[
-            jnp.asarray(faces, jnp.int32)
-        ]
+        faces = jnp.asarray(faces, jnp.int32)
+        res_blk, first_blk = texel_params if texel_params else (None, None)
+        if n_faces_axis > 1:
+            T = faces.shape[0]
+            if T % n_faces_axis:
+                raise ValueError(
+                    f"face count {T} must divide by the 'faces' axis "
+                    f"{n_faces_axis} (pad with degenerate faces)"
+                )
+            blk = T // n_faces_axis
+            f0 = jax.lax.axis_index("faces") * blk
+            faces = jax.lax.dynamic_slice_in_dim(faces, f0, blk, 0)
+            if texel_params is not None:
+                # first_texel_index carries GLOBAL texel offsets, so the
+                # block's shader emits global primitive ids directly
+                res_blk = jax.lax.dynamic_slice_in_dim(
+                    jnp.asarray(res_blk, jnp.int32), f0, blk, 0
+                )
+                first_blk = jax.lax.dynamic_slice_in_dim(
+                    jnp.asarray(first_blk, jnp.int32), f0, blk, 0
+                )
+        face_vertices = jnp.asarray(vertices, jnp.float32)[faces]
+
+        def faces_sharded_step(view):
+            """Rasterize this chip's face block, shade to GLOBAL primitive
+            ids, lexicographic (z, id)-min merge across 'faces', fuse."""
+            rot, trans, fl, pp, pr, wt = view
+            tri, z, ov_view = rast.rasterize(
+                vertices, faces, rot, trans, fl, pp,
+                height=local_h, width=width,
+                max_tris_per_tile=max_tris_per_tile,
+                y_offset=row0, face_vertices=face_vertices,
+                clip_near=clip_near, dense_e_cap=dense_e_cap,
+            )
+            if texel_params is not None:
+                from .render import _texel_prim_image
+
+                prim = _texel_prim_image(
+                    vertices, faces, rot, trans, fl, pp, tri,
+                    res_blk, first_blk, num_primitives,
+                    y_offset=row0, clip_near=clip_near,
+                )
+            else:
+                prim = jnp.where(
+                    tri >= 0,
+                    tri + jax.lax.axis_index("faces") * faces.shape[0],
+                    num_primitives,
+                ).astype(jnp.int32)
+            # empty pixels carry z=+inf and prim=num_primitives on every
+            # chip, so the merged winner is consistent; z > 0 always, so
+            # the f32->int32 bitcast is order-preserving
+            zbits = jax.lax.bitcast_convert_type(z, jnp.int32)
+            zmin = jax.lax.pmin(zbits, "faces")
+            prim = jax.lax.pmin(
+                jnp.where(zbits == zmin, prim, jnp.int32(2**31 - 1)),
+                "faces",
+            )
+            delta = view_accumulate(
+                prim, pr, wt, images_equal_weight,
+                num_primitives, aggregator, axis_name="pixels",
+            )
+            return delta, jnp.asarray(ov_view, jnp.int32)
 
         def step(carry, view):
             acc, ov = carry
-            rot, trans, fl, pp, pr, wt = view
-            prim_transform = None
-            if texel_params is not None:
-                resolutions, first_texel_index = texel_params
+            if n_faces_axis > 1:
+                delta, ov_view = faces_sharded_step(view)
+            else:
+                rot, trans, fl, pp, pr, wt = view
+                prim_transform = None
+                if texel_params is not None:
+                    def prim_transform(tri, camera_arrays):
+                        from .render import _texel_prim_image
 
-                def prim_transform(tri, camera_arrays):
-                    from .render import _texel_prim_image
+                        # the barycentric post-pass must sample GLOBAL
+                        # pixel rows (band-local tri image + row0 offset)
+                        return _texel_prim_image(
+                            vertices, faces, rot, trans, fl, pp, tri,
+                            res_blk, first_blk, num_primitives,
+                            y_offset=row0, clip_near=clip_near,
+                        )
 
-                    # the barycentric post-pass must sample GLOBAL pixel
-                    # rows (band-local tri image + row0 offset)
-                    return _texel_prim_image(
-                        vertices, faces, rot, trans, fl, pp, tri,
-                        resolutions, first_texel_index, num_primitives,
-                        y_offset=row0, clip_near=clip_near,
-                    )
-
-            delta, ov_view = render_and_accumulate(
-                vertices, faces, (rot, trans, fl, pp), pr, wt,
-                images_equal_weight,
-                num_primitives=num_primitives, aggregator=aggregator,
-                height=local_h, width=width,
-                max_tris_per_tile=max_tris_per_tile,
-                axis_name="pixels", y_offset=row0,
-                face_vertices=face_vertices,
-                prim_transform=prim_transform, clip_near=clip_near,
-                dense_e_cap=dense_e_cap,
-            )
+                delta, ov_view = render_and_accumulate(
+                    vertices, faces, (rot, trans, fl, pp), pr, wt,
+                    images_equal_weight,
+                    num_primitives=num_primitives, aggregator=aggregator,
+                    height=local_h, width=width,
+                    max_tris_per_tile=max_tris_per_tile,
+                    axis_name="pixels", y_offset=row0,
+                    face_vertices=face_vertices,
+                    prim_transform=prim_transform, clip_near=clip_near,
+                    dense_e_cap=dense_e_cap,
+                )
             if shard_primitives:
                 # huge-P mode: merge THIS view's delta with a ring
                 # reduce-scatter over 'views' (half an all-reduce's bytes)
@@ -413,7 +497,12 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
         # is per-(view, row-band): sum over both axes.
         if not shard_primitives:
             acc = jax.lax.psum(acc, "views")
-        overflow = jax.lax.psum(overflow, ("views", "pixels"))
+        # drops are per-(view, row band[, face block])
+        ov_axes = (
+            ("views", "pixels", "faces") if n_faces_axis > 1
+            else ("views", "pixels")
+        )
+        overflow = jax.lax.psum(overflow, ov_axes)
         return acc, overflow
 
     if with_weights:

@@ -34,6 +34,7 @@ from semantic_meshes.data import stack_cameras
 
 COLLECTIVES = (
     "ppermute", "all_gather", "all_to_all", "reduce_scatter", "pgather",
+    "pmin", "pmax",
 )
 
 
@@ -166,6 +167,32 @@ class TestCollectiveStructure:
                 mesh, num_primitives=len(faces) * 8 + 1, aggregator="sum",
                 height=H, width=W, shard_primitives=True,
             )
+
+    def test_faces_axis_adds_two_pmins_per_view(self, scene):
+        # mesh (triangle) input sharding: the per-view winner merge is
+        # exactly two (H_band, W) pmins over 'faces' (z bits, then the
+        # masked ids — the lexicographic minimum), plus the unchanged
+        # per-view pixels psum; the accumulator merge stays one psum over
+        # 'views' and overflow sums over all three axes
+        mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2),
+                    ("views", "pixels", "faces"))
+        colls, P, C = _trace(mesh, scene)
+
+        in_scan = [c for c in colls if "/scan" in c[0]]
+        pmins = [c for c in in_scan if c[1] == "pmin"]
+        H_band, W = 32 // 2, 64
+        assert [(c[2], c[3]) for c in pmins] == [
+            (("faces",), [(H_band, W)]),
+            (("faces",), [(H_band, W)]),
+        ], in_scan
+        counts = [c for c in in_scan if "psum" in c[1]]
+        assert len(counts) == 1 and counts[0][2] == ("pixels",)
+        assert counts[0][3] == [(P, C + 1)]
+
+        outside = [c for c in colls if "/scan" not in c[0]]
+        assert sorted(c[2] for c in outside) == [
+            ("views",), ("views", "pixels", "faces")
+        ], outside
 
     def test_mul_aggregator_same_structure(self, scene):
         mesh = Mesh(np.array(jax.devices()).reshape(4, 2),

@@ -363,6 +363,118 @@ class TestShardedPipeline:
             )
 
 
+class TestFacesAxisSharding:
+    """Mesh (triangle) INPUT sharding: a 3-axis (views, pixels, faces)
+    mesh rasterizes a face block per chip and merges winners with an
+    exact lexicographic (z, id) pmin over 'faces'. Results must equal
+    the unsharded pipeline bit-for-bit at the fusion level."""
+
+    def _ref(self, cube_scene, texels=False, **kw):
+        vertices, faces, cams = cube_scene
+        C = 3
+        rng = np.random.default_rng(11)
+        W, H = cams[0].resolution
+        probs = np.stack([testing.random_probs(rng, H, W, C) for _ in cams])
+        rot, trans, fl, pp = stack_cameras(cams)
+        return (vertices, faces, rot, trans, fl, pp, probs), (H, W)
+
+    def test_triangles_matches_single_chip(self, cube_scene):
+        import jax
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices())
+        if devices.size < 8:
+            pytest.skip("needs 8 devices (virtual cpu mesh)")
+        args, (H, W) = self._ref(cube_scene)
+        vertices, faces, rot, trans, fl, pp, probs = args
+        T = len(faces)
+
+        ref = np.asarray(distributed.fuse_views(
+            vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
+            num_primitives=T, aggregator="sum", height=H, width=W,
+        )[0])
+
+        for shape in ((2, 2, 2), (1, 1, 4)):
+            mesh = Mesh(
+                devices[: np.prod(shape)].reshape(shape),
+                ("views", "pixels", "faces"),
+            )
+            fuse = distributed.make_sharded_fuse(
+                mesh, num_primitives=T, aggregator="sum",
+                height=H, width=W,
+            )
+            with mesh:
+                got, ov = fuse(vertices, faces, rot, trans, fl, pp,
+                               probs, np.float32(0.5))
+            assert int(ov) == 0
+            np.testing.assert_allclose(
+                np.asarray(got), ref, rtol=2e-5, atol=1e-5,
+                err_msg=f"mesh shape {shape}",
+            )
+
+    def test_texels_and_shard_primitives_combo(self, cube_scene):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from semantic_meshes import geometry
+
+        devices = np.array(jax.devices())
+        if devices.size < 8:
+            pytest.skip("needs 8 devices (virtual cpu mesh)")
+        args, (H, W) = self._ref(cube_scene)
+        vertices, faces, rot, trans, fl, pp, probs = args
+        T = len(faces)
+        faces_t = np.asarray(geometry.reorder_faces_for_texels(
+            jnp.asarray(vertices), jnp.asarray(faces)
+        ))
+        resolutions = np.full((T,), 2, np.int32)  # 3 texels per face
+        first = (np.arange(T) * 3).astype(np.int32)
+        P = 3 * T
+
+        ref = np.asarray(distributed.fuse_views_texels(
+            vertices, faces_t, resolutions, first, rot, trans, fl, pp,
+            probs, np.float32(0.5),
+            num_primitives=P, aggregator="mul", height=H, width=W,
+        )[0])
+
+        mesh = Mesh(devices[:8].reshape(2, 2, 2),
+                    ("views", "pixels", "faces"))
+        fuse = distributed.make_sharded_fuse(
+            mesh, num_primitives=P, aggregator="mul", height=H, width=W,
+            texel_params=(resolutions, first),
+            shard_primitives=True,  # P=900 % (views*pixels=4) == 0
+        )
+        with mesh:
+            got, ov = fuse(vertices, faces_t, rot, trans, fl, pp, probs,
+                           np.float32(0.5))
+        assert int(ov) == 0
+        # output is sharded over (views, pixels) and replicated over
+        # 'faces'; assembled it equals the unsharded texel fusion
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   rtol=2e-5, atol=1e-5)
+
+    def test_indivisible_faces_raise(self, cube_scene):
+        import jax
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices())
+        if devices.size < 8:
+            pytest.skip("needs 8 devices (virtual cpu mesh)")
+        args, (H, W) = self._ref(cube_scene)
+        vertices, faces, rot, trans, fl, pp, probs = args
+        mesh = Mesh(devices[:8].reshape(1, 1, 8),
+                    ("views", "pixels", "faces"))
+        fuse = distributed.make_sharded_fuse(
+            mesh, num_primitives=len(faces), aggregator="sum",
+            height=H, width=W,
+        )
+        with mesh:
+            with pytest.raises(ValueError, match="faces"):
+                fuse(vertices, faces, rot, trans, fl, pp, probs,
+                     np.float32(0.5))  # 300 % 8 != 0
+
+
 class TestOverflowReporting:
     """The reference never drops geometry (it grows mutex memory,
     ref: include/semantic_meshes/render/TriangleRenderer.h:68-72); our
