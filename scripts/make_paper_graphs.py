@@ -28,13 +28,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+SIMPLIFY_FACTORS = ("0.25", "0.0625")
+
+
 def grid_points(grid):
     """Eval parameter grid -> list of eval_scannet.py arg dicts.
 
     The "full" grid covers every predicate of the four plots + the
     aggregator CSV (create_scannet_eval_graphs.py:156-300): aggregator x
-    weight for the table, a weight sweep, a texel-resolution sweep, and a
-    frames-step point. "smoke" is the 3-run subset the test uses.
+    weight for the table, a weight sweep, a texel-resolution sweep, a
+    frames-step point, and the simplification sweep (2 factors x
+    {triangles, texels gamma=0.2} — the scene builder writes genuinely
+    coarser meshes under the simplified-mesh names, so the simplify plot
+    carries real multi-point curves without meshlabserver). "smoke" is
+    the 3-run subset the test uses.
     """
     points = []
     if grid == "smoke":
@@ -57,6 +64,16 @@ def grid_points(grid):
     points.append({
         "aggregator": "mul", "images_equal_weight": 1.0, "frames_step": 2,
     })
+    for factor in SIMPLIFY_FACTORS:
+        points.append({
+            "aggregator": "mul", "images_equal_weight": 1.0,
+            "simplify": factor,
+        })
+        points.append({
+            "aggregator": "mul", "images_equal_weight": 1.0,
+            "simplify": factor,
+            "mode": "texels", "texel_resolution": 0.2,
+        })
     return points
 
 
@@ -74,6 +91,9 @@ def main():
     ap.add_argument("--grid", default="full", choices=("full", "smoke"))
     args = ap.parse_args()
 
+    import json
+    import shutil
+
     from semantic_meshes import testing
 
     root = os.path.join(args.out, "scannet")
@@ -83,17 +103,40 @@ def main():
     testing.write_scannet_label_tsv(
         os.path.join(root, "scannetv2-labels.combined.tsv")
     )
+    build_params = {
+        "subdivisions": args.subdivisions, "views": args.views,
+        "width": args.width, "height": args.height, "noise": args.noise,
+        "grid": args.grid,
+    }
     for i in range(args.scenes):
         name = f"scene{i:04d}_00"
-        if os.path.isdir(os.path.join(root, "scans", name)):
-            continue  # already built (re-runs resume at the eval stage)
-        print(f"Building synthetic scene {name} ...")
+        scene_dir = os.path.join(root, "scans", name)
+        marker = os.path.join(scene_dir, ".sm_synthetic_build.json")
+        # resume only on a COMPLETE scene built with the SAME parameters
+        # (the marker is written last); a bare directory may be a partial
+        # build or carry stale flags — rebuild it
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                if json.load(f) == build_params:
+                    continue
+        if os.path.isdir(scene_dir):
+            print(f"Rebuilding stale/partial scene {name} ...")
+            shutil.rmtree(scene_dir)
+            shutil.rmtree(os.path.join(root, "probs", name),
+                          ignore_errors=True)
+        else:
+            print(f"Building synthetic scene {name} ...")
         testing.build_synthetic_scannet_scene(
             root, name,
             subdivisions=args.subdivisions, num_views=args.views,
             width=args.width, height=args.height,
             prob_noise=args.noise, noise_seed=i,
+            simplify_factors=(
+                SIMPLIFY_FACTORS if args.grid == "full" else ()
+            ),
         )
+        with open(marker, "w") as f:
+            json.dump(build_params, f)
 
     points = grid_points(args.grid)
     for k, point in enumerate(points):

@@ -115,8 +115,10 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
 
     camera_arrays: (rotation, translation, focal_lengths, principal_point).
     probs: (H, W, C) — note (H, W) layout here, not the public API's (W, H).
-    prim_transform: optional fn(tri_index, camera_arrays) -> primitive ids
-    (the texel shader hook); default uses triangle ids directly.
+    prim_transform: optional fn(tri_index, z, camera_arrays) -> primitive
+    ids (the texel-shader / cross-chip winner-merge hook — z lets a
+    'faces'-sharded caller merge block winners by depth); default uses
+    triangle ids directly.
 
     Returns ((P, C) fusion delta, overflow): overflow counts candidate
     pairs the rasterizer dropped under its static budgets this view. The
@@ -126,7 +128,7 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
     and surfaced by the batched/sharded pipelines below.
     """
     rot, trans, fl, pp = camera_arrays
-    tri, _depth, overflow = rast.rasterize(
+    tri, depth, overflow = rast.rasterize(
         vertices, faces, rot, trans, fl, pp,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         y_offset=0 if y_offset is None else y_offset,
@@ -136,7 +138,7 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
     if prim_transform is None:
         prim = jnp.where(tri >= 0, tri, num_primitives).astype(jnp.int32)
     else:
-        prim = prim_transform(tri, camera_arrays)
+        prim = prim_transform(tri, depth, camera_arrays)
     delta = view_accumulate(
         prim, probs, weights, images_equal_weight,
         num_primitives, aggregator, axis_name=axis_name,
@@ -236,7 +238,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
     segmentation forward inside the scan (probs then carries raw images)."""
 
     def prim_transform_factory(rot, trans, fl, pp):
-        def prim_transform(tri, camera_arrays):
+        def prim_transform(tri, _z, camera_arrays):
             from .render import _texel_prim_image
 
             return _texel_prim_image(
@@ -306,7 +308,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
       rotations (N,3,3) etc. sharded P('views'); probs (N,H,W,C) sharded
       P('views', 'pixels'); returns (accumulator, overflow): the
       fully-merged (P, C) accumulator — replicated, or sharded into
-      P/(views*pixels)-row blocks across ALL chips when
+      P/n_chips-row blocks across ALL chips when
       shard_primitives=True (out_specs P(('views', 'pixels'))) — and
       the replicated int32 total of rasterizer-dropped candidate pairs,
       psum'd over both mesh axes (each chip rasterizes its own row band,
@@ -335,8 +337,8 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     (ref: include/semantic_meshes/fusion/Mesh.h:66,103).
 
     Requires: N % mesh.shape['views'] == 0, H % mesh.shape['pixels'] == 0,
-    and P % (mesh.shape['views'] * mesh.shape['pixels']) == 0 when
-    shard_primitives.
+    and P % n_chips == 0 (n_chips = the product of ALL mesh axis sizes,
+    including 'faces' when present) when shard_primitives.
     """
     n_pixels = mesh.shape["pixels"]
     n_views = mesh.shape["views"]
@@ -346,13 +348,19 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
         raise ValueError(
             f"height {height} must divide by 'pixels' axis {n_pixels}"
         )
-    if shard_primitives and num_primitives % (n_views * n_pixels) != 0:
+    n_chips = n_views * n_pixels * n_faces_axis
+    if shard_primitives and num_primitives % n_chips != 0:
         raise ValueError(
             f"num_primitives ({num_primitives}) must divide by the total "
-            f"chip count {n_views * n_pixels} for shard_primitives"
+            f"chip count {n_chips} for shard_primitives"
         )
 
-    out_spec = (P(("views", "pixels")) if shard_primitives else P(), P())
+    if shard_primitives:
+        out_axes = ("views", "pixels", "faces") if n_faces_axis > 1 \
+            else ("views", "pixels")
+        out_spec = (P(out_axes), P())
+    else:
+        out_spec = (P(), P())
     in_specs = (
         P(), P(),  # vertices, faces replicated
         P("views"), P("views"), P("views"), P("views"),
@@ -389,76 +397,75 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                 )
         face_vertices = jnp.asarray(vertices, jnp.float32)[faces]
 
-        def faces_sharded_step(view):
-            """Rasterize this chip's face block, shade to GLOBAL primitive
-            ids, lexicographic (z, id)-min merge across 'faces', fuse."""
-            rot, trans, fl, pp, pr, wt = view
-            tri, z, ov_view = rast.rasterize(
-                vertices, faces, rot, trans, fl, pp,
-                height=local_h, width=width,
-                max_tris_per_tile=max_tris_per_tile,
-                y_offset=row0, face_vertices=face_vertices,
-                clip_near=clip_near, dense_e_cap=dense_e_cap,
-            )
-            if texel_params is not None:
+        def prim_transform_factory(rot, trans, fl, pp):
+            """The prim_transform hook for this view.
+
+            One of four shapes: identity (handled by render_and_accumulate
+            itself), texel shade, faces-axis (z, triangle-id) winner merge,
+            or merge-then-shade. The faces merge resolves the winner by
+            (z bits, GLOBAL triangle id) — two (H_band, W) int32 pmins —
+            so equal-z cross-block ties pick the lowest TRIANGLE id, the
+            exact single-chip contract (in texel mode the winning
+            triangle's owner chip then shades it, even when its
+            resolution is 0 and the result is the don't-care sentinel; a
+            third pmin broadcasts the owner's texel ids). f32->int32
+            bitcast is order-preserving for the rasterizer's non-negative
+            depths; empty pixels carry z=+inf on every chip."""
+            if n_faces_axis == 1 and texel_params is None:
+                return None
+
+            def shade(tri):
                 from .render import _texel_prim_image
 
-                prim = _texel_prim_image(
+                # the barycentric post-pass must sample GLOBAL pixel
+                # rows (band-local tri image + row0 offset)
+                return _texel_prim_image(
                     vertices, faces, rot, trans, fl, pp, tri,
                     res_blk, first_blk, num_primitives,
                     y_offset=row0, clip_near=clip_near,
                 )
-            else:
-                prim = jnp.where(
-                    tri >= 0,
-                    tri + jax.lax.axis_index("faces") * faces.shape[0],
-                    num_primitives,
+
+            def prim_transform(tri, z, camera_arrays):
+                if n_faces_axis == 1:
+                    return shade(tri)
+                big = jnp.int32(2**31 - 1)
+                f0 = jax.lax.axis_index("faces") * faces.shape[0]
+                zbits = jax.lax.bitcast_convert_type(z, jnp.int32)
+                tri_g = jnp.where(tri >= 0, tri + f0, big)
+                zmin = jax.lax.pmin(zbits, "faces")
+                tri_win = jax.lax.pmin(
+                    jnp.where(zbits == zmin, tri_g, big), "faces"
+                )
+                if texel_params is None:
+                    return jnp.where(
+                        tri_win < big, tri_win, num_primitives
+                    ).astype(jnp.int32)
+                owned = (tri_win >= f0) & (tri_win < f0 + faces.shape[0])
+                prim = shade(jnp.where(owned, tri_win - f0, -1))
+                prim = jax.lax.pmin(
+                    jnp.where(owned, prim, big), "faces"
+                )
+                return jnp.where(
+                    prim < big, prim, num_primitives
                 ).astype(jnp.int32)
-            # empty pixels carry z=+inf and prim=num_primitives on every
-            # chip, so the merged winner is consistent; z > 0 always, so
-            # the f32->int32 bitcast is order-preserving
-            zbits = jax.lax.bitcast_convert_type(z, jnp.int32)
-            zmin = jax.lax.pmin(zbits, "faces")
-            prim = jax.lax.pmin(
-                jnp.where(zbits == zmin, prim, jnp.int32(2**31 - 1)),
-                "faces",
-            )
-            delta = view_accumulate(
-                prim, pr, wt, images_equal_weight,
-                num_primitives, aggregator, axis_name="pixels",
-            )
-            return delta, jnp.asarray(ov_view, jnp.int32)
+
+            return prim_transform
 
         def step(carry, view):
             acc, ov = carry
-            if n_faces_axis > 1:
-                delta, ov_view = faces_sharded_step(view)
-            else:
-                rot, trans, fl, pp, pr, wt = view
-                prim_transform = None
-                if texel_params is not None:
-                    def prim_transform(tri, camera_arrays):
-                        from .render import _texel_prim_image
-
-                        # the barycentric post-pass must sample GLOBAL
-                        # pixel rows (band-local tri image + row0 offset)
-                        return _texel_prim_image(
-                            vertices, faces, rot, trans, fl, pp, tri,
-                            res_blk, first_blk, num_primitives,
-                            y_offset=row0, clip_near=clip_near,
-                        )
-
-                delta, ov_view = render_and_accumulate(
-                    vertices, faces, (rot, trans, fl, pp), pr, wt,
-                    images_equal_weight,
-                    num_primitives=num_primitives, aggregator=aggregator,
-                    height=local_h, width=width,
-                    max_tris_per_tile=max_tris_per_tile,
-                    axis_name="pixels", y_offset=row0,
-                    face_vertices=face_vertices,
-                    prim_transform=prim_transform, clip_near=clip_near,
-                    dense_e_cap=dense_e_cap,
-                )
+            rot, trans, fl, pp, pr, wt = view
+            delta, ov_view = render_and_accumulate(
+                vertices, faces, (rot, trans, fl, pp), pr, wt,
+                images_equal_weight,
+                num_primitives=num_primitives, aggregator=aggregator,
+                height=local_h, width=width,
+                max_tris_per_tile=max_tris_per_tile,
+                axis_name="pixels", y_offset=row0,
+                face_vertices=face_vertices,
+                prim_transform=prim_transform_factory(rot, trans, fl, pp),
+                clip_near=clip_near,
+                dense_e_cap=dense_e_cap,
+            )
             if shard_primitives:
                 # huge-P mode: merge THIS view's delta with a ring
                 # reduce-scatter over 'views' (half an all-reduce's bytes)
@@ -471,15 +478,17 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                     delta, "views", scatter_dimension=0, tiled=True
                 )
                 j = jax.lax.axis_index("pixels")
-                blk = num_primitives // (n_views * n_pixels)
+                if n_faces_axis > 1:  # delta is faces-replicated: slice
+                    j = j * n_faces_axis + jax.lax.axis_index("faces")
+                blk = num_primitives // n_chips
                 delta = jax.lax.dynamic_slice_in_dim(
                     delta, j * blk, blk, axis=0
                 )
             return (acc + delta, ov + ov_view), None
 
         p_rows = (
-            num_primitives // (n_views * n_pixels)
-            if shard_primitives else num_primitives
+            num_primitives // n_chips if shard_primitives
+            else num_primitives
         )
         acc0 = (
             jnp.zeros((p_rows, probs.shape[-1]), jnp.float32),

@@ -86,11 +86,44 @@ def write_scannet_label_tsv(path, num_classes=6):
             f.write(f"{i}\tc{i}\tc{i}\t{i}\n")
 
 
+def _write_labeled_cube_ply(path, subdivisions):
+    """Write a ScanNet-style labeled cube mesh (vertex x/y/z + ushort
+    label, int32 face lists). Returns (vertices, faces, face_class_nyu)."""
+    vertices, faces = make_cube(subdivisions=subdivisions)
+    tris_per_side = len(faces) // 6
+    face_class_nyu = (np.arange(len(faces)) // tris_per_side) + 1  # 1..6
+
+    vertex_labels = np.zeros(len(vertices), np.int64)
+    for f, cls in zip(faces, face_class_nyu):
+        vertex_labels[f] = cls
+
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"property ushort label\n")
+        f.write(f"element face {len(faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\nend_header\n")
+        rec = np.empty(
+            len(vertices),
+            dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("l", "<u2")],
+        )
+        rec["x"], rec["y"], rec["z"] = vertices.T
+        rec["l"] = vertex_labels
+        f.write(rec.tobytes())
+        frec = np.empty(len(faces), dtype=[("n", "u1"), ("i", "<i4", (3,))])
+        frec["n"] = 3
+        frec["i"] = faces
+        f.write(frec.tobytes())
+    return vertices, faces, face_class_nyu
+
+
 def build_synthetic_scannet_scene(root, name, *, subdivisions=3,
                                   num_views=4, width=128, height=96,
                                   classes=40, radius=3.0,
                                   write_probs=True, renderer=None,
-                                  prob_noise=0.0, noise_seed=0):
+                                  prob_noise=0.0, noise_seed=0,
+                                  simplify_factors=()):
     """Build a fake ScanNet scene directory for eval tests/benchmarks.
 
     Creates scans/<name>/ with <name>_vh_clean_2.labels.ply (cube mesh,
@@ -106,6 +139,12 @@ def build_synthetic_scannet_scene(root, name, *, subdivisions=3,
     so per-image vs per-pixel weighting genuinely differ), then every
     distribution is smoothed with 30% uniform mass (so the mul
     aggregator sees graded confidences). Deterministic via noise_seed.
+
+    simplify_factors: iterable of STRINGS (e.g. ("0.25",)); for each, a
+    coarser cube (~factor x the faces) is written under the
+    `_vh_clean_2.labels_simplified-<factor>.ply` name the eval resolves
+    for --simplify <factor> — a stand-in for meshlab decimation so the
+    paper's simplification sweep runs without meshlabserver.
 
     Returns (num_faces, num_views). Rendering the gt label images uses a
     TrianglesRenderer on the current default device — pass `renderer=None`
@@ -126,33 +165,22 @@ def build_synthetic_scannet_scene(root, name, *, subdivisions=3,
     os.makedirs(os.path.join(scene, "label-filt"), exist_ok=True)
 
     W, H = int(width), int(height)
-    vertices, faces = make_cube(subdivisions=subdivisions)
-    tris_per_side = len(faces) // 6
-    face_class_nyu = (np.arange(len(faces)) // tris_per_side) + 1  # 1..6
-
-    vertex_labels = np.zeros(len(vertices), np.int64)
-    for f, cls in zip(faces, face_class_nyu):
-        vertex_labels[f] = cls
-
+    vertices, faces, face_class_nyu = _write_labeled_cube_ply(
+        os.path.join(scene, f"{name}_vh_clean_2.labels.ply"), subdivisions
+    )
     ply_path = os.path.join(scene, f"{name}_vh_clean_2.labels.ply")
-    with open(ply_path, "wb") as f:
-        f.write(b"ply\nformat binary_little_endian 1.0\n")
-        f.write(f"element vertex {len(vertices)}\n".encode())
-        f.write(b"property float x\nproperty float y\nproperty float z\n")
-        f.write(b"property ushort label\n")
-        f.write(f"element face {len(faces)}\n".encode())
-        f.write(b"property list uchar int vertex_indices\nend_header\n")
-        rec = np.empty(
-            len(vertices),
-            dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("l", "<u2")],
+    for factor in simplify_factors:
+        # a genuinely coarser cube stands in for meshlab's quadric
+        # decimation: same geometry, ~factor x the face count — the
+        # filename format the eval resolves for --simplify <factor>
+        sub = max(1, round(subdivisions * float(factor) ** 0.5))
+        _write_labeled_cube_ply(
+            os.path.join(
+                scene,
+                f"{name}_vh_clean_2.labels_simplified-{factor}.ply",
+            ),
+            sub,
         )
-        rec["x"], rec["y"], rec["z"] = vertices.T
-        rec["l"] = vertex_labels
-        f.write(rec.tobytes())
-        frec = np.empty(len(faces), dtype=[("n", "u1"), ("i", "<i4", (3,))])
-        frec["n"] = 3
-        frec["i"] = faces
-        f.write(frec.tobytes())
 
     cams = make_ring_cameras(num_views=num_views, width=W, height=H,
                              radius=radius)

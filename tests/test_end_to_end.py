@@ -428,9 +428,9 @@ class TestFacesAxisSharding:
         faces_t = np.asarray(geometry.reorder_faces_for_texels(
             jnp.asarray(vertices), jnp.asarray(faces)
         ))
-        resolutions = np.full((T,), 2, np.int32)  # 3 texels per face
-        first = (np.arange(T) * 3).astype(np.int32)
-        P = 3 * T
+        resolutions = np.full((T,), 3, np.int32)  # 6 texels per face
+        first = (np.arange(T) * 6).astype(np.int32)
+        P = 6 * T  # 1800 % 8 chips == 0 (shard_primitives needs all axes)
 
         ref = np.asarray(distributed.fuse_views_texels(
             vertices, faces_t, resolutions, first, rot, trans, fl, pp,
@@ -443,14 +443,17 @@ class TestFacesAxisSharding:
         fuse = distributed.make_sharded_fuse(
             mesh, num_primitives=P, aggregator="mul", height=H, width=W,
             texel_params=(resolutions, first),
-            shard_primitives=True,  # P=900 % (views*pixels=4) == 0
+            shard_primitives=True,
         )
         with mesh:
             got, ov = fuse(vertices, faces_t, rot, trans, fl, pp, probs,
                            np.float32(0.5))
         assert int(ov) == 0
-        # output is sharded over (views, pixels) and replicated over
-        # 'faces'; assembled it equals the unsharded texel fusion
+        # output is sharded into P/8-row blocks over all three axes;
+        # each chip holds a distinct block and the assembled global
+        # array equals the unsharded texel fusion
+        shard_rows = {s.data.shape[0] for s in got.addressable_shards}
+        assert shard_rows == {P // 8}
         np.testing.assert_allclose(np.asarray(got), ref,
                                    rtol=2e-5, atol=1e-5)
 
