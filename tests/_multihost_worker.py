@@ -58,6 +58,24 @@ def main():
         )
     # out_specs P() -> fully replicated; every process holds a replica
     local = np.asarray(acc.addressable_data(0))
+
+    # triangle-sharded rasterization across PROCESSES: the (z, id) pmin
+    # winner merge rides DCN here, the hardest transport for it
+    mesh3 = distributed.make_device_mesh(
+        views_axis=2, pixels_axis=2, faces_axis=2
+    )
+    fuse3 = distributed.make_sharded_fuse(
+        mesh3, num_primitives=len(faces), aggregator="sum",
+        height=H, width=W,
+    )
+    with mesh3:
+        acc3, _ov3 = jax.jit(fuse3)(
+            vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5)
+        )
+    np.testing.assert_allclose(
+        np.asarray(acc3.addressable_data(0)), local, rtol=2e-5, atol=1e-5
+    )
+
     np.save(args.out, local)
     print(f"process {args.process_id} ok", flush=True)
 
