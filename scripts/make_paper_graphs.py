@@ -104,10 +104,26 @@ def main():
         os.path.join(root, "scannetv2-labels.combined.tsv")
     )
     build_params = {
+        "scenes": args.scenes,
         "subdivisions": args.subdivisions, "views": args.views,
         "width": args.width, "height": args.height, "noise": args.noise,
         "grid": args.grid,
     }
+    # results are derived data: eval_scannet.py skips grid points whose
+    # params match an existing YAML (and noise/scene shape is NOT in those
+    # params), so results from a previous run with different build flags
+    # would be silently reused — clear them on any parameter change
+    results_marker = os.path.join(results, ".sm_build_params.json")
+    stale = True
+    if os.path.isfile(results_marker):
+        with open(results_marker) as f:
+            stale = json.load(f) != build_params
+    if stale:
+        for f in os.listdir(results):
+            if f.endswith((".yaml", ".png", ".csv")):
+                os.remove(os.path.join(results, f))
+        with open(results_marker, "w") as f:
+            json.dump(build_params, f)
     for i in range(args.scenes):
         name = f"scene{i:04d}_00"
         scene_dir = os.path.join(root, "scans", name)

@@ -232,12 +232,17 @@ class SensFile:
             return False
         with open(filename, "rb") as f:
             data = f.read()
-        hdr = native.parse_header(data)
-        records = native.index_frames(
-            data, hdr.frames_start,
-            hdr.num_frames if max_frames is None
-            else min(hdr.num_frames, max_frames),
-        )
+        try:
+            hdr = native.parse_header(data)
+            records = native.index_frames(
+                data, hdr.frames_start,
+                hdr.num_frames if max_frames is None
+                else min(hdr.num_frames, max_frames),
+            )
+        except SensError:
+            raise
+        except ValueError as e:  # typed-error contract: SensError
+            raise SensError(f"{filename}: {e}") from None
         self.sensor_name = hdr.sensor_name.decode(errors="replace")
         for attr in ("intrinsic_color", "extrinsic_color", "intrinsic_depth",
                      "extrinsic_depth"):

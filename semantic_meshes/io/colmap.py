@@ -155,7 +155,10 @@ def read_images_bin(path):
     if native.load() is not None:
         with open(path, "rb") as f:
             data = f.read()
-        recs = native.index_colmap_images(data)
+        try:
+            recs = native.index_colmap_images(data)
+        except ValueError as e:  # typed-error contract: ColmapError
+            raise ColmapError(f"{path}: {e}") from None
         if recs is not None:
             return {
                 int(r["image_id"]): ColmapImage(
@@ -166,7 +169,7 @@ def read_images_bin(path):
                     data[
                         int(r["name_offset"]):
                         int(r["name_offset"]) + int(r["name_length"])
-                    ].decode("utf-8"),
+                    ].decode("utf-8", errors="replace"),
                 )
                 for r in recs
             }

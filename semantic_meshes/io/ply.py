@@ -156,11 +156,13 @@ def _read_binary_element(buf, offset, element, bo):
     for p in props:
         if p.is_list:
             n = int(from_buffer(bo + p.count_dtype, 1, probe)[0])
-            if n < 0:  # signed count dtype: would become a negative
-                # subarray shape in np.dtype below (raw ValueError)
+            # negative (signed count dtype) or absurd counts would reach
+            # np.dtype below as a bad subarray shape (raw ValueError);
+            # any real count fits the buffer at least once
+            if n < 0 or n * np.dtype(p.dtype).itemsize > len(buf):
                 raise PlyError(
-                    f"negative list count for property '{p.name}' in "
-                    f"element '{element.name}'"
+                    f"implausible list count {n} for property '{p.name}' "
+                    f"in element '{element.name}'"
                 )
             counts[p.name] = n
             probe += np.dtype(p.count_dtype).itemsize + n * np.dtype(p.dtype).itemsize

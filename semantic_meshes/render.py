@@ -45,6 +45,18 @@ def _camera_hw(camera: Camera):
     return camera.resolution[1], camera.resolution[0]
 
 
+def _zero_budget(dense_e_cap):
+    """True when the dense pair budget OR micro budget is pinned to zero
+    (the probe frame saw none of that class, so ANY later occurrence
+    spills) — such keys are breach-prone and re-check on the overflow
+    policy's fixed duty cycle, not just the power-of-two schedule."""
+    if dense_e_cap is None:
+        return False
+    if isinstance(dense_e_cap, tuple):
+        return dense_e_cap[0] == 0 or dense_e_cap[1] == 0
+    return dense_e_cap == 0
+
+
 class _OverflowPolicy:
     """Overflow reporting without stalling dispatch.
 
@@ -73,7 +85,7 @@ class _OverflowPolicy:
         self._dropped = set()  # keys with any detected drops so far
 
     def check(self, overflow, key, max_tris_per_tile, dense=False,
-              recheck=False):
+              recheck=False, hot=False):
         """Returns the number of NEW drops detected at this call (0 when
         the call stayed async or nothing new accrued) — the renderers use
         a nonzero return to invalidate the dense cap so the next frame
@@ -81,14 +93,19 @@ class _OverflowPolicy:
 
         recheck: post-first-frame breaches are plausible for this key
         (every dense-path key: later frames can exceed the probe frame's
-        budget; worst case is a zero-pinned budget) — in "first" mode,
-        re-check synchronously at power-of-two call counts (frames 2, 3,
-        5, 9, 17, ...): any persistent breach is detected within ~2x its
-        onset frame, yet a healthy stream pays only O(log N) total syncs,
-        keeping steady-state dispatch fully async (a sync costs ~25 ms
-        through a tunneled TPU AND breaks pipelining — CLAUDE.md). Keys
-        with detected drops additionally re-check every RECHECK_EVERY
-        frames (the power-of-two ticks alone go sparse late)."""
+        budget) — in "first" mode, re-check synchronously at power-of-two
+        call counts (frames 2, 3, 5, 9, 17, ...): any persistent breach
+        is detected within ~2x its onset frame, yet a healthy stream pays
+        only O(log N) total syncs, keeping steady-state dispatch fully
+        async (a sync costs ~25 ms through a tunneled TPU AND breaks
+        pipelining — CLAUDE.md).
+
+        hot: this key is KNOWN breach-prone (a zero-pinned dense budget:
+        the probe frame saw none of some candidate class, so ANY later
+        occurrence spills) — re-check every RECHECK_EVERY frames as well,
+        bounding detection latency to 64 frames instead of the
+        power-of-two schedule's ~2x-onset. Keys with detected drops
+        become hot automatically."""
         if self.mode == "never":
             return 0
         self._pending.setdefault(key, []).append(overflow)
@@ -100,7 +117,8 @@ class _OverflowPolicy:
             and not first
             and not (recheck and (
                 (n & (n - 1)) == 0  # n is a power of two
-                or (key in self._dropped and n % self.RECHECK_EVERY == 0)
+                or ((hot or key in self._dropped)
+                    and n % self.RECHECK_EVERY == 0)
             ))
         ):
             return 0
@@ -351,6 +369,7 @@ class TrianglesRenderer:
             overflow, key, self.max_tris_per_tile,
             dense=(dense_e_cap is not None),
             recheck=(dense_e_cap is not None),
+            hot=_zero_budget(dense_e_cap),
         )
         if new and dense_e_cap is not None:
             self.dense_cap_policy.invalidate(key)

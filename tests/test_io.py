@@ -550,7 +550,9 @@ class TestPlyFuzz:
             target.write_bytes(data)
             ply_io.read_ply(str(target))
 
-        _fuzz(parse, seed, self.N, (ply_io.PlyError, ValueError),
+        # PlyError ONLY: a bare ValueError here means an un-wrapped
+        # numpy/builtin error escaped the typed-error net
+        _fuzz(parse, seed, self.N, (ply_io.PlyError,),
               rng_seed=1 if binary else 2)
 
 
@@ -574,8 +576,9 @@ class TestColmapFuzz:
             reader(str(ws))
 
         parse(seed)  # the unmutated seed must parse (fuzz is non-vacuous)
+        # ColmapError ONLY (see TestPlyFuzz note)
         _fuzz(parse, seed, self.N,
-              (colmap_io.ColmapError, ValueError), rng_seed=rng_seed)
+              (colmap_io.ColmapError,), rng_seed=rng_seed)
 
     def test_cameras_bin_mutations(self, tmp_path):
         import struct
@@ -665,6 +668,8 @@ class TestSensFuzz:
                 finally:
                     scannet.SensFile._try_native = orig
 
+        # SensError ONLY (see TestPlyFuzz note); NotImplementedError is
+        # the documented unsupported-compression signal
         _fuzz(parse, seed, self.N,
-              (scannet.SensError, ValueError, NotImplementedError),
+              (scannet.SensError, NotImplementedError),
               rng_seed=5 if use_native else 6)

@@ -104,6 +104,20 @@ class TestOverflowPolicy:
         assert new > 0  # detected at n=192 (3*64), not a power of two
         assert pol._calls[("a",)] - n0 == every
 
+    def test_hot_key_bounded_detection_before_any_drop(self):
+        # zero-budget (hot) keys re-check every RECHECK_EVERY frames even
+        # before any drop: a breach starting well past the last
+        # power-of-two tick is caught within one duty window, not at the
+        # next power of two (which is unboundedly far for long streams)
+        every = _OverflowPolicy.RECHECK_EVERY
+        pol = _OverflowPolicy()
+        for _ in range(2 * every + 2):  # n = 0..129, all clean
+            pol.check(_ov(0), ("a",), 8, recheck=True, hot=True)
+        new = 0
+        for _ in range(every):  # breach at n=130..; duty tick at n=192
+            new += pol.check(_ov(1), ("a",), 8, recheck=True, hot=True)
+        assert new > 0
+
     def test_undropped_key_stays_async_between_power_ticks(self):
         # a clean key pays NO sync between power-of-two ticks: pending
         # scalars accumulate un-synced (length grows) through n=65..127
