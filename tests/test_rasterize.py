@@ -168,7 +168,6 @@ class TestBinning:
         resolution; a LATER frame that breaches the cap must still show up
         in renderer.overflow_total() (async accumulated counter)."""
         import semantic_meshes
-        from semantic_meshes import testing as sm_testing
         from semantic_meshes.data import Camera
         from semantic_meshes.geometry import look_at
         from semantic_meshes.io.ply import write_mesh
