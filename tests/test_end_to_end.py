@@ -388,9 +388,15 @@ class TestFacesAxisSharding:
         args, (H, W) = self._ref(cube_scene)
         vertices, faces, rot, trans, fl, pp, probs = args
         T = len(faces)
+        N = probs.shape[0]
+        # per-pixel weights exercise the 3-arg add through the merge path
+        weights = np.random.default_rng(17).uniform(
+            0.25, 1.75, size=(N, H, W)
+        ).astype(np.float32)
 
         ref = np.asarray(distributed.fuse_views(
             vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5),
+            weights,
             num_primitives=T, aggregator="sum", height=H, width=W,
         )[0])
 
@@ -401,11 +407,11 @@ class TestFacesAxisSharding:
             )
             fuse = distributed.make_sharded_fuse(
                 mesh, num_primitives=T, aggregator="sum",
-                height=H, width=W,
+                height=H, width=W, with_weights=True,
             )
             with mesh:
                 got, ov = fuse(vertices, faces, rot, trans, fl, pp,
-                               probs, np.float32(0.5))
+                               probs, np.float32(0.5), weights)
             assert int(ov) == 0
             np.testing.assert_allclose(
                 np.asarray(got), ref, rtol=2e-5, atol=1e-5,
