@@ -19,6 +19,12 @@ from .fusion import MeshAggregator
 _FORMAT_VERSION = 1
 
 
+class CheckpointError(ValueError):
+    """Corrupt/truncated/incompatible fusion checkpoint. Every load
+    failure raises this (np.load's raw failure zoo — BadZipFile, EOFError,
+    KeyError, JSONDecodeError — leaked through before)."""
+
+
 def save_aggregator(path, aggregator: MeshAggregator, views_done: int = 0,
                     extra: dict | None = None):
     """Persist a MeshAggregator mid-fusion. `views_done` is the caller's
@@ -44,18 +50,40 @@ def save_aggregator(path, aggregator: MeshAggregator, views_done: int = 0,
 
 
 def load_aggregator(path):
-    """Restore (MeshAggregator, views_done, extra) from save_aggregator."""
-    data = np.load(path)
-    meta = json.loads(bytes(data["meta"].tobytes()).decode())
-    if meta["format_version"] != _FORMAT_VERSION:
-        raise ValueError(
-            f"unsupported checkpoint format {meta['format_version']}"
+    """Restore (MeshAggregator, views_done, extra) from save_aggregator.
+
+    Raises CheckpointError on anything that is not a compatible
+    checkpoint (corrupt zip, missing keys, malformed metadata, or an
+    accumulator whose shape contradicts the recorded constructor params —
+    a crash mid-write cannot resume into silently-wrong fusion state)."""
+    try:
+        data = np.load(path)
+        meta = json.loads(bytes(data["meta"].tobytes()).decode())
+        fmt = meta["format_version"]
+        state = data["state"]
+        if fmt == _FORMAT_VERSION:
+            agg = MeshAggregator(
+                meta["primitives"],
+                meta["classes"],
+                aggregator=meta["aggregator"],
+                images_equal_weight=meta["images_equal_weight"],
+            )
+            expected = np.shape(agg.state)
+            got = np.shape(state)
+            views_done, extra = meta["views_done"], meta["extra"]
+    except Exception as e:  # noqa: BLE001 — np.load's failure zoo
+        raise CheckpointError(
+            f"{path}: not a valid fusion checkpoint "
+            f"({type(e).__name__}: {e})"
+        ) from None
+    if fmt != _FORMAT_VERSION:
+        raise CheckpointError(
+            f"{path}: unsupported checkpoint format {fmt}"
         )
-    agg = MeshAggregator(
-        meta["primitives"],
-        meta["classes"],
-        aggregator=meta["aggregator"],
-        images_equal_weight=meta["images_equal_weight"],
-    )
-    agg.state = data["state"]
-    return agg, meta["views_done"], meta["extra"]
+    if got != expected:
+        raise CheckpointError(
+            f"{path}: accumulator shape {got} contradicts the recorded "
+            f"params (expected {expected})"
+        )
+    agg.state = state
+    return agg, views_done, extra

@@ -166,3 +166,86 @@ def test_state_reference_survives_add(texel_scene):
     agg.add(idx, sm_testing.random_probs(rng, H, W, 3).transpose(1, 0, 2))
     # old snapshot still readable and all zeros
     assert float(np.asarray(old_state).sum()) == 0.0
+
+
+class TestCheckpointRobustness:
+    """Corrupt/incompatible checkpoints must raise CheckpointError (a
+    ValueError), never np.load's raw failure zoo (BadZipFile / EOFError /
+    KeyError / JSONDecodeError) — same typed-error contract as the IO
+    codecs (tests/test_io.py fuzz classes)."""
+
+    def _good(self, tmp_path):
+        from semantic_meshes import checkpoint, fusion
+
+        agg = fusion.MeshAggregator(7, 3, aggregator="sum")
+        p = tmp_path / "ckpt.npz"
+        checkpoint.save_aggregator(str(p), agg, views_done=2)
+        return p
+
+    def test_corrupt_bytes_raise_typed(self, tmp_path):
+        from semantic_meshes import checkpoint
+
+        p = self._good(tmp_path)
+        seed = p.read_bytes()
+        rng = np.random.default_rng(0)
+        cases = [
+            b"",                              # empty
+            b"not a checkpoint",              # not a zip
+            seed[: len(seed) // 2],           # truncated
+        ]
+        for _ in range(40):                   # random byte flips
+            data = bytearray(seed)
+            for _ in range(int(rng.integers(1, 12))):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+            cases.append(bytes(data))
+        bad = tmp_path / "bad.npz"
+        for i, data in enumerate(cases):
+            bad.write_bytes(data)
+            try:
+                checkpoint.load_aggregator(str(bad))
+            except checkpoint.CheckpointError:
+                pass
+            except Exception as e:  # noqa: BLE001 - the assertion target
+                raise AssertionError(
+                    f"case {i}: leaked {type(e).__name__}: {e}"
+                ) from e
+
+    def test_shape_contradiction_raises(self, tmp_path):
+        import json
+
+        from semantic_meshes import checkpoint, fusion
+
+        agg = fusion.MeshAggregator(7, 3, aggregator="sum")
+        meta = dict(
+            format_version=1, primitives=9, classes=3,  # lies: P=9, not 7
+            aggregator="sum", images_equal_weight=0.5,
+            views_done=0, extra={},
+        )
+        p = tmp_path / "lying.npz"
+        with open(p, "wb") as f:
+            np.savez_compressed(
+                f, state=np.asarray(agg.state),
+                meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+            )
+        with pytest.raises(checkpoint.CheckpointError, match="shape"):
+            checkpoint.load_aggregator(str(p))
+
+    def test_future_format_version_raises(self, tmp_path):
+        import json
+
+        from semantic_meshes import checkpoint, fusion
+
+        agg = fusion.MeshAggregator(7, 3, aggregator="sum")
+        meta = dict(
+            format_version=99, primitives=7, classes=3,
+            aggregator="sum", images_equal_weight=0.5,
+            views_done=0, extra={},
+        )
+        p = tmp_path / "future.npz"
+        with open(p, "wb") as f:
+            np.savez_compressed(
+                f, state=np.asarray(agg.state),
+                meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+            )
+        with pytest.raises(checkpoint.CheckpointError, match="format"):
+            checkpoint.load_aggregator(str(p))
