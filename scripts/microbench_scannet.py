@@ -62,7 +62,15 @@ def main():
     probs_d = jax.device_put(jnp.asarray(probs))
 
     e_cap = int(dense.candidate_count(*args, height=H, width=W))
-    print(f"candidates: {e_cap}")
+    print(f"candidates: {e_cap} (SM_MICRO_MAX={dense.MICRO_MAX})")
+    # routing-threshold curve: (tile,tri) pairs vs fragment triangles per
+    # micro_max — run the full A/B with SM_MICRO_MAX=<m> in the env
+    for m in (1, 2, 3, 4, 6):
+        p, mu = (int(x) for x in np.asarray(dense.candidate_stats(
+            *args, height=H, width=W, micro_max=m
+        )))
+        print(f"  micro_max={m}: pairs={p} micro_tris={mu} "
+              f"(fragment rows = {m * m} x micro)")
     e_cap2 = 2 * e_cap
 
     rast_fn = functools.partial(

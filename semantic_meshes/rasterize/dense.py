@@ -76,6 +76,23 @@ if TILE_H <= 0 or TILE_H % 8 or TILE_W <= 0 or TILE_W % 128:
         f"SM_DENSE_TILE_W a positive multiple of 128 (f32 Pallas block "
         f"minimum); got ({TILE_H}, {TILE_W})"
     )
+# Micro/streaming routing threshold: triangles whose pixel-center bbox is
+# <= MICRO_MAX x MICRO_MAX ride the fragment path (MICRO_MAX^2 fragment
+# slots each); larger ones are tile-binned for the streaming kernel. The
+# default 2 matches the original design point; raising it trades
+# streaming-kernel per-candidate work (a full-tile VPU test per (tile,
+# triangle) pair) for fragment-sort rows (~4 ns/row) — measure at the
+# scannet preset before changing (scripts/microbench_scannet.py
+# --micro_max). Also a static `micro_max` argument on rasterize() and the
+# probes so the A/B needs no reimport.
+MICRO_MAX = int(os.environ.get("SM_MICRO_MAX", "2"))
+if not 1 <= MICRO_MAX <= 8:
+    raise ValueError(
+        f"SM_MICRO_MAX must be in [1, 8] (fragment slots are its square; "
+        f"beyond 8 the fragment sorts dwarf any streaming saving); got "
+        f"{MICRO_MAX}"
+    )
+
 K_SPAN = 5  # 4 span slots + 1 global-bucket slot per triangle
 PACK = 8  # candidates per 128-lane row of the packed parameter table
 CHUNK_ROWS = 32  # packed rows per DMA (= 256 candidates)
@@ -87,7 +104,7 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _classify(setup, height, width, y_offset):
+def _classify(setup, height, width, y_offset, micro_max=None):
     """Shared span/micro/big triangle classification for binning and for
     the closed-form candidate count probe."""
     nby = _cdiv(height, TILE_H)
@@ -108,10 +125,10 @@ def _classify(setup, height, width, y_offset):
     valid = setup["valid"] & onscreen
     span_h = by1 - by0 + 1
     span_w = bx1 - bx0 + 1
-    # micro triangles (pixel-bbox covering <= 2x2 pixel centers) are resolved
-    # on the fragment path — testing them against whole tiles would waste
-    # ~2000x VPU work on a dense mesh where most triangles are sub-pixel
-    micro = valid & _is_micro(setup, y_offset)
+    # micro triangles (pixel-bbox covering <= micro_max^2 pixel centers) are
+    # resolved on the fragment path — testing them against whole tiles would
+    # waste ~2000x VPU work on a dense mesh where most triangles are sub-pixel
+    micro = valid & _is_micro(setup, y_offset, micro_max)
     small = valid & ~micro & (span_h <= 2) & (span_w <= 2)
     big = valid & ~micro & ~small
     return micro, small, big, bx0, by0, span_h, span_w
@@ -127,19 +144,20 @@ def _pair_count(small, big, span_h, span_w):
     )
 
 
-def count_pairs(setup, height, width, y_offset):
+def count_pairs(setup, height, width, y_offset, micro_max=None):
     """Exact (tile, triangle) pair count the dense binning will produce —
     closed form, no sort. The right-sizing probe for `e_cap_rows`: the
     packed-table gather costs per ROW of the static e_cap budget, and on
     micro-heavy meshes the default 3-rows-per-triangle budget is almost
     entirely sentinel padding (100% at a 2M-triangle bench view)."""
     micro, small, big, _, _, span_h, span_w = _classify(
-        setup, height, width, y_offset
+        setup, height, width, y_offset, micro_max
     )
     return _pair_count(small, big, span_h, span_w)
 
 
-def _build_sorted_bins(setup, height, width, y_offset, e_cap, n_global):
+def _build_sorted_bins(setup, height, width, y_offset, e_cap, n_global,
+                       micro_max=None):
     """Returns (tri_sorted (e_cap + CHUNK,), starts (B + 2,), overflow, micro).
 
     starts indexes the sorted pair array: tile b's candidates are
@@ -155,7 +173,7 @@ def _build_sorted_bins(setup, height, width, y_offset, e_cap, n_global):
     B = nby * nbx
 
     micro, small, big, bx0, by0, span_h, span_w = _classify(
-        setup, height, width, y_offset
+        setup, height, width, y_offset, micro_max
     )
 
     # pair expansion: slots 0..3 -> span cells (small tris); slot 4 -> the
@@ -245,20 +263,22 @@ def _micro_pixel_range(setup):
     return ix0, iy0, nx, ny
 
 
-def _is_micro(setup, y_offset):
+def _is_micro(setup, y_offset, micro_max=None):
     del y_offset  # bbox classification is band-independent
+    m = MICRO_MAX if micro_max is None else int(micro_max)
     _, _, nx, ny = _micro_pixel_range(setup)
-    return (nx <= 2) & (ny <= 2)
+    return (nx <= m) & (ny <= m)
 
 
-def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None):
+def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None,
+                     micro_max=None):
     """Fragment path for micro triangles — scatter-free.
 
     tri_ids: optional (T,) int32 of the ORIGINAL triangle ids of the rows
     in `setup` (the compacted-micro path passes a gathered subset; default
     is row index == triangle id).
 
-    Emit <= 4 per-pixel fragments per micro triangle PLUS one background
+    Emit <= micro_max^2 per-pixel fragments per micro triangle PLUS one background
     fragment per pixel (z = +inf, tri = sentinel), z-resolve with one
     unstable 3-key sort by (pixel, zbits, tri) — lowest triangle id wins
     ties by construction — and compact with a second 3-key sort keyed on
@@ -273,14 +293,16 @@ def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None):
     """
     T = setup["denom"].shape[0]
     HW = height * width
+    mm = MICRO_MAX if micro_max is None else int(micro_max)
+    nslots = mm * mm
     if tri_ids is None:
         tri_ids = jnp.arange(T, dtype=jnp.int32)
     ix0, iy0, _, _ = _micro_pixel_range(setup)
 
     pix_list = []
     key_list = []
-    for s in range(4):
-        dy, dx = s // 2, s % 2
+    for s in range(nslots):
+        dy, dx = s // mm, s % mm
         ix = ix0 + dx
         iy_local = (iy0 + dy) - y_offset.astype(jnp.int32)
         pxc = ix.astype(jnp.float32) + 0.5
@@ -303,7 +325,7 @@ def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None):
         pix_list.append(jnp.where(ok, iy_local * width + ix, HW))
         key_list.append(zbits)
 
-    if 4 * T * 2 >= HW:
+    if nslots * T * 2 >= HW:
         # fragment count rivals the pixel count (the dense regime): append
         # one background fragment per pixel so the compaction sort emits
         # exactly one winner per pixel — the image is then a reshape, no
@@ -317,7 +339,7 @@ def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None):
             key_list + [jnp.full((HW,), jnp.int32(0x7F800000))]  # +inf
         )
         tri = jnp.concatenate(
-            [jnp.tile(tri_ids, 4), jnp.full((HW,), bg_tri)]
+            [jnp.tile(tri_ids, nslots), jnp.full((HW,), bg_tri)]
         )
         # z-resolve: (pixel, z, tri) — tri in the keys gives the
         # deterministic lowest-index tie-break on equal depth
@@ -346,11 +368,12 @@ def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None):
         return z_img.reshape(height, width), idx_img.reshape(height, width)
 
     # few fragments relative to the image (big tiles/small mesh on the
-    # dense path): sort only the 4T fragments and build the image with one
-    # <=4T-row sorted set-scatter instead of paying O(HW log HW) sorts
+    # dense path): sort only the nslots*T fragments and build the image with
+    # one <=nslots*T-row sorted set-scatter instead of paying O(HW log HW)
+    # sorts
     pix = jnp.concatenate(pix_list)
     zbits = jnp.concatenate(key_list)
-    tri = jnp.tile(tri_ids, 4)
+    tri = jnp.tile(tri_ids, nslots)
     pix_s, z_s, tri_s = jax.lax.sort(
         (pix, zbits, tri), dimension=0, is_stable=False, num_keys=3
     )
@@ -489,7 +512,8 @@ def _make_dense_kernel(nbx, n_b, n_global):
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "n_global", "e_cap_factor",
-                     "clip_near", "e_cap_rows", "micro_cap_rows"),
+                     "clip_near", "e_cap_rows", "micro_cap_rows",
+                     "micro_max"),
 )
 def rasterize(
     vertices,
@@ -508,6 +532,7 @@ def rasterize(
     clip_near=False,
     e_cap_rows=None,
     micro_cap_rows=None,
+    micro_max=None,
 ):
     """Dense-mesh drop-in for rasterize.xla.rasterize (no per-tile cap).
 
@@ -518,12 +543,18 @@ def rasterize(
     renderers do this automatically once per resolution).
 
     micro_cap_rows: static budget for the micro fragment path (None =
-    every triangle gets 4 fragment slots, the safe default). When fewer
-    than T, micro triangles are compacted to that many rows first — the
-    fragment sorts then scale with the MICRO count, not the triangle
-    count (4 * 99k slots -> 4 * 17k at the scannet preset, where only
-    8.7k of 99k triangles are micro). Probe via `candidate_stats`; rows
-    past the budget land in the overflow counter."""
+    every triangle gets micro_max^2 fragment slots, the safe default).
+    When fewer than T, micro triangles are compacted to that many rows
+    first — the fragment sorts then scale with the MICRO count, not the
+    triangle count (4 * 99k slots -> 4 * 17k at the scannet preset, where
+    only 8.7k of 99k triangles are micro). Probe via `candidate_stats`;
+    rows past the budget land in the overflow counter.
+
+    micro_max: micro/streaming routing threshold (pixel-center bbox side;
+    default None = the SM_MICRO_MAX env knob, 2). Any value yields the
+    same image — it only moves triangles between the fragment path and
+    the streaming kernel — but budgets probed under one threshold must be
+    used with the same threshold."""
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     y_offset = jnp.asarray(y_offset, jnp.float32)
@@ -544,10 +575,12 @@ def rasterize(
             cap = min(_cdiv(max(int(micro_cap_rows), 8), 8) * 8, T)
             sub, tri_ids, valid, dropped = _compact_micro(setup, micro, cap)
             z, i = _rasterize_micro(
-                sub, valid, height, width, y_offset, tri_ids=tri_ids
+                sub, valid, height, width, y_offset, tri_ids=tri_ids,
+                micro_max=micro_max,
             )
             return z, i, dropped
-        z, i = _rasterize_micro(setup, micro, height, width, y_offset)
+        z, i = _rasterize_micro(setup, micro, height, width, y_offset,
+                                micro_max=micro_max)
         return z, i, jnp.int32(0)
 
     if e_cap_rows is not None and int(e_cap_rows) == 0:
@@ -558,7 +591,7 @@ def rasterize(
         # candidates at this budget spill them to the overflow counter
         # (exact closed-form count), same contract as any budget breach.
         micro, small, big, _, _, span_h, span_w = _classify(
-            setup, height, width, y_offset
+            setup, height, width, y_offset, micro_max
         )
         overflow = _pair_count(small, big, span_h, span_w)
         z_micro, idx_micro, micro_dropped = micro_images(micro)
@@ -572,7 +605,7 @@ def rasterize(
         e_cap = _cdiv(max(int(e_cap_rows), CHUNK), CHUNK) * CHUNK
 
     tri_sorted, starts, overflow, micro = _build_sorted_bins(
-        setup, height, width, y_offset, e_cap, n_global
+        setup, height, width, y_offset, e_cap, n_global, micro_max
     )
     z_micro, idx_micro, micro_dropped = micro_images(micro)
     overflow = overflow + micro_dropped
@@ -635,11 +668,11 @@ def rasterize(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "clip_near")
+    jax.jit, static_argnames=("height", "width", "clip_near", "micro_max")
 )
 def candidate_count(vertices, faces, rotation, translation, focal_lengths,
                     principal_point, y_offset=0, face_vertices=None, *,
-                    height, width, clip_near=False):
+                    height, width, clip_near=False, micro_max=None):
     """Exact dense-path candidate count for one view (device scalar).
 
     One cheap elementwise pass (no sort). Use it to right-size
@@ -653,15 +686,15 @@ def candidate_count(vertices, faces, rotation, translation, focal_lengths,
         face_vertices, clip_near,
     )
     return count_pairs(setup, height, width,
-                       jnp.asarray(y_offset, jnp.float32))
+                       jnp.asarray(y_offset, jnp.float32), micro_max)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "clip_near")
+    jax.jit, static_argnames=("height", "width", "clip_near", "micro_max")
 )
 def candidate_stats(vertices, faces, rotation, translation, focal_lengths,
                     principal_point, y_offset=0, face_vertices=None, *,
-                    height, width, clip_near=False):
+                    height, width, clip_near=False, micro_max=None):
     """(pair_count, micro_count) for one view as a (2,) int32 device array.
 
     Same elementwise pass as candidate_count plus the count of triangles
@@ -674,7 +707,7 @@ def candidate_stats(vertices, faces, rotation, translation, focal_lengths,
     )
     y_offset = jnp.asarray(y_offset, jnp.float32)
     micro, small, big, _, _, span_h, span_w = _classify(
-        setup, height, width, y_offset
+        setup, height, width, y_offset, micro_max
     )
     pairs = _pair_count(small, big, span_h, span_w)
     return jnp.stack([pairs, jnp.sum(micro.astype(jnp.int32))])

@@ -166,6 +166,72 @@ class TestMicroClassification:
         micro = np.asarray(dense._is_micro(setup, jnp.float32(0)))
         assert micro[0] and not micro[1]
 
+    def test_micro_max_routing_is_output_invariant(self):
+        """The micro/streaming routing threshold (micro_max / SM_MICRO_MAX)
+        only moves triangles between the fragment path and the streaming
+        kernel — the rendered image is bit-identical to the xla oracle at
+        every threshold, and the probe's (pairs, micro) stats shift
+        accordingly."""
+        rng = np.random.default_rng(7)
+        verts, tris = [], []
+        for _ in range(40):  # sizes spanning sub-px to ~8 px bboxes
+            c = rng.normal(size=3) * 0.8
+            c[2] = 4 + rng.random()
+            s = rng.choice([0.01, 0.1, 0.3, 0.6])
+            base = len(verts)
+            verts += [c, c + [s, 0, 0], c + [0, s, 0]]
+            tris.append([base, base + 1, base + 2])
+        base = len(verts)
+        verts += [[-4, -4, 7], [4, -4, 7], [0, 5, 7]]  # big triangle
+        tris.append([base, base + 1, base + 2])
+        vertices = np.asarray(verts, np.float32)
+        faces = np.asarray(tris, np.int32)
+        cam = _simple_cam(256, 96)
+        prev_pairs = None
+        for m in (1, 2, 4, 6):
+            _check(vertices, faces, cam, 96, 256, micro_max=m)
+            pairs, micro = (int(x) for x in np.asarray(
+                dense.candidate_stats(
+                    vertices, faces, *cam, height=96, width=256,
+                    micro_max=m,
+                )
+            ))
+            assert pairs + micro >= len(faces) - 1  # all visible routed
+            if prev_pairs is not None:
+                assert pairs <= prev_pairs  # wider micro -> fewer pairs
+            prev_pairs = pairs
+
+    def test_micro_max_compaction_budget(self):
+        """micro_cap_rows keeps working when a raised threshold widens the
+        micro class: compaction + the m^2-slot fragment path still match
+        the oracle, and drops land in the overflow counter."""
+        rng = np.random.default_rng(11)
+        verts, tris = [], []
+        for _ in range(30):
+            c = rng.normal(size=3) * 0.6
+            c[2] = 4 + rng.random()
+            base = len(verts)
+            verts += [c, c + [0.15, 0, 0], c + [0, 0.15, 0]]
+            tris.append([base, base + 1, base + 2])
+        vertices = np.asarray(verts, np.float32)
+        faces = np.asarray(tris, np.int32)
+        cam = _simple_cam(256, 96)
+        pairs, micro = (int(x) for x in np.asarray(
+            dense.candidate_stats(
+                vertices, faces, *cam, height=96, width=256, micro_max=4,
+            )
+        ))
+        assert micro > 8  # the raised threshold actually captured them
+        # roomy budget: bit-identical through compaction
+        _check(vertices, faces, cam, 96, 256, micro_max=4,
+               micro_cap_rows=max(8, ((micro + 7) // 8) * 8))
+        # under-budget: drops must be counted, never silent
+        _, _, ov = dense.rasterize(
+            vertices, faces, *cam, height=96, width=256, micro_max=4,
+            micro_cap_rows=8,
+        )
+        assert int(ov) >= micro - 8
+
 
 class TestAdaptiveCandidateBudget:
     def _scene(self, seed=0, t=400):
