@@ -91,6 +91,15 @@ class TestDenseMatchesOracle:
         np.testing.assert_array_equal(
             np.asarray(band[0]), np.asarray(full[0])[32:64]
         )
+        # a raised routing threshold must respect row-band offsets too
+        # (the fragment path applies y_offset per slot)
+        band4 = dense.rasterize(
+            vertices, faces, rot[0], trans[0], fl[0], pp[0],
+            np.float32(32.0), height=32, width=128, micro_max=4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(band4[0]), np.asarray(full[0])[32:64]
+        )
 
     def test_e_cap_overflow_reported(self):
         # force a tiny pair budget -> overflow must be reported
