@@ -53,10 +53,14 @@ def rasterize(vertices, faces, *args, backend=None, **kwargs):
             kwargs.pop("max_tris_per_tile", None)
             if dense_e_cap is not None:
                 # int: pair budget only; (pairs, micro) tuple also
-                # right-sizes the micro fragment path (see dense.rasterize)
+                # right-sizes the micro fragment path; a third element is
+                # the routing threshold the budgets were probed at
+                # (SM_MICRO_MAX=auto — see dense.pick_micro_max)
                 if isinstance(dense_e_cap, tuple):
                     kwargs["e_cap_rows"] = int(dense_e_cap[0])
                     kwargs["micro_cap_rows"] = int(dense_e_cap[1])
+                    if len(dense_e_cap) > 2:
+                        kwargs["micro_max"] = int(dense_e_cap[2])
                 else:
                     kwargs["e_cap_rows"] = int(dense_e_cap)
     return mod.rasterize(vertices, faces, *args, **kwargs)
@@ -78,6 +82,12 @@ def dense_candidate_stats(*args, **kwargs):
     from . import dense
 
     return dense.candidate_stats(*args, **kwargs)
+
+
+def dense_routing_stats(*args, **kwargs):
+    from . import dense
+
+    return dense.routing_stats(*args, **kwargs)
 
 
 # shared helpers / contract constants re-exported

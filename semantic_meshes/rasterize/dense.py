@@ -82,16 +82,39 @@ if TILE_H <= 0 or TILE_H % 8 or TILE_W <= 0 or TILE_W % 128:
 # default 2 matches the original design point; raising it trades
 # streaming-kernel per-candidate work (a full-tile VPU test per (tile,
 # triangle) pair) for fragment-sort rows (~4 ns/row) — measure at the
-# scannet preset before changing (scripts/microbench_scannet.py
-# --micro_max). Also a static `micro_max` argument on rasterize() and the
-# probes so the A/B needs no reimport.
-MICRO_MAX = int(os.environ.get("SM_MICRO_MAX", "2"))
+# scannet preset before changing (scripts/microbench_scannet.py prints
+# the per-threshold routing curve). Also a static `micro_max` argument on
+# rasterize() and the probes so an A/B needs no reimport.
+#
+# SM_MICRO_MAX=auto: the RENDERERS pick the threshold per resolution from
+# the same one-sync probe that sizes the candidate budgets, minimizing
+# the linear cost model below (pick_micro_max). No single fixed value
+# serves every scene: the scannet-preset mesh bins 107k (tile, triangle)
+# pairs at threshold 2 but only 2.5k at 4, while the dense-preset mesh is
+# all-micro at 2 already, so raising its threshold only multiplies
+# fragment-sort rows.
+_mm_env = os.environ.get("SM_MICRO_MAX", "2")
+MICRO_AUTO = _mm_env.strip().lower() == "auto"
+MICRO_MAX = 2 if MICRO_AUTO else int(_mm_env)
 if not 1 <= MICRO_MAX <= 8:
     raise ValueError(
-        f"SM_MICRO_MAX must be in [1, 8] (fragment slots are its square; "
-        f"beyond 8 the fragment sorts dwarf any streaming saving); got "
-        f"{MICRO_MAX}"
+        f"SM_MICRO_MAX must be 'auto' or in [1, 8] (fragment slots are "
+        f"its square; beyond 8 the fragment sorts dwarf any streaming "
+        f"saving); got {MICRO_MAX}"
     )
+
+# Thresholds the auto mode considers, and the cost model's coefficients
+# (nanoseconds; env-tunable for recalibration on other TPU generations):
+# alpha = per (tile, triangle) pair (streaming kernel full-tile test +
+# packed-table gather), beta = per fragment-sort row (two 3-operand sorts
+# + slot arithmetic), gamma = per binning-sort row, paid only while any
+# pairs exist (pairs == 0 skips binning + kernel entirely). Defaults are
+# v5e estimates from microbench_scannet/microbench_dense phase timings;
+# re-fit them there before trusting a new platform.
+ROUTING_THRESHOLDS = (2, 3, 4, 5)
+ROUTE_ALPHA = float(os.environ.get("SM_ROUTE_ALPHA", "140"))
+ROUTE_BETA = float(os.environ.get("SM_ROUTE_BETA", "5"))
+ROUTE_GAMMA = float(os.environ.get("SM_ROUTE_GAMMA", "4"))
 
 K_SPAN = 5  # 4 span slots + 1 global-bucket slot per triangle
 PACK = 8  # candidates per 128-lane row of the packed parameter table
@@ -711,3 +734,58 @@ def candidate_stats(vertices, faces, rotation, translation, focal_lengths,
     )
     pairs = _pair_count(small, big, span_h, span_w)
     return jnp.stack([pairs, jnp.sum(micro.astype(jnp.int32))])
+
+
+def routing_curve(setup, height, width, y_offset,
+                  thresholds=ROUTING_THRESHOLDS):
+    """(len(thresholds), 2) int32 of (pairs, micro_tris) per candidate
+    routing threshold — one elementwise pass per threshold, no sort. The
+    probe behind SM_MICRO_MAX=auto (shares _classify with the budgets, so
+    a chosen threshold's row IS that threshold's budget probe)."""
+    rows = []
+    for m in thresholds:
+        micro, small, big, _, _, span_h, span_w = _classify(
+            setup, height, width, y_offset, m
+        )
+        rows.append(jnp.stack([
+            _pair_count(small, big, span_h, span_w),
+            jnp.sum(micro.astype(jnp.int32)),
+        ]))
+    return jnp.stack(rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "clip_near", "thresholds")
+)
+def routing_stats(vertices, faces, rotation, translation, focal_lengths,
+                  principal_point, y_offset=0, face_vertices=None, *,
+                  height, width, clip_near=False,
+                  thresholds=ROUTING_THRESHOLDS):
+    """Jitted single-view routing_curve (same argument contract as
+    candidate_stats)."""
+    setup = xla_rast._make_setup(
+        jnp.asarray(vertices, jnp.float32), jnp.asarray(faces, jnp.int32),
+        rotation, translation, focal_lengths, principal_point,
+        face_vertices, clip_near,
+    )
+    return routing_curve(setup, height, width,
+                         jnp.asarray(y_offset, jnp.float32), thresholds)
+
+
+def pick_micro_max(curve, n_setup_rows, thresholds=ROUTING_THRESHOLDS):
+    """Choose the routing threshold minimizing the linear cost model
+    alpha*pairs + beta*threshold^2*micro (+ gamma*K_SPAN*rows while any
+    pairs remain — the binning sort is skipped entirely at pairs == 0).
+
+    curve: (len(thresholds), 2) of (pairs, micro) ints (host values).
+    n_setup_rows: triangle rows in the setup (2x faces under clip_near).
+    Ties break toward the smaller threshold (fewer fragment slots)."""
+    best_m, best_cost = None, None
+    for m, row in zip(thresholds, curve):
+        pairs, micro = int(row[0]), int(row[1])
+        cost = ROUTE_ALPHA * pairs + ROUTE_BETA * m * m * micro
+        if pairs > 0:
+            cost += ROUTE_GAMMA * K_SPAN * int(n_setup_rows)
+        if best_cost is None or cost < best_cost:
+            best_m, best_cost = int(m), cost
+    return best_m

@@ -192,8 +192,10 @@ class _DenseCapPolicy:
         self._floor = {}  # (H, W) -> previous cap (grow-only re-probes)
 
     def lookup(self, key, probe):
-        """probe() -> exact (pairs, micro) counts for a representative
-        view (syncs once). Returns the budget tuple.
+        """probe() -> exact (pairs, micro[, micro_max]) counts for a
+        representative view (syncs once). Returns the budget tuple; a
+        trailing micro_max (the SM_MICRO_MAX=auto routing pick the counts
+        were probed at) is carried through unscaled.
 
         A pair budget of 0 (every visible triangle is micro) makes the
         dense backend skip binning+streaming entirely; any later
@@ -202,12 +204,12 @@ class _DenseCapPolicy:
         past it also spill to overflow.
         """
         if key not in self._cap:
-            pairs, micro = (int(x) for x in np.asarray(probe()))
+            vals = tuple(int(x) for x in np.asarray(probe()).ravel())
             floor = self._floor.get(key, (0, 0))
             self._cap[key] = (
-                max(self.MARGIN * pairs, floor[0]),
-                max(self.MARGIN * micro, floor[1]),
-            )
+                max(self.MARGIN * vals[0], floor[0]),
+                max(self.MARGIN * vals[1], floor[1]),
+            ) + vals[2:]
         return self._cap[key]
 
     def invalidate(self, key):
@@ -329,6 +331,25 @@ class TrianglesRenderer:
         pp = jnp.asarray(pp, jnp.float32)
         if rot.ndim == 2:  # single camera -> batch of one
             rot, trans, fl, pp = rot[None], trans[None], fl[None], pp[None]
+        from .rasterize import dense as _dense
+
+        if _dense.MICRO_AUTO:
+            # probe the full routing curve (max over the batch per
+            # threshold), pick the cheapest threshold under the measured
+            # cost model, and size the budgets at that threshold — still
+            # ONE sync per resolution, same as the fixed-mode probe
+            def probe():
+                curve = np.asarray(_dense_routing_probe(
+                    self.vertices, self.faces, self.face_vertices,
+                    rot, trans, fl, pp,
+                    height=height, width=width, clip_near=self.clip_near,
+                ))
+                rows = self.faces.shape[0] * (2 if self.clip_near else 1)
+                m = _dense.pick_micro_max(curve, rows)
+                i = _dense.ROUTING_THRESHOLDS.index(m)
+                return (int(curve[i, 0]), int(curve[i, 1]), m)
+
+            return self.dense_cap_policy.lookup((height, width), probe)
         return self.dense_cap_policy.lookup(
             (height, width),
             lambda: _dense_count_probe(
@@ -421,6 +442,32 @@ def _dense_count_probe(vertices, faces, face_vertices, rot, trans, fl, pp,
 
     m, _ = jax.lax.scan(
         step, jnp.zeros((2,), jnp.int32), (rot, trans, fl, pp)
+    )
+    return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "clip_near")
+)
+def _dense_routing_probe(vertices, faces, face_vertices, rot, trans, fl, pp,
+                         *, height, width, clip_near):
+    """Max (pairs, micro) per routing threshold over a camera batch as a
+    (len(ROUTING_THRESHOLDS), 2) device array — the SM_MICRO_MAX=auto
+    probe (O(T) per camera per threshold, no sort)."""
+    def step(m, cam):
+        r, t, f, p = cam
+        c = rast.dense_routing_stats(
+            vertices, faces, r, t, f, p, face_vertices=face_vertices,
+            height=height, width=width, clip_near=clip_near,
+        )
+        return jnp.maximum(m, c), None
+
+    from .rasterize import dense as _dense
+
+    m, _ = jax.lax.scan(
+        step,
+        jnp.zeros((len(_dense.ROUTING_THRESHOLDS), 2), jnp.int32),
+        (rot, trans, fl, pp),
     )
     return m
 

@@ -242,6 +242,68 @@ class TestMicroClassification:
         assert int(ov) >= micro - 8
 
 
+class TestAutoRouting:
+    def test_pick_micro_max_cost_model(self):
+        # scannet-shaped curve (measured on the bench preset): pairs
+        # collapse 107k -> 2.5k by threshold 4 — the model must leave 2
+        curve_scannet = [(106714, 8701), (39412, 66810), (2504, 97360),
+                         (0, 99372)]
+        m = dense.pick_micro_max(curve_scannet, 99372)
+        assert m > 2
+        # dense-preset-shaped curve: already all-micro at 2; raising the
+        # threshold only multiplies fragment rows -> must pick 2
+        curve_dense = [(0, 499392), (0, 499392), (0, 499392), (0, 499392)]
+        assert dense.pick_micro_max(curve_dense, 499392) == 2
+
+    def test_routing_stats_matches_candidate_stats(self):
+        vertices, faces = testing.make_cube(8)
+        cams = testing.make_ring_cameras(num_views=1, width=128, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        curve = np.asarray(dense.routing_stats(
+            vertices, faces, rot[0], trans[0], fl[0], pp[0],
+            height=96, width=128,
+        ))
+        for i, m in enumerate(dense.ROUTING_THRESHOLDS):
+            single = np.asarray(dense.candidate_stats(
+                vertices, faces, rot[0], trans[0], fl[0], pp[0],
+                height=96, width=128, micro_max=m,
+            ))
+            np.testing.assert_array_equal(curve[i], single)
+
+    def test_renderer_auto_mode_matches_fixed(self, monkeypatch):
+        """SM_MICRO_MAX=auto: the renderer probes the routing curve once,
+        budgets at the picked threshold, and renders identically to the
+        fixed-threshold path."""
+        from types import SimpleNamespace
+
+        from semantic_meshes import render as render_mod
+
+        vertices, faces = testing.make_cube(8)
+        mesh = SimpleNamespace(vertices=vertices, faces=faces)
+        cams = testing.make_ring_cameras(num_views=1, width=128, height=96)
+
+        monkeypatch.setenv("SM_RASTERIZER", "dense")
+        fixed = render_mod.triangles(mesh)
+        i0, d0 = fixed.render(cams[0])
+
+        monkeypatch.setattr(dense, "MICRO_AUTO", True)
+        auto = render_mod.triangles(mesh)
+        i1, d1 = auto.render(cams[0])
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        # depth agrees to a few ulp only: the auto pick moves these
+        # triangles from the streaming kernel to the fragment path, which
+        # associates the inverse-z multiply-adds differently (measured
+        # ~4e-6 rel worst case on this scene; winner identity — the real
+        # contract — is exact above)
+        d0, d1 = np.asarray(d0), np.asarray(d1)
+        fin = np.isfinite(d0)
+        np.testing.assert_array_equal(fin, np.isfinite(d1))
+        np.testing.assert_allclose(d0[fin], d1[fin], rtol=1e-5)
+        cap = auto.dense_cap_policy._cap[(96, 128)]
+        assert len(cap) == 3 and cap[2] in dense.ROUTING_THRESHOLDS
+        assert int(auto.overflow_total()) == 0
+
+
 class TestAdaptiveCandidateBudget:
     def _scene(self, seed=0, t=400):
         rng = np.random.default_rng(seed)
