@@ -174,17 +174,35 @@ def measure_preset(preset, repeats):
 
     dense_e_cap = None
     if rast.uses_dense(None, len(faces)):
-        stats = np.stack([
-            np.asarray(rast.dense_candidate_stats(
-                vertices, faces, rot[i], trans[i], fl[i], pp[i],
-                height=height, width=width,
-            ))
-            for i in range(n_views)
-        ])
-        # (pair budget, micro budget); pairs 0 => every triangle is
-        # micro and the dense path skips binning entirely
-        dense_e_cap = (2 * int(stats[:, 0].max()),
-                       2 * int(stats[:, 1].max()))
+        from semantic_meshes.rasterize import dense as _dense
+
+        if _dense.MICRO_AUTO:
+            # SM_MICRO_MAX=auto: pick the routing threshold per the cost
+            # model (same probe the renderers run), budget at that pick
+            curve = np.stack([
+                np.asarray(_dense.routing_stats(
+                    vertices, faces, rot[i], trans[i], fl[i], pp[i],
+                    height=height, width=width,
+                ))
+                for i in range(n_views)
+            ]).max(axis=0)
+            m = _dense.pick_micro_max(curve, len(faces))
+            i = _dense.ROUTING_THRESHOLDS.index(m)
+            dense_e_cap = (2 * int(curve[i, 0]), 2 * int(curve[i, 1]), m)
+            print(f"# auto routing: micro_max={m} "
+                  f"(curve={curve.tolist()})", file=sys.stderr, flush=True)
+        else:
+            stats = np.stack([
+                np.asarray(rast.dense_candidate_stats(
+                    vertices, faces, rot[i], trans[i], fl[i], pp[i],
+                    height=height, width=width,
+                ))
+                for i in range(n_views)
+            ])
+            # (pair budget, micro budget); pairs 0 => every triangle is
+            # micro and the dense path skips binning entirely
+            dense_e_cap = (2 * int(stats[:, 0].max()),
+                           2 * int(stats[:, 1].max()))
 
     def run_async():
         if texel_params is not None:
