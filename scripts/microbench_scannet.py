@@ -126,23 +126,6 @@ def main():
         f"{timed(functools.partial(micro_only, height=H, width=W), *args):.2f} ms"
     )
 
-    # micro path cost if ALL <=8x8 triangles were resolved by fragments
-    @functools.partial(jax.jit, static_argnames=("height", "width"))
-    def micro_all(v, f, r, t, fl_, pp_, *, height, width):
-        setup = xr._make_setup(v, f, r, t, fl_, pp_, None, False)
-        micro, small, big, *_ = dense._classify(
-            setup, height, width, jnp.float32(0)
-        )
-        z, idx = dense._rasterize_micro(
-            setup, micro | small, height, width, jnp.float32(0)
-        )
-        return z[::64, ::64], idx[::64, ::64]
-
-    print(
-        f"  same but micro|small (WRONG output; cost probe): "
-        f"{timed(functools.partial(micro_all, height=H, width=W), *args):.2f} ms"
-    )
-
     # fusion alone on a real rendered image
     tri_img, _z, _ov = rast_fn(*args)
     prim = jnp.where(tri_img >= 0, tri_img, len(faces)).astype(jnp.int32)
