@@ -772,20 +772,31 @@ def routing_stats(vertices, faces, rotation, translation, focal_lengths,
                          jnp.asarray(y_offset, jnp.float32), thresholds)
 
 
+# the cap policy's budget margin (render._DenseCapPolicy.MARGIN) — kept
+# here as a plain constant to avoid a circular import; the two must match
+# for pick_micro_max's fragment-row estimate to be exact
+_BUDGET_MARGIN = 2
+
+
 def pick_micro_max(curve, n_setup_rows, thresholds=ROUTING_THRESHOLDS):
     """Choose the routing threshold minimizing the linear cost model
-    alpha*pairs + beta*threshold^2*micro (+ gamma*K_SPAN*rows while any
+    alpha*pairs + beta*fragment_rows (+ gamma*K_SPAN*rows while any
     pairs remain — the binning sort is skipped entirely at pairs == 0).
 
     curve: (len(thresholds), 2) of (pairs, micro) ints (host values).
     n_setup_rows: triangle rows in the setup (2x faces under clip_near).
-    Ties break toward the smaller threshold (fewer fragment slots)."""
+    Fragment rows are threshold^2 * min(2*micro, rows): the budgets carry
+    the cap policy's 2x margin, and compaction only engages below the
+    row count — above it every setup row keeps its slots regardless of
+    the micro count. Ties break toward the smaller threshold."""
     best_m, best_cost = None, None
+    rows = int(n_setup_rows)
     for m, row in zip(thresholds, curve):
         pairs, micro = int(row[0]), int(row[1])
-        cost = ROUTE_ALPHA * pairs + ROUTE_BETA * m * m * micro
+        frag_rows = m * m * min(_BUDGET_MARGIN * micro, rows)
+        cost = ROUTE_ALPHA * pairs + ROUTE_BETA * frag_rows
         if pairs > 0:
-            cost += ROUTE_GAMMA * K_SPAN * int(n_setup_rows)
+            cost += ROUTE_GAMMA * K_SPAN * rows
         if best_cost is None or cost < best_cost:
             best_m, best_cost = int(m), cost
     return best_m

@@ -255,6 +255,11 @@ class TestAutoRouting:
         curve_dense = [(0, 499392), (0, 499392), (0, 499392), (0, 499392)]
         assert dense.pick_micro_max(curve_dense, 499392) == 2
 
+    def test_budget_margin_matches_cap_policy(self):
+        from semantic_meshes.render import _DenseCapPolicy
+
+        assert dense._BUDGET_MARGIN == _DenseCapPolicy.MARGIN
+
     def test_routing_stats_matches_candidate_stats(self):
         vertices, faces = testing.make_cube(8)
         cams = testing.make_ring_cameras(num_views=1, width=128, height=96)
