@@ -578,6 +578,10 @@ def rasterize(
     same image — it only moves triangles between the fragment path and
     the streaming kernel — but budgets probed under one threshold must be
     used with the same threshold."""
+    if micro_max is not None and not 1 <= int(micro_max) <= 8:
+        # same bound as the SM_MICRO_MAX import check; 0 would silently
+        # emit zero fragment slots and drop every micro triangle
+        raise ValueError(f"micro_max must be in [1, 8]; got {micro_max}")
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     y_offset = jnp.asarray(y_offset, jnp.float32)
