@@ -308,6 +308,32 @@ class TestAutoRouting:
         assert len(cap) == 3 and cap[2] in dense.ROUTING_THRESHOLDS
         assert int(auto.overflow_total()) == 0
 
+    def test_texels_renderer_auto_mode_matches_fixed(
+        self, monkeypatch, tmp_path
+    ):
+        """The texels renderer shares the cap policy: auto mode must give
+        identical texel indices (the winner contract is exact — only
+        depth carries cross-path ulp noise)."""
+        from semantic_meshes import data, render as render_mod
+        from semantic_meshes.io import ply as plyio
+
+        vertices, faces = testing.make_cube(6)
+        p = tmp_path / "m.ply"
+        plyio.write_mesh(str(p), vertices, faces)
+        mesh = data.Ply(str(p))
+        cams = testing.make_ring_cameras(num_views=2, width=128, height=96)
+
+        monkeypatch.setenv("SM_RASTERIZER", "dense")
+        i0, _ = render_mod.texels(mesh, cams, 1.0).render(cams[0])
+
+        monkeypatch.setattr(dense, "MICRO_AUTO", True)
+        auto = render_mod.texels(mesh, cams, 1.0)
+        i1, _ = auto.render(cams[0])
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        cap = auto.dense_cap_policy._cap[(96, 128)]
+        assert len(cap) == 3 and cap[2] in dense.ROUTING_THRESHOLDS
+        assert int(auto.overflow_total()) == 0
+
 
 class TestAdaptiveCandidateBudget:
     def _scene(self, seed=0, t=400):
