@@ -109,12 +109,17 @@ if not 1 <= MICRO_MAX <= 8:
 # packed-table gather), beta = per fragment-sort row (two 3-operand sorts
 # + slot arithmetic), gamma = per binning-sort row, paid only while any
 # pairs exist (pairs == 0 skips binning + kernel entirely). Defaults are
-# v5e estimates from microbench_scannet/microbench_dense phase timings;
-# re-fit them there before trusting a new platform.
+# derived from recorded v5e standalone phase timings (docs/PERFORMANCE.md):
+# beta = 21 ms / 2.8M micro z-resolve rows ~ 7.5; gamma = 14 ms / 2M
+# binning-sort rows ~ 7; alpha = scannet rasterize residual after those
+# two terms, ~9.4 ms / 107k pairs ~ 88. Standalone phases do NOT compose
+# in-pipeline (XLA overlaps them inside the per-view scan) — re-fit from
+# the three fixed-threshold microbench_scannet runs before trusting auto
+# as a default.
 ROUTING_THRESHOLDS = (2, 3, 4, 5)
-ROUTE_ALPHA = float(os.environ.get("SM_ROUTE_ALPHA", "140"))
-ROUTE_BETA = float(os.environ.get("SM_ROUTE_BETA", "5"))
-ROUTE_GAMMA = float(os.environ.get("SM_ROUTE_GAMMA", "4"))
+ROUTE_ALPHA = float(os.environ.get("SM_ROUTE_ALPHA", "88"))
+ROUTE_BETA = float(os.environ.get("SM_ROUTE_BETA", "7.5"))
+ROUTE_GAMMA = float(os.environ.get("SM_ROUTE_GAMMA", "7"))
 
 K_SPAN = 5  # 4 span slots + 1 global-bucket slot per triangle
 PACK = 8  # candidates per 128-lane row of the packed parameter table

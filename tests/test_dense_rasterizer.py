@@ -244,16 +244,23 @@ class TestMicroClassification:
 
 class TestAutoRouting:
     def test_pick_micro_max_cost_model(self):
-        # scannet-shaped curve (measured on the bench preset): pairs
-        # collapse 107k -> 2.5k by threshold 4 — the model must leave 2
-        curve_scannet = [(106714, 8701), (39412, 66810), (2504, 97360),
-                         (0, 99372)]
-        m = dense.pick_micro_max(curve_scannet, 99372)
-        assert m > 2
+        # pairs collapse to zero by threshold 4 at negligible micro
+        # growth: the model must take the first zero-pair threshold (the
+        # binning sort and kernel vanish) and not overshoot to 5 (more
+        # fragment slots for nothing)
+        curve_cliff = [(10**6, 0), (5 * 10**5, 0), (0, 100), (0, 100)]
+        assert dense.pick_micro_max(curve_cliff, 2000) == 4
         # dense-preset-shaped curve: already all-micro at 2; raising the
         # threshold only multiplies fragment rows -> must pick 2
         curve_dense = [(0, 499392), (0, 499392), (0, 499392), (0, 499392)]
         assert dense.pick_micro_max(curve_dense, 499392) == 2
+        # the real scannet-preset curve: whatever the coefficients say,
+        # the pick must be one of the probed thresholds and reproducible
+        curve_scannet = [(106714, 8701), (39412, 66810), (2504, 97360),
+                         (0, 99372)]
+        m = dense.pick_micro_max(curve_scannet, 99372)
+        assert m in dense.ROUTING_THRESHOLDS
+        assert m == dense.pick_micro_max(curve_scannet, 99372)
 
     def test_budget_margin_matches_cap_policy(self):
         from semantic_meshes.render import _DenseCapPolicy
