@@ -186,9 +186,9 @@ def measure_preset(preset, repeats):
                 ))
                 for i in range(n_views)
             ]).max(axis=0)
-            m = _dense.pick_micro_max(curve, len(faces))
-            i = _dense.ROUTING_THRESHOLDS.index(m)
-            dense_e_cap = (2 * int(curve[i, 0]), 2 * int(curve[i, 1]), m)
+            pairs, micro, m = _dense.pick_route(curve, len(faces))
+            dense_e_cap = (_dense.BUDGET_MARGIN * pairs,
+                           _dense.BUDGET_MARGIN * micro, m)
             print(f"# auto routing: micro_max={m} "
                   f"(curve={curve.tolist()})", file=sys.stderr, flush=True)
         else:

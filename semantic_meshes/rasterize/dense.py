@@ -81,10 +81,11 @@ if TILE_H <= 0 or TILE_H % 8 or TILE_W <= 0 or TILE_W % 128:
 # slots each); larger ones are tile-binned for the streaming kernel. The
 # default 2 matches the original design point; raising it trades
 # streaming-kernel per-candidate work (a full-tile VPU test per (tile,
-# triangle) pair) for fragment-sort rows (~4 ns/row) — measure at the
-# scannet preset before changing (scripts/microbench_scannet.py prints
-# the per-threshold routing curve). Also a static `micro_max` argument on
-# rasterize() and the probes so an A/B needs no reimport.
+# triangle) pair) for fragment-sort rows (~7.5 ns/row across the two
+# z-resolve sorts — the same figure ROUTE_BETA encodes below) — measure
+# at the scannet preset before changing (scripts/microbench_scannet.py
+# prints the per-threshold routing curve). Also a static `micro_max`
+# argument on rasterize() and the probes so an A/B needs no reimport.
 #
 # SM_MICRO_MAX=auto: the RENDERERS pick the threshold per resolution from
 # the same one-sync probe that sizes the candidate budgets, minimizing
@@ -95,13 +96,27 @@ if TILE_H <= 0 or TILE_H % 8 or TILE_W <= 0 or TILE_W % 128:
 # fragment-sort rows.
 _mm_env = os.environ.get("SM_MICRO_MAX", "2")
 MICRO_AUTO = _mm_env.strip().lower() == "auto"
-MICRO_MAX = 2 if MICRO_AUTO else int(_mm_env)
+try:
+    MICRO_MAX = 2 if MICRO_AUTO else int(_mm_env)
+except ValueError:
+    raise ValueError(
+        f"SM_MICRO_MAX must be 'auto' or an integer in [1, 8]; got "
+        f"{_mm_env!r}"
+    ) from None
 if not 1 <= MICRO_MAX <= 8:
     raise ValueError(
         f"SM_MICRO_MAX must be 'auto' or in [1, 8] (fragment slots are "
         f"its square; beyond 8 the fragment sorts dwarf any streaming "
         f"saving); got {MICRO_MAX}"
     )
+
+
+def _check_micro_max(micro_max):
+    """Shared [1, 8] bound for the explicit micro_max argument (the env
+    knob is validated at import; 0 would silently emit zero fragment
+    slots and drop every micro triangle)."""
+    if micro_max is not None and not 1 <= int(micro_max) <= 8:
+        raise ValueError(f"micro_max must be in [1, 8]; got {micro_max}")
 
 # Thresholds the auto mode considers, and the cost model's coefficients
 # (nanoseconds; env-tunable for recalibration on other TPU generations):
@@ -253,10 +268,11 @@ def _build_sorted_bins(setup, height, width, y_offset, e_cap, n_global,
 def _compact_micro(setup, micro, cap):
     """Gather the micro-triangle rows of `setup` into a cap-row prefix.
 
-    The fragment path emits 4 slots per row of whatever array it is given;
-    without compaction that is 4 * T sort rows even when only a few
-    thousand triangles are micro (the scannet regime: 8.7k micro of 99k
-    tris — 96% of the fragment-sort rows were sentinels). One stable
+    The fragment path emits micro_max^2 slots per row of whatever array
+    it is given; without compaction that is micro_max^2 * T sort rows
+    even when only a few thousand triangles are micro (the scannet
+    regime at the default threshold: 8.7k micro of 99k tris — 96% of the
+    fragment-sort rows were sentinels). One stable
     (not-micro, id) sort puts the micro ids first in ascending order
     (preserving the deterministic lowest-index tie-break), rows past the
     cap are dropped INTO THE OVERFLOW COUNTER, never silently.
@@ -573,20 +589,18 @@ def rasterize(
     micro_cap_rows: static budget for the micro fragment path (None =
     every triangle gets micro_max^2 fragment slots, the safe default).
     When fewer than T, micro triangles are compacted to that many rows
-    first — the fragment sorts then scale with the MICRO count, not the
-    triangle count (4 * 99k slots -> 4 * 17k at the scannet preset, where
-    only 8.7k of 99k triangles are micro). Probe via `candidate_stats`;
-    rows past the budget land in the overflow counter.
+    first — the fragment sorts then scale with micro_max^2 * the MICRO
+    count, not the triangle count (4 * 99k slots -> 4 * 17k at the
+    scannet preset's default threshold, where only 8.7k of 99k triangles
+    are micro). Probe via `candidate_stats`; rows past the budget land
+    in the overflow counter.
 
     micro_max: micro/streaming routing threshold (pixel-center bbox side;
     default None = the SM_MICRO_MAX env knob, 2). Any value yields the
     same image — it only moves triangles between the fragment path and
     the streaming kernel — but budgets probed under one threshold must be
     used with the same threshold."""
-    if micro_max is not None and not 1 <= int(micro_max) <= 8:
-        # same bound as the SM_MICRO_MAX import check; 0 would silently
-        # emit zero fragment slots and drop every micro triangle
-        raise ValueError(f"micro_max must be in [1, 8]; got {micro_max}")
+    _check_micro_max(micro_max)
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     y_offset = jnp.asarray(y_offset, jnp.float32)
@@ -712,6 +726,7 @@ def candidate_count(vertices, faces, rotation, translation, focal_lengths,
     view every triangle is micro, the true count is 0, and the default
     budget gathers 6M sentinel rows (~160 ms) for nothing.
     """
+    _check_micro_max(micro_max)
     setup = xla_rast._make_setup(
         jnp.asarray(vertices, jnp.float32), jnp.asarray(faces, jnp.int32),
         rotation, translation, focal_lengths, principal_point,
@@ -732,6 +747,7 @@ def candidate_stats(vertices, faces, rotation, translation, focal_lengths,
     Same elementwise pass as candidate_count plus the count of triangles
     the fragment path will resolve — the probe for `micro_cap_rows`.
     """
+    _check_micro_max(micro_max)
     setup = xla_rast._make_setup(
         jnp.asarray(vertices, jnp.float32), jnp.asarray(faces, jnp.int32),
         rotation, translation, focal_lengths, principal_point,
@@ -784,16 +800,21 @@ def routing_stats(vertices, faces, rotation, translation, focal_lengths,
 # the cap policy's budget margin (render._DenseCapPolicy.MARGIN) — kept
 # here as a plain constant to avoid a circular import; the two must match
 # for pick_micro_max's fragment-row estimate to be exact
-_BUDGET_MARGIN = 2
+BUDGET_MARGIN = 2
 
 
-def pick_micro_max(curve, n_setup_rows, thresholds=ROUTING_THRESHOLDS):
+def pick_micro_max(curve, n_setup_rows, thresholds=ROUTING_THRESHOLDS,
+                   min_pairs_budget=0):
     """Choose the routing threshold minimizing the linear cost model
     alpha*pairs + beta*fragment_rows (+ gamma*K_SPAN*rows while any
     pairs remain — the binning sort is skipped entirely at pairs == 0).
 
     curve: (len(thresholds), 2) of (pairs, micro) ints (host values).
     n_setup_rows: triangle rows in the setup (2x faces under clip_near).
+    min_pairs_budget: a grow-only budget floor from an earlier overflow
+    (render._DenseCapPolicy.invalidate): a nonzero floor keeps
+    e_cap_rows > 0, so the binning sort runs even at pairs == 0 and the
+    gamma saving must not be credited.
     Fragment rows are threshold^2 * min(2*micro, rows): the budgets carry
     the cap policy's 2x margin, and compaction only engages below the
     row count — above it every setup row keeps its slots regardless of
@@ -802,10 +823,23 @@ def pick_micro_max(curve, n_setup_rows, thresholds=ROUTING_THRESHOLDS):
     rows = int(n_setup_rows)
     for m, row in zip(thresholds, curve):
         pairs, micro = int(row[0]), int(row[1])
-        frag_rows = m * m * min(_BUDGET_MARGIN * micro, rows)
+        frag_rows = m * m * min(BUDGET_MARGIN * micro, rows)
         cost = ROUTE_ALPHA * pairs + ROUTE_BETA * frag_rows
-        if pairs > 0:
+        if pairs > 0 or min_pairs_budget > 0:
             cost += ROUTE_GAMMA * K_SPAN * rows
         if best_cost is None or cost < best_cost:
             best_m, best_cost = int(m), cost
     return best_m
+
+
+def pick_route(curve, n_setup_rows, thresholds=ROUTING_THRESHOLDS,
+               min_pairs_budget=0):
+    """pick_micro_max + the picked threshold's raw (pairs, micro) counts
+    as an (pairs, micro, micro_max) int tuple — the single definition of
+    'probe the curve, pick, and budget at the pick' shared by the
+    renderers' cap-policy probe and bench.py (scale the first two by
+    BUDGET_MARGIN for budgets)."""
+    curve = [(int(r[0]), int(r[1])) for r in curve]
+    m = pick_micro_max(curve, n_setup_rows, thresholds, min_pairs_budget)
+    i = list(thresholds).index(m)
+    return (curve[i][0], curve[i][1], m)

@@ -212,6 +212,12 @@ class _DenseCapPolicy:
             ) + vals[2:]
         return self._cap[key]
 
+    def floor(self, key):
+        """Grow-only budget floor for a key (nonzero after a breach): the
+        auto-routing pick must know it — a nonzero pair floor keeps the
+        binning sort alive even at zero probed pairs."""
+        return self._floor.get(key, (0, 0))
+
     def invalidate(self, key):
         """Drop the cached budget so the next render re-probes (called by
         the renderers when the overflow policy detects post-probe drops).
@@ -345,9 +351,12 @@ class TrianglesRenderer:
                     height=height, width=width, clip_near=self.clip_near,
                 ))
                 rows = self.faces.shape[0] * (2 if self.clip_near else 1)
-                m = _dense.pick_micro_max(curve, rows)
-                i = _dense.ROUTING_THRESHOLDS.index(m)
-                return (int(curve[i, 0]), int(curve[i, 1]), m)
+                return _dense.pick_route(
+                    curve, rows,
+                    min_pairs_budget=self.dense_cap_policy.floor(
+                        (height, width)
+                    )[0],
+                )
 
             return self.dense_cap_policy.lookup((height, width), probe)
         return self.dense_cap_policy.lookup(

@@ -265,7 +265,16 @@ class TestAutoRouting:
     def test_budget_margin_matches_cap_policy(self):
         from semantic_meshes.render import _DenseCapPolicy
 
-        assert dense._BUDGET_MARGIN == _DenseCapPolicy.MARGIN
+        assert dense.BUDGET_MARGIN == _DenseCapPolicy.MARGIN
+
+    def test_floor_disables_gamma_credit(self):
+        # pairs collapse to zero at threshold 4 — but a grow-only pair
+        # floor keeps the binning sort alive, so the zero-pair credit
+        # must not tip the pick away from the cheaper-fragment threshold
+        curve = [(1000, 0), (500, 200000), (0, 100000), (0, 100000)]
+        rows = 10**6
+        assert dense.pick_micro_max(curve, rows) == 4
+        assert dense.pick_micro_max(curve, rows, min_pairs_budget=256) == 2
 
     def test_routing_stats_matches_candidate_stats(self):
         vertices, faces = testing.make_cube(8)
