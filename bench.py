@@ -204,6 +204,34 @@ def measure_preset(preset, repeats):
             dense_e_cap = (2 * int(stats[:, 0].max()),
                            2 * int(stats[:, 1].max()))
 
+        if os.environ.get("SM_MICRO_SPLIT") == "1" and texel_params is None:
+            # uni-slot prefix A/B (dense.rasterize micro_split): permute
+            # faces so triangles sub-pixel in EVERY view come first —
+            # they then cost 1 fragment slot instead of micro_max^2. The
+            # fused accumulator rows are in permuted-face space; the
+            # bench only measures throughput, a real consumer un-permutes
+            # once per scene.
+            uni = np.ones(len(faces), bool)
+            for i in range(n_views):
+                uni &= np.asarray(_dense.uni_eligible(
+                    vertices, faces, rot[i], trans[i], fl[i], pp[i],
+                    height=height, width=width,
+                ))
+            order = np.argsort(~uni, kind="stable")
+            k = int(uni.sum())
+            faces = faces[order]
+            dev_args = jax.device_put(
+                (vertices, faces, rot, trans, fl, pp, probs,
+                 np.float32(0.5))
+            )
+            pairs_s = max(int(np.asarray(_dense.candidate_count(
+                vertices, faces, rot[i], trans[i], fl[i], pp[i],
+                height=height, width=width, micro_split=k,
+            ))) for i in range(n_views))
+            dense_e_cap = (_dense.BUDGET_MARGIN * pairs_s, 0, None, k)
+            print(f"# micro_split: k={k}/{len(faces)} uni rows, "
+                  f"pairs={pairs_s}", file=sys.stderr, flush=True)
+
     def run_async():
         if texel_params is not None:
             v, f, *rest = dev_args

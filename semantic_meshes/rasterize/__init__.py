@@ -55,11 +55,17 @@ def rasterize(vertices, faces, *args, backend=None, **kwargs):
                 # int: pair budget only; (pairs, micro) tuple also
                 # right-sizes the micro fragment path; a third element is
                 # the routing threshold the budgets were probed at
-                # (SM_MICRO_MAX=auto — see dense.pick_micro_max)
+                # (SM_MICRO_MAX=auto — see dense.pick_micro_max); a
+                # fourth is the uni-slot prefix length (dense.rasterize
+                # micro_split — faces must be permuted uni-first and a
+                # None micro budget is implied, see uni_eligible)
                 if isinstance(dense_e_cap, tuple):
                     kwargs["e_cap_rows"] = int(dense_e_cap[0])
-                    kwargs["micro_cap_rows"] = int(dense_e_cap[1])
-                    if len(dense_e_cap) > 2:
+                    if len(dense_e_cap) > 3 and dense_e_cap[3] is not None:
+                        kwargs["micro_split"] = int(dense_e_cap[3])
+                    else:
+                        kwargs["micro_cap_rows"] = int(dense_e_cap[1])
+                    if len(dense_e_cap) > 2 and dense_e_cap[2] is not None:
                         kwargs["micro_max"] = int(dense_e_cap[2])
                 else:
                     kwargs["e_cap_rows"] = int(dense_e_cap)

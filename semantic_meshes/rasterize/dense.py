@@ -147,9 +147,17 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _classify(setup, height, width, y_offset, micro_max=None):
+def _classify(setup, height, width, y_offset, micro_max=None,
+              micro_split=None):
     """Shared span/micro/big triangle classification for binning and for
-    the closed-form candidate count probe."""
+    the closed-form candidate count probe.
+
+    micro_split: static row index k — rows [0, k) are "uni" candidates
+    (fragment path with ONE slot, so their micro bound is bbox <= 1x1
+    regardless of micro_max); a uni row whose bbox exceeds 1x1 in this
+    view falls through to the small/big (streaming kernel) classes,
+    keeping the output exact when the caller's uni ordering was probed on
+    other views. See rasterize()'s micro_split docstring."""
     nby = _cdiv(height, TILE_H)
     nbx = _cdiv(width, TILE_W)
 
@@ -172,6 +180,15 @@ def _classify(setup, height, width, y_offset, micro_max=None):
     # resolved on the fragment path — testing them against whole tiles would
     # waste ~2000x VPU work on a dense mesh where most triangles are sub-pixel
     micro = valid & _is_micro(setup, y_offset, micro_max)
+    if micro_split is not None:
+        # uni rows get one fragment slot: only bbox <= 1x1 qualifies;
+        # larger uni rows ride the streaming kernel instead (exactness
+        # over speed for ordering misses)
+        _, _, nx, ny = _micro_pixel_range(setup)
+        uni = (
+            jnp.arange(micro.shape[0], dtype=jnp.int32) < int(micro_split)
+        )
+        micro = micro & (~uni | ((nx <= 1) & (ny <= 1)))
     small = valid & ~micro & (span_h <= 2) & (span_w <= 2)
     big = valid & ~micro & ~small
     return micro, small, big, bx0, by0, span_h, span_w
@@ -187,20 +204,21 @@ def _pair_count(small, big, span_h, span_w):
     )
 
 
-def count_pairs(setup, height, width, y_offset, micro_max=None):
+def count_pairs(setup, height, width, y_offset, micro_max=None,
+                micro_split=None):
     """Exact (tile, triangle) pair count the dense binning will produce —
     closed form, no sort. The right-sizing probe for `e_cap_rows`: the
     packed-table gather costs per ROW of the static e_cap budget, and on
     micro-heavy meshes the default 3-rows-per-triangle budget is almost
     entirely sentinel padding (100% at a 2M-triangle bench view)."""
     micro, small, big, _, _, span_h, span_w = _classify(
-        setup, height, width, y_offset, micro_max
+        setup, height, width, y_offset, micro_max, micro_split
     )
     return _pair_count(small, big, span_h, span_w)
 
 
 def _build_sorted_bins(setup, height, width, y_offset, e_cap, n_global,
-                       micro_max=None):
+                       micro_max=None, micro_split=None):
     """Returns (tri_sorted (e_cap + CHUNK,), starts (B + 2,), overflow, micro).
 
     starts indexes the sorted pair array: tile b's candidates are
@@ -216,7 +234,7 @@ def _build_sorted_bins(setup, height, width, y_offset, e_cap, n_global,
     B = nby * nbx
 
     micro, small, big, bx0, by0, span_h, span_w = _classify(
-        setup, height, width, y_offset, micro_max
+        setup, height, width, y_offset, micro_max, micro_split
     )
 
     # pair expansion: slots 0..3 -> span cells (small tris); slot 4 -> the
@@ -315,7 +333,7 @@ def _is_micro(setup, y_offset, micro_max=None):
 
 
 def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None,
-                     micro_max=None):
+                     micro_max=None, micro_split=None):
     """Fragment path for micro triangles — scatter-free.
 
     tri_ids: optional (T,) int32 of the ORIGINAL triangle ids of the rows
@@ -341,35 +359,61 @@ def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None,
     nslots = mm * mm
     if tri_ids is None:
         tri_ids = jnp.arange(T, dtype=jnp.int32)
-    ix0, iy0, _, _ = _micro_pixel_range(setup)
 
-    pix_list = []
-    key_list = []
-    for s in range(nslots):
-        dy, dx = s // mm, s % mm
-        ix = ix0 + dx
-        iy_local = (iy0 + dy) - y_offset.astype(jnp.int32)
-        pxc = ix.astype(jnp.float32) + 0.5
-        pyc = (iy0 + dy).astype(jnp.float32) + 0.5
-        w0 = setup["a"][:, 0] * pxc + setup["b"][:, 0] * pyc + setup["c"][:, 0]
-        w1 = setup["a"][:, 1] * pxc + setup["b"][:, 1] * pyc + setup["c"][:, 1]
-        w2 = setup["a"][:, 2] * pxc + setup["b"][:, 2] * pyc + setup["c"][:, 2]
-        sgn = jnp.sign(setup["denom"])
-        inside = (w0 * sgn >= 0) & (w1 * sgn >= 0) & (w2 * sgn >= 0)
-        inv_z = setup["az"] * pxc + setup["bz"] * pyc + setup["cz"]
-        ok = (
-            micro
-            & inside
-            & (inv_z > 0)
-            & (ix >= 0) & (ix < width)
-            & (iy_local >= 0) & (iy_local < height)
-        )
-        z = 1.0 / inv_z
-        zbits = jax.lax.bitcast_convert_type(z, jnp.int32)  # z>0: monotonic
-        pix_list.append(jnp.where(ok, iy_local * width + ix, HW))
-        key_list.append(zbits)
+    def emit_slots(sub, sub_micro, slots):
+        """(pix, zbits) fragment arrays for the given slot offsets over a
+        row slice of the setup — pure elementwise work."""
+        ix0, iy0, _, _ = _micro_pixel_range(sub)
+        pixs, keys = [], []
+        for dy, dx in slots:
+            ix = ix0 + dx
+            iy_local = (iy0 + dy) - y_offset.astype(jnp.int32)
+            pxc = ix.astype(jnp.float32) + 0.5
+            pyc = (iy0 + dy).astype(jnp.float32) + 0.5
+            w0 = sub["a"][:, 0] * pxc + sub["b"][:, 0] * pyc + sub["c"][:, 0]
+            w1 = sub["a"][:, 1] * pxc + sub["b"][:, 1] * pyc + sub["c"][:, 1]
+            w2 = sub["a"][:, 2] * pxc + sub["b"][:, 2] * pyc + sub["c"][:, 2]
+            sgn = jnp.sign(sub["denom"])
+            inside = (w0 * sgn >= 0) & (w1 * sgn >= 0) & (w2 * sgn >= 0)
+            inv_z = sub["az"] * pxc + sub["bz"] * pyc + sub["cz"]
+            ok = (
+                sub_micro
+                & inside
+                & (inv_z > 0)
+                & (ix >= 0) & (ix < width)
+                & (iy_local >= 0) & (iy_local < height)
+            )
+            z = 1.0 / inv_z
+            zbits = jax.lax.bitcast_convert_type(z, jnp.int32)  # z>0: mono
+            pixs.append(jnp.where(ok, iy_local * width + ix, HW))
+            keys.append(zbits)
+        return pixs, keys
 
-    if nslots * T * 2 >= HW:
+    all_slots = [(s // mm, s % mm) for s in range(nslots)]
+    if micro_split is None or int(micro_split) <= 0:
+        pix_list, key_list = emit_slots(setup, micro, all_slots)
+        tri_cat = jnp.tile(tri_ids, nslots)
+        n_frag = nslots * T
+    else:
+        # uni-slot prefix: rows [0, k) contribute slot (0, 0) only (their
+        # micro flag already requires bbox <= 1x1); rows [k, T) get the
+        # full slot grid. Static slicing — no gathers.
+        k = min(int(micro_split), T)
+        tail = {
+            key: setup[key][k:]
+            for key in ("a", "b", "c", "az", "bz", "cz", "denom",
+                        "xmin", "xmax", "ymin", "ymax")
+        }
+        pix_list, key_list = emit_slots(setup, micro, all_slots[:1])
+        tp, tk = emit_slots(tail, micro[k:], all_slots[1:])
+        pix_list += tp
+        key_list += tk
+        tri_cat = jnp.concatenate(
+            [tri_ids] + [tri_ids[k:]] * (nslots - 1)
+        ) if nslots > 1 else tri_ids
+        n_frag = T + (nslots - 1) * (T - k)
+
+    if n_frag * 2 >= HW:
         # fragment count rivals the pixel count (the dense regime): append
         # one background fragment per pixel so the compaction sort emits
         # exactly one winner per pixel — the image is then a reshape, no
@@ -382,9 +426,7 @@ def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None,
         zbits = jnp.concatenate(
             key_list + [jnp.full((HW,), jnp.int32(0x7F800000))]  # +inf
         )
-        tri = jnp.concatenate(
-            [jnp.tile(tri_ids, nslots), jnp.full((HW,), bg_tri)]
-        )
+        tri = jnp.concatenate([tri_cat, jnp.full((HW,), bg_tri)])
         # z-resolve: (pixel, z, tri) — tri in the keys gives the
         # deterministic lowest-index tie-break on equal depth
         pix_s, z_s, tri_s = jax.lax.sort(
@@ -417,7 +459,7 @@ def _rasterize_micro(setup, micro, height, width, y_offset, tri_ids=None,
     # sorts
     pix = jnp.concatenate(pix_list)
     zbits = jnp.concatenate(key_list)
-    tri = jnp.tile(tri_ids, nslots)
+    tri = tri_cat
     pix_s, z_s, tri_s = jax.lax.sort(
         (pix, zbits, tri), dimension=0, is_stable=False, num_keys=3
     )
@@ -557,7 +599,7 @@ def _make_dense_kernel(nbx, n_b, n_global):
     jax.jit,
     static_argnames=("height", "width", "n_global", "e_cap_factor",
                      "clip_near", "e_cap_rows", "micro_cap_rows",
-                     "micro_max"),
+                     "micro_max", "micro_split"),
 )
 def rasterize(
     vertices,
@@ -577,6 +619,7 @@ def rasterize(
     e_cap_rows=None,
     micro_cap_rows=None,
     micro_max=None,
+    micro_split=None,
 ):
     """Dense-mesh drop-in for rasterize.xla.rasterize (no per-tile cap).
 
@@ -599,8 +642,26 @@ def rasterize(
     default None = the SM_MICRO_MAX env knob, 2). Any value yields the
     same image — it only moves triangles between the fragment path and
     the streaming kernel — but budgets probed under one threshold must be
-    used with the same threshold."""
+    used with the same threshold.
+
+    micro_split: static row index k — setup rows [0, k) emit ONE fragment
+    slot instead of micro_max^2 (their micro class is bbox <= 1x1; larger
+    uni rows fall through to the streaming kernel, so the image stays
+    exact for ANY k). For a caller that pre-sorts faces so sub-pixel-in-
+    every-view triangles come first (rendered ids are then PERMUTED face
+    ids — un-permute the fused accumulator once per scene), this cuts the
+    fragment z-resolve sort volume by ~44% at the dense-preset shape
+    (82% of its 500k triangles are sub-pixel): rows = T + (mm^2-1)*(T-k)
+    + HW instead of mm^2*T + HW. Mutually exclusive with micro_cap_rows
+    (it targets the micro-dominated regime where compaction is a no-op).
+    Rounding k DOWN (e.g. to a size bucket) is always safe."""
     _check_micro_max(micro_max)
+    if micro_split is not None and micro_cap_rows is not None:
+        raise ValueError(
+            "micro_split and micro_cap_rows are mutually exclusive: the "
+            "uni-slot prefix targets micro-dominated meshes where "
+            "compaction is a no-op"
+        )
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     y_offset = jnp.asarray(y_offset, jnp.float32)
@@ -626,7 +687,8 @@ def rasterize(
             )
             return z, i, dropped
         z, i = _rasterize_micro(setup, micro, height, width, y_offset,
-                                micro_max=micro_max)
+                                micro_max=micro_max,
+                                micro_split=micro_split)
         return z, i, jnp.int32(0)
 
     if e_cap_rows is not None and int(e_cap_rows) == 0:
@@ -637,7 +699,7 @@ def rasterize(
         # candidates at this budget spill them to the overflow counter
         # (exact closed-form count), same contract as any budget breach.
         micro, small, big, _, _, span_h, span_w = _classify(
-            setup, height, width, y_offset, micro_max
+            setup, height, width, y_offset, micro_max, micro_split
         )
         overflow = _pair_count(small, big, span_h, span_w)
         z_micro, idx_micro, micro_dropped = micro_images(micro)
@@ -651,7 +713,8 @@ def rasterize(
         e_cap = _cdiv(max(int(e_cap_rows), CHUNK), CHUNK) * CHUNK
 
     tri_sorted, starts, overflow, micro = _build_sorted_bins(
-        setup, height, width, y_offset, e_cap, n_global, micro_max
+        setup, height, width, y_offset, e_cap, n_global, micro_max,
+        micro_split,
     )
     z_micro, idx_micro, micro_dropped = micro_images(micro)
     overflow = overflow + micro_dropped
@@ -714,11 +777,13 @@ def rasterize(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "clip_near", "micro_max")
+    jax.jit, static_argnames=("height", "width", "clip_near", "micro_max",
+                              "micro_split")
 )
 def candidate_count(vertices, faces, rotation, translation, focal_lengths,
                     principal_point, y_offset=0, face_vertices=None, *,
-                    height, width, clip_near=False, micro_max=None):
+                    height, width, clip_near=False, micro_max=None,
+                    micro_split=None):
     """Exact dense-path candidate count for one view (device scalar).
 
     One cheap elementwise pass (no sort). Use it to right-size
@@ -733,15 +798,18 @@ def candidate_count(vertices, faces, rotation, translation, focal_lengths,
         face_vertices, clip_near,
     )
     return count_pairs(setup, height, width,
-                       jnp.asarray(y_offset, jnp.float32), micro_max)
+                       jnp.asarray(y_offset, jnp.float32), micro_max,
+                       micro_split)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "clip_near", "micro_max")
+    jax.jit, static_argnames=("height", "width", "clip_near", "micro_max",
+                              "micro_split")
 )
 def candidate_stats(vertices, faces, rotation, translation, focal_lengths,
                     principal_point, y_offset=0, face_vertices=None, *,
-                    height, width, clip_near=False, micro_max=None):
+                    height, width, clip_near=False, micro_max=None,
+                    micro_split=None):
     """(pair_count, micro_count) for one view as a (2,) int32 device array.
 
     Same elementwise pass as candidate_count plus the count of triangles
@@ -755,10 +823,38 @@ def candidate_stats(vertices, faces, rotation, translation, focal_lengths,
     )
     y_offset = jnp.asarray(y_offset, jnp.float32)
     micro, small, big, _, _, span_h, span_w = _classify(
-        setup, height, width, y_offset, micro_max
+        setup, height, width, y_offset, micro_max, micro_split
     )
     pairs = _pair_count(small, big, span_h, span_w)
     return jnp.stack([pairs, jnp.sum(micro.astype(jnp.int32))])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "clip_near")
+)
+def uni_eligible(vertices, faces, rotation, translation, focal_lengths,
+                 principal_point, face_vertices=None, *,
+                 height, width, clip_near=False):
+    """(T,) bool: triangle's pixel-center bbox is <= 1x1 in THIS view (or
+    the triangle is invalid/off-screen — it emits nothing either way).
+
+    AND this over a scene's camera batch, stable-argsort eligible rows
+    first, and pass the eligible count as `rasterize(micro_split=k)` with
+    the permuted faces: the uni rows then cost one fragment slot each.
+    (With clip_near each input face contributes TWO setup rows; the
+    returned mask is per setup row — permute at the PIECE level is not
+    supported, so use micro_split only without clip_near.)"""
+    setup = xla_rast._make_setup(
+        jnp.asarray(vertices, jnp.float32), jnp.asarray(faces, jnp.int32),
+        rotation, translation, focal_lengths, principal_point,
+        face_vertices, clip_near,
+    )
+    _, _, nx, ny = _micro_pixel_range(setup)
+    onscreen = (
+        (setup["xmax"] >= 0) & (setup["xmin"] < width)
+        & (setup["ymax"] >= 0) & (setup["ymin"] < height)
+    )
+    return ~(setup["valid"] & onscreen) | ((nx <= 1) & (ny <= 1))
 
 
 def routing_curve(setup, height, width, y_offset,

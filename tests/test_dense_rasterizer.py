@@ -242,6 +242,93 @@ class TestMicroClassification:
         assert int(ov) >= micro - 8
 
 
+class TestUniSlotPrefix:
+    """micro_split: rows [0, k) emit one fragment slot. The image must be
+    exact for ANY k (uni rows whose bbox exceeds 1x1 in a view fall back
+    to the streaming kernel), and the caller recipe — AND uni_eligible
+    over the camera batch, stable-sort eligible-first, pass k — must
+    yield zero overflow and oracle parity on every view."""
+
+    def _scene(self):
+        rng = np.random.default_rng(5)
+        verts, tris = [], []
+        for _ in range(60):
+            c = rng.normal(size=3) * 0.8
+            c[2] = 4 + rng.random()
+            s = rng.choice([0.004, 0.01, 0.2, 0.5])
+            base = len(verts)
+            verts += [c, c + [s, 0, 0], c + [0, s, 0]]
+            tris.append([base, base + 1, base + 2])
+        base = len(verts)
+        verts += [[-4, -4, 7], [4, -4, 7], [0, 5, 7]]
+        tris.append([base, base + 1, base + 2])
+        return np.asarray(verts, np.float32), np.asarray(tris, np.int32)
+
+    def test_probed_split_matches_oracle_all_views(self):
+        v, f = self._scene()
+        cams = testing.make_ring_cameras(num_views=2, width=256, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        uni = np.ones(len(f), bool)
+        for i in range(2):
+            uni &= np.asarray(dense.uni_eligible(
+                v, f, rot[i], trans[i], fl[i], pp[i], height=96, width=256,
+            ))
+        order = np.argsort(~uni, kind="stable")
+        k = int(uni.sum())
+        assert 0 < k < len(f)  # the scene actually exercises both classes
+        fp = f[order]
+        for i in range(2):
+            cam = (rot[i], trans[i], fl[i], pp[i])
+            _, ov = _check(v, fp, cam, 96, 256, micro_split=k)
+            assert ov == 0
+
+    def test_any_split_is_exact(self):
+        """k = 0 (no prefix) and k = T (every row uni — bigger rows must
+        fall back to the kernel) both match the oracle bit-for-bit."""
+        v, f = self._scene()
+        cams = testing.make_ring_cameras(num_views=1, width=256, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        cam = (rot[0], trans[0], fl[0], pp[0])
+        for k in (0, len(f)):
+            _check(v, f, cam, 96, 256, micro_split=k)
+
+    def test_split_excludes_compaction(self):
+        v, f = self._scene()
+        cams = testing.make_ring_cameras(num_views=1, width=256, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            dense.rasterize(
+                v, f, rot[0], trans[0], fl[0], pp[0], height=96, width=256,
+                micro_split=4, micro_cap_rows=8,
+            )
+
+    def test_facade_four_tuple(self):
+        import semantic_meshes.rasterize as rast
+
+        v, f = self._scene()
+        cams = testing.make_ring_cameras(num_views=1, width=256, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        uni = np.asarray(dense.uni_eligible(
+            v, f, rot[0], trans[0], fl[0], pp[0], height=96, width=256,
+        ))
+        order = np.argsort(~uni, kind="stable")
+        k = int(uni.sum())
+        fp = f[order]
+        pairs = int(dense.candidate_count(
+            v, fp, rot[0], trans[0], fl[0], pp[0], height=96, width=256,
+            micro_split=k,
+        ))
+        t0, _, _ = xla.rasterize(
+            v, fp, rot[0], trans[0], fl[0], pp[0], height=96, width=256
+        )
+        t1, _, ov = rast.rasterize(
+            v, fp, rot[0], trans[0], fl[0], pp[0], height=96, width=256,
+            backend="dense", dense_e_cap=(2 * pairs, 0, None, k),
+        )
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        assert int(ov) == 0
+
+
 class TestAutoRouting:
     def test_pick_micro_max_cost_model(self):
         # pairs collapse to zero by threshold 4 at negligible micro
