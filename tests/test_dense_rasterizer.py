@@ -292,6 +292,31 @@ class TestUniSlotPrefix:
         for k in (0, len(f)):
             _check(v, f, cam, 96, 256, micro_split=k)
 
+    def test_row_band_offset_with_split(self):
+        """The uni prefix respects 'pixels'-axis row bands (y_offset)."""
+        vertices, faces = testing.make_cube(40)  # sub-pixel at 128x96
+        cams = testing.make_ring_cameras(num_views=1, width=128, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        uni = np.asarray(dense.uni_eligible(
+            vertices, faces, rot[0], trans[0], fl[0], pp[0],
+            height=96, width=128,
+        ))
+        order = np.argsort(~uni, kind="stable")
+        k = int(uni.sum())
+        assert k > 100  # the prefix is actually exercised
+        fp = faces[order]
+        full = dense.rasterize(
+            vertices, fp, rot[0], trans[0], fl[0], pp[0],
+            height=96, width=128, micro_split=k,
+        )
+        band = dense.rasterize(
+            vertices, fp, rot[0], trans[0], fl[0], pp[0], np.float32(32.0),
+            height=32, width=128, micro_split=k,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(band[0]), np.asarray(full[0])[32:64]
+        )
+
     def test_split_excludes_compaction(self):
         v, f = self._scene()
         cams = testing.make_ring_cameras(num_views=1, width=256, height=96)
