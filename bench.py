@@ -211,14 +211,10 @@ def measure_preset(preset, repeats):
             # fused accumulator rows are in permuted-face space; the
             # bench only measures throughput, a real consumer un-permutes
             # once per scene.
-            uni = np.ones(len(faces), bool)
-            for i in range(n_views):
-                uni &= np.asarray(_dense.uni_eligible(
-                    vertices, faces, rot[i], trans[i], fl[i], pp[i],
-                    height=height, width=width,
-                ))
-            order = np.argsort(~uni, kind="stable")
-            k = int(uni.sum())
+            order, k = _dense.uni_order(
+                vertices, faces, rot, trans, fl, pp,
+                height=height, width=width,
+            )
             faces = faces[order]
             dev_args = jax.device_put(
                 (vertices, faces, rot, trans, fl, pp, probs,

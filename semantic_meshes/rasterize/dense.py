@@ -857,6 +857,27 @@ def uni_eligible(vertices, faces, rotation, translation, focal_lengths,
     return ~(setup["valid"] & onscreen) | ((nx <= 1) & (ny <= 1))
 
 
+def uni_order(vertices, faces, rot, trans, fl, pp, *, height, width):
+    """The micro_split caller recipe in one call: AND uni_eligible over a
+    camera batch (leading axis), stable-sort eligible rows first.
+
+    Returns (perm (T,) int64, k): rasterize `faces[perm]` with
+    `micro_split=k`; rendered primitive ids are then PERMUTED — map a
+    fused (P, C) accumulator back once per scene with `acc[inv]` where
+    `inv = np.argsort(perm)` (the per-scene inverse gather is the whole
+    un-permute cost; renderers that must return original ids per pixel
+    should not use the split)."""
+    import numpy as np
+
+    uni = np.ones(faces.shape[0], bool)
+    for i in range(rot.shape[0]):
+        uni &= np.asarray(uni_eligible(
+            vertices, faces, rot[i], trans[i], fl[i], pp[i],
+            height=height, width=width,
+        ))
+    return np.argsort(~uni, kind="stable"), int(uni.sum())
+
+
 def routing_curve(setup, height, width, y_offset,
                   thresholds=ROUTING_THRESHOLDS):
     """(len(thresholds), 2) int32 of (pairs, micro_tris) per candidate

@@ -333,11 +333,9 @@ class TestUniSlotPrefix:
         v, f = self._scene()
         cams = testing.make_ring_cameras(num_views=1, width=256, height=96)
         rot, trans, fl, pp = stack_cameras(cams)
-        uni = np.asarray(dense.uni_eligible(
-            v, f, rot[0], trans[0], fl[0], pp[0], height=96, width=256,
-        ))
-        order = np.argsort(~uni, kind="stable")
-        k = int(uni.sum())
+        order, k = dense.uni_order(
+            v, f, rot[:1], trans[:1], fl[:1], pp[:1], height=96, width=256,
+        )
         fp = f[order]
         pairs = int(dense.candidate_count(
             v, fp, rot[0], trans[0], fl[0], pp[0], height=96, width=256,
