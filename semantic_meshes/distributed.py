@@ -217,6 +217,59 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     return acc, overflow
 
 
+def fuse_views_split(vertices, faces, rotations, translations,
+                     focal_lengths, principal_points, probs,
+                     images_equal_weight, weights=None, *,
+                     num_primitives, aggregator, height, width,
+                     clip_near=False, micro_max=None, **kwargs):
+    """fuse_views with the dense path's uni-slot prefix, handled end to
+    end: permute faces sub-pixel-first (rasterize.dense.uni_order over
+    the batch), right-size the pair budget at the split, run the fused
+    scan, and un-permute the accumulator back to original face order —
+    the result equals fuse_views while the micro fragment sorts pay ONE
+    slot per sub-pixel triangle instead of micro_max^2.
+
+    Host-side data prep happens per call (probe + argsort + one (P, C)
+    inverse row gather); intended for the micro-dominated dense regime
+    where a scene is fused across many views. clip_near is unsupported
+    (the prefix permutes faces, not clip pieces)."""
+    if clip_near:
+        raise ValueError("fuse_views_split does not support clip_near "
+                         "(the uni prefix permutes faces, not clip pieces)")
+    import numpy as np
+
+    from .rasterize import dense as _dense
+
+    faces = np.asarray(faces, np.int32)
+    perm, k = _dense.uni_order(
+        vertices, faces, rotations, translations, focal_lengths,
+        principal_points, height=height, width=width,
+    )
+    faces_p = jnp.asarray(faces[perm])
+    pairs = max(
+        int(_dense.candidate_count(
+            vertices, faces_p, rotations[i], translations[i],
+            focal_lengths[i], principal_points[i],
+            height=height, width=width, micro_split=int(k),
+        ))
+        for i in range(rotations.shape[0])
+    )
+    acc, overflow = fuse_views(
+        vertices, faces_p, rotations, translations, focal_lengths,
+        principal_points, probs, images_equal_weight, weights,
+        num_primitives=num_primitives, aggregator=aggregator,
+        height=height, width=width,
+        dense_e_cap=(_dense.BUDGET_MARGIN * pairs, 0, micro_max, int(k)),
+        **kwargs,
+    )
+    # accumulator rows are permuted-face segments; un-permute only the
+    # face rows (aggregators may carry trailing background/count rows)
+    inv = jnp.asarray(np.argsort(perm))
+    face_rows = faces.shape[0]
+    acc = acc.at[:face_rows].set(acc[:face_rows][inv])
+    return acc, overflow
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

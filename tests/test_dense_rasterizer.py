@@ -327,6 +327,51 @@ class TestUniSlotPrefix:
                 micro_split=4, micro_cap_rows=8,
             )
 
+    def test_fuse_views_split_equals_fuse_views(self, monkeypatch):
+        """The end-to-end wrapper (permute -> budget at split -> fused
+        scan -> un-permute) reproduces fuse_views bit-for-bit on the
+        dense backend, for every aggregator."""
+        import jax.numpy as jnp
+
+        from semantic_meshes import distributed
+
+        monkeypatch.setenv("SM_RASTERIZER", "dense")
+        vertices, faces = testing.make_cube(40)  # sub-pixel at 128x96
+        cams = testing.make_ring_cameras(num_views=3, width=128, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        rng = np.random.default_rng(0)
+        probs = jnp.asarray(np.stack(
+            [testing.random_probs(rng, 96, 128, 5) for _ in range(3)]
+        ))
+        for agg in ("sum", "summax", "mul"):
+            kw = dict(num_primitives=len(faces), aggregator=agg,
+                      height=96, width=128)
+            a0, ov0 = distributed.fuse_views(
+                vertices, faces, rot, trans, fl, pp, probs,
+                jnp.float32(0.5), **kw,
+            )
+            a1, ov1 = distributed.fuse_views_split(
+                vertices, faces, rot, trans, fl, pp, probs,
+                jnp.float32(0.5), **kw,
+            )
+            assert int(ov0) == 0 and int(ov1) == 0
+            np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+    def test_fuse_views_split_rejects_clip_near(self):
+        from semantic_meshes import distributed
+
+        with pytest.raises(ValueError, match="clip_near"):
+            distributed.fuse_views_split(
+                np.zeros((3, 3), np.float32), np.zeros((1, 3), np.int32),
+                *(np.zeros((1, 3, 3), np.float32),
+                  np.zeros((1, 3), np.float32),
+                  np.zeros((1, 2), np.float32),
+                  np.zeros((1, 2), np.float32)),
+                np.zeros((1, 8, 8, 2), np.float32), np.float32(0.5),
+                num_primitives=1, aggregator="sum", height=8, width=8,
+                clip_near=True,
+            )
+
     def test_facade_four_tuple(self):
         import semantic_meshes.rasterize as rast
 
