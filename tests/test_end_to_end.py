@@ -223,6 +223,55 @@ class TestShardedPipeline:
             )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
+    def test_sharded_micro_split_matches_single_chip(self, monkeypatch):
+        """The dense backend's uni-slot prefix (4-tuple dense_e_cap)
+        through make_sharded_fuse on a (views, pixels) mesh equals the
+        single-chip batched run exactly."""
+        import jax
+        from jax.sharding import Mesh
+
+        from semantic_meshes.rasterize import dense
+
+        devices = np.array(jax.devices())
+        if devices.size < 4:
+            pytest.skip("needs 4 devices (virtual cpu mesh)")
+        monkeypatch.setenv("SM_RASTERIZER", "dense")
+        mesh = Mesh(devices[:4].reshape(2, 2), ("views", "pixels"))
+
+        vertices, faces = testing.make_cube(40)  # sub-pixel at 128x96
+        NV, H, W, C = 4, 96, 128, 5
+        cams = testing.make_ring_cameras(num_views=NV, width=W, height=H)
+        rot, trans, fl, pp = stack_cameras(cams)
+        rng = np.random.default_rng(0)
+        probs = np.stack([testing.random_probs(rng, H, W, C)
+                          for _ in range(NV)])
+        perm, k = dense.uni_order(
+            vertices, faces, rot, trans, fl, pp, height=H, width=W
+        )
+        fp = np.asarray(faces)[perm]
+        pairs = max(
+            int(dense.candidate_count(
+                vertices, fp, rot[i], trans[i], fl[i], pp[i],
+                height=H, width=W, micro_split=int(k),
+            ))
+            for i in range(NV)
+        )
+        cap = (2 * pairs, 0, None, int(k))
+        kw = dict(num_primitives=len(faces), aggregator="sum",
+                  height=H, width=W)
+        ref, ov0 = distributed.fuse_views(
+            vertices, fp, rot, trans, fl, pp, probs, np.float32(0.5),
+            dense_e_cap=cap, **kw,
+        )
+        fuse = distributed.make_sharded_fuse(mesh, dense_e_cap=cap, **kw)
+        with mesh:
+            got, ov1 = fuse(vertices, fp, rot, trans, fl, pp, probs,
+                            np.float32(0.5))
+        assert int(ov0) == 0 and int(ov1) == 0
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-5
+        )
+
     def test_sharded_exact16_matches_single_chip(self, cube_scene,
                                                  monkeypatch):
         """The exact16 limb scatter inside shard_map (pixels sharded):
