@@ -220,11 +220,13 @@ def measure_preset(preset, repeats):
                 (vertices, faces, rot, trans, fl, pp, probs,
                  np.float32(0.5))
             )
+            # keep an auto-picked routing threshold for the tail rows
+            mm = dense_e_cap[2] if len(dense_e_cap) > 2 else None
             pairs_s = max(int(np.asarray(_dense.candidate_count(
                 vertices, faces, rot[i], trans[i], fl[i], pp[i],
-                height=height, width=width, micro_split=k,
+                height=height, width=width, micro_split=k, micro_max=mm,
             ))) for i in range(n_views))
-            dense_e_cap = (_dense.BUDGET_MARGIN * pairs_s, 0, None, k)
+            dense_e_cap = (_dense.BUDGET_MARGIN * pairs_s, 0, mm, k)
             print(f"# micro_split: k={k}/{len(faces)} uni rows, "
                   f"pairs={pairs_s}", file=sys.stderr, flush=True)
 
