@@ -229,8 +229,10 @@ def fuse_views_split(vertices, faces, rotations, translations,
     the result equals fuse_views while the micro fragment sorts pay ONE
     slot per sub-pixel triangle instead of micro_max^2.
 
-    Host-side data prep happens per call (probe + argsort + one (P, C)
-    inverse row gather); intended for the micro-dominated dense regime
+    Host-side data prep happens per call and costs exactly TWO device
+    syncs regardless of view count (one batched uni-mask scan, one
+    batched pair-budget scan) plus a host argsort and one (P, C) inverse
+    row gather; intended for the micro-dominated dense regime
     where a scene is fused across many views. clip_near is unsupported
     (the prefix permutes faces, not clip pieces)."""
     if clip_near:
@@ -246,14 +248,10 @@ def fuse_views_split(vertices, faces, rotations, translations,
         principal_points, height=height, width=width,
     )
     faces_p = jnp.asarray(faces[perm])
-    pairs = max(
-        int(_dense.candidate_count(
-            vertices, faces_p, rotations[i], translations[i],
-            focal_lengths[i], principal_points[i],
-            height=height, width=width, micro_split=int(k),
-        ))
-        for i in range(rotations.shape[0])
-    )
+    pairs = int(_dense.candidate_count_batch(
+        vertices, faces_p, rotations, translations, focal_lengths,
+        principal_points, height=height, width=width, micro_split=int(k),
+    ))
     acc, overflow = fuse_views(
         vertices, faces_p, rotations, translations, focal_lengths,
         principal_points, probs, images_equal_weight, weights,

@@ -849,12 +849,78 @@ def uni_eligible(vertices, faces, rotation, translation, focal_lengths,
         rotation, translation, focal_lengths, principal_point,
         face_vertices, clip_near,
     )
+    return _uni_from_setup(setup, height, width)
+
+
+def _uni_from_setup(setup, height, width):
     _, _, nx, ny = _micro_pixel_range(setup)
     onscreen = (
         (setup["xmax"] >= 0) & (setup["xmin"] < width)
         & (setup["ymax"] >= 0) & (setup["ymin"] < height)
     )
     return ~(setup["valid"] & onscreen) | ((nx <= 1) & (ny <= 1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "clip_near")
+)
+def uni_eligible_batch(vertices, faces, rotations, translations,
+                       focal_lengths, principal_points, face_vertices=None,
+                       *, height, width, clip_near=False):
+    """AND of uni_eligible over a camera batch (leading axis) in ONE
+    dispatch: a lax.scan over the views carries the running (T,) bool, so
+    memory stays O(T) and a scene needs one device->host sync instead of
+    one ~25 ms tunnel readback per view (1,700-frame ScanNet scenes paid
+    ~40 s of prep in the per-view loop this replaces)."""
+    verts = jnp.asarray(vertices, jnp.float32)
+    facs = jnp.asarray(faces, jnp.int32)
+
+    def step(uni, cam):
+        rot, trans, fl, pp = cam
+        setup = xla_rast._make_setup(
+            verts, facs, rot, trans, fl, pp, face_vertices, clip_near
+        )
+        return uni & _uni_from_setup(setup, height, width), None
+
+    uni0 = jnp.ones(facs.shape[0], bool)
+    uni, _ = jax.lax.scan(
+        step, uni0,
+        (rotations, translations, focal_lengths, principal_points),
+    )
+    return uni
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "clip_near", "micro_max",
+                              "micro_split")
+)
+def candidate_count_batch(vertices, faces, rotations, translations,
+                          focal_lengths, principal_points, y_offset=0,
+                          face_vertices=None, *, height, width,
+                          clip_near=False, micro_max=None,
+                          micro_split=None):
+    """max over a camera batch of candidate_count, in ONE dispatch (scan
+    carries the running max; O(T) memory). The budget probe for batched
+    pipelines — one sync per scene instead of one per view."""
+    _check_micro_max(micro_max)
+    verts = jnp.asarray(vertices, jnp.float32)
+    facs = jnp.asarray(faces, jnp.int32)
+    y_offset = jnp.asarray(y_offset, jnp.float32)
+
+    def step(best, cam):
+        rot, trans, fl, pp = cam
+        setup = xla_rast._make_setup(
+            verts, facs, rot, trans, fl, pp, face_vertices, clip_near
+        )
+        pairs = count_pairs(setup, height, width, y_offset, micro_max,
+                            micro_split)
+        return jnp.maximum(best, pairs), None
+
+    best, _ = jax.lax.scan(
+        step, jnp.int32(0),
+        (rotations, translations, focal_lengths, principal_points),
+    )
+    return best
 
 
 def uni_order(vertices, faces, rot, trans, fl, pp, *, height, width):
@@ -869,12 +935,9 @@ def uni_order(vertices, faces, rot, trans, fl, pp, *, height, width):
     should not use the split)."""
     import numpy as np
 
-    uni = np.ones(faces.shape[0], bool)
-    for i in range(rot.shape[0]):
-        uni &= np.asarray(uni_eligible(
-            vertices, faces, rot[i], trans[i], fl[i], pp[i],
-            height=height, width=width,
-        ))
+    uni = np.asarray(uni_eligible_batch(
+        vertices, faces, rot, trans, fl, pp, height=height, width=width,
+    ))
     return np.argsort(~uni, kind="stable"), int(uni.sum())
 
 

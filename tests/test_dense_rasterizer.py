@@ -372,6 +372,36 @@ class TestUniSlotPrefix:
                 clip_near=True,
             )
 
+    def test_batched_probes_equal_per_view_loop(self):
+        """uni_eligible_batch / candidate_count_batch (one scan dispatch,
+        one sync per scene) reproduce the per-view loops they replace —
+        the loops cost one ~25 ms tunnel readback PER VIEW on hardware."""
+        v, f = self._scene()
+        cams = testing.make_ring_cameras(num_views=4, width=256, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        loop_uni = np.ones(len(f), bool)
+        for i in range(4):
+            loop_uni &= np.asarray(dense.uni_eligible(
+                v, f, rot[i], trans[i], fl[i], pp[i], height=96, width=256,
+            ))
+        batch_uni = np.asarray(dense.uni_eligible_batch(
+            v, f, rot, trans, fl, pp, height=96, width=256,
+        ))
+        np.testing.assert_array_equal(batch_uni, loop_uni)
+        k = int(loop_uni.sum())
+        fp = f[np.argsort(~loop_uni, kind="stable")]
+        loop_pairs = max(
+            int(dense.candidate_count(
+                v, fp, rot[i], trans[i], fl[i], pp[i],
+                height=96, width=256, micro_split=k,
+            ))
+            for i in range(4)
+        )
+        batch_pairs = int(dense.candidate_count_batch(
+            v, fp, rot, trans, fl, pp, height=96, width=256, micro_split=k,
+        ))
+        assert batch_pairs == loop_pairs
+
     def test_facade_four_tuple(self):
         import semantic_meshes.rasterize as rast
 
