@@ -39,11 +39,15 @@ class Camera:
     focal_lengths: jax.Array
     principal_point: jax.Array
     resolution: tuple = field(metadata=dict(static=True), default=(0, 0))
+    distortion: jax.Array = None  # (4,) (k1, k2, p1, p2); zeros = pinhole
 
     def __init__(self, rotation, translation, resolution=None, focal_lengths=None,
-                 principal_point=None):
+                 principal_point=None, distortion=None):
         # Positional order matches the reference binding:
         # Camera(rotation, translation, resolution, focal_lengths, principal_point)
+        # `distortion` is a TPU-build extension (the reference supports only
+        # pinhole cameras, ref: include/semantic_meshes/render/Camera.h:9-12):
+        # canonical COLMAP (k1, k2, p1, p2), see geometry.distort_normalized.
         object.__setattr__(self, "rotation", np.asarray(rotation, np.float32))
         object.__setattr__(self, "translation", np.asarray(translation, np.float32))
         object.__setattr__(
@@ -54,6 +58,17 @@ class Camera:
         )
         res = np.asarray(resolution).reshape(2).astype(np.int64)
         object.__setattr__(self, "resolution", (int(res[0]), int(res[1])))
+        if distortion is None:
+            dist = np.zeros(4, np.float32)
+        else:
+            dist = np.asarray(distortion, np.float32).reshape(-1)
+            if dist.size > 4:
+                raise ValueError(
+                    f"distortion must be at most 4 params (k1, k2, p1, p2), "
+                    f"got {dist.size}"
+                )
+            dist = np.pad(dist, (0, 4 - dist.size))
+        object.__setattr__(self, "distortion", dist)
         if self.rotation.shape != (3, 3):
             raise ValueError(f"rotation must be (3, 3), got {self.rotation.shape}")
         if self.translation.shape != (3,):
@@ -75,18 +90,21 @@ class Camera:
 # order (rotation, translation, resolution, f, c) rather than field order.
 def _camera_flatten(c):
     return (
-        (c.rotation, c.translation, c.focal_lengths, c.principal_point),
+        (c.rotation, c.translation, c.focal_lengths, c.principal_point,
+         c.distortion),
         c.resolution,
     )
 
 
 def _camera_unflatten(resolution, children):
-    rotation, translation, focal_lengths, principal_point = children
+    (rotation, translation, focal_lengths, principal_point,
+     distortion) = children
     obj = object.__new__(Camera)
     object.__setattr__(obj, "rotation", rotation)
     object.__setattr__(obj, "translation", translation)
     object.__setattr__(obj, "focal_lengths", focal_lengths)
     object.__setattr__(obj, "principal_point", principal_point)
+    object.__setattr__(obj, "distortion", distortion)
     object.__setattr__(obj, "resolution", resolution)
     return obj
 
@@ -106,6 +124,15 @@ def stack_cameras(cameras):
         np.stack([c.focal_lengths for c in cameras]),
         np.stack([c.principal_point for c in cameras]),
     )
+
+
+def stack_distortions(cameras):
+    """(N, 4) stacked (k1, k2, p1, p2) per camera (zeros for pinhole)."""
+    return np.stack([
+        np.zeros(4, np.float32) if c.distortion is None
+        else np.asarray(c.distortion, np.float32)
+        for c in cameras
+    ])
 
 
 class Ply:
@@ -174,6 +201,7 @@ class Colmap:
             cam.resolution,
             cam.focal_lengths.astype(np.float32),
             cam.principal_point.astype(np.float32),
+            distortion=cam.distortion.astype(np.float32),
         )
 
     def getCameras(self):

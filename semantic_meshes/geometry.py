@@ -92,6 +92,75 @@ def pinhole_project(focal_lengths, principal_point, points_cam):
     return focal_lengths[..., None, :] * (xy / z) + principal_point[..., None, :]
 
 
+# --------------------------------------------------------------------------
+# Lens distortion (COLMAP SIMPLE_RADIAL / RADIAL / OPENCV family)
+# --------------------------------------------------------------------------
+#
+# The reference's Camera union covers only SIMPLE_PINHOLE and PINHOLE
+# (ref: include/semantic_meshes/render/Camera.h:9-12) and tells users to
+# undistort the workspace externally; COLMAP's *default* model is
+# SIMPLE_RADIAL, so real workspaces need this. Canonical parameter vector is
+# (k1, k2, p1, p2) on normalized camera coordinates — the OPENCV model's
+# distortion — with SIMPLE_RADIAL = (k1, 0, 0, 0) and RADIAL = (k1, k2, 0, 0),
+# matching COLMAP's camera_models.h Distortion() definitions.
+
+
+def distort_normalized(xy, dist):
+    """Forward lens distortion on normalized camera coords (x/z, y/z).
+
+    xy: (..., 2); dist: (..., 4) = (k1, k2, p1, p2), broadcastable against
+    xy's batch shape. Returns distorted normalized coords (..., 2):
+
+        r2 = x^2 + y^2;  radial = k1 r2 + k2 r2^2
+        x' = x (1 + radial) + 2 p1 x y + p2 (r2 + 2 x^2)
+        y' = y (1 + radial) + p1 (r2 + 2 y^2) + 2 p2 x y
+    """
+    xy = jnp.asarray(xy)
+    dist = jnp.asarray(dist)
+    x, y = xy[..., 0], xy[..., 1]
+    k1, k2, p1, p2 = (dist[..., i] for i in range(4))
+    x2, y2, xyp = x * x, y * y, x * y
+    r2 = x2 + y2
+    radial = k1 * r2 + k2 * r2 * r2
+    dx = x * radial + 2.0 * p1 * xyp + p2 * (r2 + 2.0 * x2)
+    dy = y * radial + p1 * (r2 + 2.0 * y2) + 2.0 * p2 * xyp
+    return xy + jnp.stack([dx, dy], axis=-1)
+
+
+def undistort_normalized(xy_distorted, dist, iters: int = 20):
+    """Invert distort_normalized by Newton iteration on the 2x2 Jacobian.
+
+    The TPU-shaped equivalent of COLMAP's IterativeUndistortion (Newton on
+    the residual, fixed iteration count so it jits to straight-line code;
+    20 iterations converge to f32 roundoff for any physically plausible
+    k1/k2/p1/p2). Elementwise over (..., 2) points, vmap/grid friendly.
+    """
+    xy_distorted = jnp.asarray(xy_distorted, jnp.float32)
+    dist = jnp.asarray(dist, jnp.float32)
+    k1, k2, p1, p2 = (dist[..., i] for i in range(4))
+
+    def step(_, xy):
+        x, y = xy[..., 0], xy[..., 1]
+        x2, y2, xyp = x * x, y * y, x * y
+        r2 = x2 + y2
+        radial = k1 * r2 + k2 * r2 * r2
+        dradial = 2.0 * k1 + 4.0 * k2 * r2  # d(radial)/d(r2) * 2
+        fx = x * (1.0 + radial) + 2.0 * p1 * xyp + p2 * (r2 + 2.0 * x2) \
+            - xy_distorted[..., 0]
+        fy = y * (1.0 + radial) + p1 * (r2 + 2.0 * y2) + 2.0 * p2 * xyp \
+            - xy_distorted[..., 1]
+        jxx = 1.0 + radial + x2 * dradial + 2.0 * p1 * y + 6.0 * p2 * x
+        jxy = xyp * dradial + 2.0 * p1 * x + 2.0 * p2 * y
+        jyy = 1.0 + radial + y2 * dradial + 6.0 * p1 * y + 2.0 * p2 * x
+        det = jxx * jyy - jxy * jxy
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        nx = x - (jyy * fx - jxy * fy) * inv_det
+        ny = y - (jxx * fy - jxy * fx) * inv_det
+        return jnp.stack([nx, ny], axis=-1)
+
+    return jax.lax.fori_loop(0, iters, step, xy_distorted)
+
+
 def look_at(eye, target, up):
     """Right-handed look-at -> (rotation, translation) world->camera, with the
     camera looking down +z (the projection convention used by the renderer).

@@ -44,6 +44,13 @@ class ColmapCamera:
     height: int
     focal_lengths: np.ndarray  # (2,) f64 — (fx, fy); SIMPLE_PINHOLE duplicates f
     principal_point: np.ndarray  # (2,) f64
+    # canonical (k1, k2, p1, p2) lens distortion on normalized coords
+    # (zeros for the pinhole models); see geometry.distort_normalized
+    distortion: np.ndarray = None
+
+    def __post_init__(self):
+        if self.distortion is None:
+            self.distortion = np.zeros(4)
 
     @property
     def resolution(self):
@@ -68,19 +75,36 @@ class ColmapImage:
 
 
 def _intrinsics_from_params(model_name, params):
-    """Extract pinhole focal lengths/principal point; reject non-pinhole
-    models like the reference does (its Camera union covers only
-    SIMPLE_PINHOLE and PINHOLE, ref: include/semantic_meshes/render/Camera.h:9-12).
+    """Extract (focal_lengths, principal_point, distortion) from a COLMAP
+    param vector. The reference rejects everything but the two pinhole
+    models (its Camera union, ref: include/semantic_meshes/render/Camera.h:9-12)
+    and tells users to undistort the workspace first; COLMAP's *default*
+    output model is SIMPLE_RADIAL, so the radial/OpenCV family is supported
+    here natively (distortion = canonical (k1, k2, p1, p2), consumed by
+    geometry.distort_normalized / the renderers' resampling layer). The
+    fisheye/FOV models use a different projection family and still raise.
     """
+    zero = np.zeros(4)
     if model_name == "SIMPLE_PINHOLE":
         f, cx, cy = params[:3]
-        return np.array([f, f]), np.array([cx, cy])
+        return np.array([f, f]), np.array([cx, cy]), zero
     if model_name == "PINHOLE":
         fx, fy, cx, cy = params[:4]
-        return np.array([fx, fy]), np.array([cx, cy])
+        return np.array([fx, fy]), np.array([cx, cy]), zero
+    if model_name == "SIMPLE_RADIAL":
+        f, cx, cy, k = params[:4]
+        return np.array([f, f]), np.array([cx, cy]), np.array([k, 0, 0, 0])
+    if model_name == "RADIAL":
+        f, cx, cy, k1, k2 = params[:5]
+        return np.array([f, f]), np.array([cx, cy]), np.array([k1, k2, 0, 0])
+    if model_name == "OPENCV":
+        fx, fy, cx, cy, k1, k2, p1, p2 = params[:8]
+        return (np.array([fx, fy]), np.array([cx, cy]),
+                np.array([k1, k2, p1, p2]))
     raise ColmapError(
-        f"unsupported COLMAP camera model {model_name}; only SIMPLE_PINHOLE "
-        "and PINHOLE are supported (undistort the workspace first)"
+        f"unsupported COLMAP camera model {model_name}; supported: "
+        "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV "
+        "(undistort fisheye workspaces first)"
     )
 
 
@@ -110,8 +134,10 @@ def read_cameras_bin(path):
             params = np.frombuffer(
                 _bin_read(f, 8 * nparams, path, "camera params"), dtype="<f8"
             )
-            fl, pp = _intrinsics_from_params(name, params)
-            cameras[cam_id] = ColmapCamera(cam_id, name, width, height, fl, pp)
+            fl, pp, dist = _intrinsics_from_params(name, params)
+            cameras[cam_id] = ColmapCamera(
+                cam_id, name, width, height, fl, pp, dist
+            )
     return cameras
 
 
@@ -134,7 +160,7 @@ def read_cameras_txt(path):
                     )
                 width, height = int(parts[2]), int(parts[3])
                 params = np.asarray([float(p) for p in parts[4:]])
-                fl, pp = _intrinsics_from_params(model_name, params)
+                fl, pp, dist = _intrinsics_from_params(model_name, params)
             except ColmapError:
                 raise
             except (IndexError, ValueError):
@@ -142,7 +168,7 @@ def read_cameras_txt(path):
                     f"{path}: malformed cameras.txt line: {line!r}"
                 ) from None
             cameras[cam_id] = ColmapCamera(
-                cam_id, model_name, width, height, fl, pp
+                cam_id, model_name, width, height, fl, pp, dist
             )
     return cameras
 
@@ -264,8 +290,16 @@ def write_cameras_txt(path, cameras):
         f.write("# Camera list with one line of data per camera:\n")
         f.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
         for cam in cameras.values():
+            k1, k2, p1, p2 = np.asarray(cam.distortion, dtype=float)
             if cam.model == "SIMPLE_PINHOLE":
                 params = [cam.focal_lengths[0], *cam.principal_point]
+            elif cam.model == "SIMPLE_RADIAL":
+                params = [cam.focal_lengths[0], *cam.principal_point, k1]
+            elif cam.model == "RADIAL":
+                params = [cam.focal_lengths[0], *cam.principal_point, k1, k2]
+            elif cam.model == "OPENCV":
+                params = [*cam.focal_lengths, *cam.principal_point,
+                          k1, k2, p1, p2]
             else:
                 params = [*cam.focal_lengths, *cam.principal_point]
             f.write(

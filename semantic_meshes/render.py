@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import geometry
-from .data import Camera, Colmap, Ply, stack_cameras
+from .data import Camera, Colmap, Ply, stack_cameras, stack_distortions
 from . import rasterize as rast
 
 logger = logging.getLogger("semantic_meshes")
@@ -325,10 +325,13 @@ class TrianglesRenderer:
     def getPrimitivesNum(self) -> int:
         return self._num_faces
 
-    def _dense_e_cap(self, height, width, rot, trans, fl, pp):
+    def _dense_e_cap(self, height, width, rot, trans, fl, pp, dist=None):
         """Adaptive candidate budget for the dense backend (None elsewhere
         or before the policy is consulted). rot..pp may be batched (N, ...)
-        — the probe then takes the max over the batch."""
+        — the probe then takes the max over the batch. For distorted
+        cameras pass `dist` so the probe sees the virtual-pinhole (scaled)
+        focal the render actually rasterizes under — the micro/streaming
+        routing depends on screen-space triangle size."""
         if not rast.uses_dense(self.backend, int(self.faces.shape[0])):
             return None
         rot = jnp.asarray(rot, jnp.float32)
@@ -337,6 +340,12 @@ class TrianglesRenderer:
         pp = jnp.asarray(pp, jnp.float32)
         if rot.ndim == 2:  # single camera -> batch of one
             rot, trans, fl, pp = rot[None], trans[None], fl[None], pp[None]
+        if dist is not None and np.any(np.asarray(dist)):
+            dist = jnp.asarray(dist, jnp.float32)
+            if dist.ndim == 1:
+                dist = jnp.broadcast_to(dist, (rot.shape[0], 4))
+            s = _distortion_scales(fl, pp, dist, height=height, width=width)
+            fl = fl * s[:, None]
         from .rasterize import dense as _dense
 
         if _dense.MICRO_AUTO:
@@ -373,16 +382,28 @@ class TrianglesRenderer:
         dense_e_cap = self._dense_e_cap(
             height, width, camera.rotation, camera.translation,
             camera.focal_lengths, camera.principal_point,
+            dist=camera.distortion,
         )
-        indices, depth, overflow = _render_triangles_jit(
-            self.vertices, self.faces, self.face_vertices,
-            camera.rotation, camera.translation, camera.focal_lengths,
-            camera.principal_point,
-            height=height, width=width,
-            max_tris_per_tile=self.max_tris_per_tile,
-            backend=self.backend, clip_near=self.clip_near,
-            dense_e_cap=dense_e_cap,
-        )
+        if _has_distortion([camera]):
+            indices, depth, overflow = _render_triangles_distorted_jit(
+                self.vertices, self.faces, self.face_vertices,
+                camera.rotation, camera.translation, camera.focal_lengths,
+                camera.principal_point, camera.distortion,
+                height=height, width=width,
+                max_tris_per_tile=self.max_tris_per_tile,
+                backend=self.backend, clip_near=self.clip_near,
+                dense_e_cap=dense_e_cap,
+            )
+        else:
+            indices, depth, overflow = _render_triangles_jit(
+                self.vertices, self.faces, self.face_vertices,
+                camera.rotation, camera.translation, camera.focal_lengths,
+                camera.principal_point,
+                height=height, width=width,
+                max_tris_per_tile=self.max_tris_per_tile,
+                backend=self.backend, clip_near=self.clip_near,
+                dense_e_cap=dense_e_cap,
+            )
         self._check_overflow(overflow, (height, width), dense_e_cap)
         return indices, depth  # (W, H) contract
 
@@ -419,7 +440,20 @@ class TrianglesRenderer:
         if any(_camera_hw(c) != (height, width) for c in cams):
             raise ValueError("render_many needs equal camera resolutions")
         rot, trans, fl, pp = stack_cameras(cams)
-        dense_e_cap = self._dense_e_cap(height, width, rot, trans, fl, pp)
+        dense_e_cap = self._dense_e_cap(
+            height, width, rot, trans, fl, pp,
+            dist=stack_distortions(cams) if _has_distortion(cams) else None,
+        )
+        if _has_distortion(cams):
+            idx, depth, overflow = _render_scan_distorted(
+                self.vertices, self.faces, self.face_vertices, rot, trans,
+                fl, pp, stack_distortions(cams), height=height, width=width,
+                max_tris_per_tile=self.max_tris_per_tile,
+                backend=self.backend, clip_near=self.clip_near,
+                dense_e_cap=dense_e_cap,
+            )
+            self._check_overflow(overflow, (height, width), dense_e_cap)
+            return idx.astype(jnp.uint32), depth
         tri, depth, overflow = _render_scan(
             self.vertices, self.faces, self.face_vertices, rot, trans, fl,
             pp, height=height, width=width,
@@ -665,17 +699,30 @@ class TexelsRenderer:
         dense_e_cap = self._dense_e_cap(
             height, width, camera.rotation, camera.translation,
             camera.focal_lengths, camera.principal_point,
+            dist=camera.distortion,
         )
-        indices, depth, overflow = _render_texels_jit(
-            self.vertices, self.faces, self.face_vertices,
-            self.resolutions, self.first_texel_index,
-            camera.rotation, camera.translation, camera.focal_lengths,
-            camera.principal_point,
-            height=height, width=width,
-            max_tris_per_tile=self.max_tris_per_tile,
-            backend=self.backend, num_primitives=self._primitive_num,
-            clip_near=self.clip_near, dense_e_cap=dense_e_cap,
-        )
+        if _has_distortion([camera]):
+            indices, depth, overflow = _render_texels_distorted_jit(
+                self.vertices, self.faces, self.face_vertices,
+                self.resolutions, self.first_texel_index,
+                camera.rotation, camera.translation, camera.focal_lengths,
+                camera.principal_point, camera.distortion,
+                height=height, width=width,
+                max_tris_per_tile=self.max_tris_per_tile,
+                backend=self.backend, num_primitives=self._primitive_num,
+                clip_near=self.clip_near, dense_e_cap=dense_e_cap,
+            )
+        else:
+            indices, depth, overflow = _render_texels_jit(
+                self.vertices, self.faces, self.face_vertices,
+                self.resolutions, self.first_texel_index,
+                camera.rotation, camera.translation, camera.focal_lengths,
+                camera.principal_point,
+                height=height, width=width,
+                max_tris_per_tile=self.max_tris_per_tile,
+                backend=self.backend, num_primitives=self._primitive_num,
+                clip_near=self.clip_near, dense_e_cap=dense_e_cap,
+            )
         self._check_overflow(overflow, (height, width), dense_e_cap)
         return indices, depth  # (W, H) contract
 
@@ -690,15 +737,28 @@ class TexelsRenderer:
         if any(_camera_hw(c) != (height, width) for c in cams):
             raise ValueError("render_many needs equal camera resolutions")
         rot, trans, fl, pp = stack_cameras(cams)
-        dense_e_cap = self._dense_e_cap(height, width, rot, trans, fl, pp)
-        idx, depth, overflow = _render_texels_scan(
-            self.vertices, self.faces, self.face_vertices,
-            self.resolutions, self.first_texel_index, rot, trans, fl, pp,
-            height=height, width=width,
-            max_tris_per_tile=self.max_tris_per_tile,
-            num_primitives=self._primitive_num, backend=self.backend,
-            clip_near=self.clip_near, dense_e_cap=dense_e_cap,
+        dense_e_cap = self._dense_e_cap(
+            height, width, rot, trans, fl, pp,
+            dist=stack_distortions(cams) if _has_distortion(cams) else None,
         )
+        if _has_distortion(cams):
+            idx, depth, overflow = _render_texels_scan_distorted(
+                self.vertices, self.faces, self.face_vertices,
+                self.resolutions, self.first_texel_index, rot, trans, fl,
+                pp, stack_distortions(cams), height=height, width=width,
+                max_tris_per_tile=self.max_tris_per_tile,
+                num_primitives=self._primitive_num, backend=self.backend,
+                clip_near=self.clip_near, dense_e_cap=dense_e_cap,
+            )
+        else:
+            idx, depth, overflow = _render_texels_scan(
+                self.vertices, self.faces, self.face_vertices,
+                self.resolutions, self.first_texel_index, rot, trans, fl,
+                pp, height=height, width=width,
+                max_tris_per_tile=self.max_tris_per_tile,
+                num_primitives=self._primitive_num, backend=self.backend,
+                clip_near=self.clip_near, dense_e_cap=dense_e_cap,
+            )
         self._check_overflow(overflow, (height, width), dense_e_cap)
         return idx, depth
 
@@ -825,6 +885,193 @@ def _texel_indices(vertices, faces, rotation, translation, focal_lengths,
         prim.astype(jnp.uint32),
         jnp.uint32(0xFFFFFFFF),
     )
+
+
+# --------------------------------------------------------------------------
+# Lens distortion (SIMPLE_RADIAL / RADIAL / OPENCV cameras)
+# --------------------------------------------------------------------------
+#
+# TPU-first design: the rasterizers stay pinhole-only (straight triangle
+# edges are what makes tiled rasterization work), and a distorted view is
+# rendered as (1) a pinhole render under a per-camera *virtual* pinhole whose
+# focal is shrunk just enough to contain every distorted pixel's ray, then
+# (2) one spatially-coherent gather that resamples the pinhole index/depth
+# images at each distorted pixel's undistorted ray — the on-device analogue
+# of COLMAP's image undistortion step that the reference requires users to
+# run externally (its Camera union is pinhole-only,
+# ref: include/semantic_meshes/render/Camera.h:9-12). Gathers from rendered
+# index images ride the fast coherent-gather path (~2 ms/view), and the whole
+# plan + render + resample compiles to ONE program per view.
+
+
+def _has_distortion(cameras):
+    """Host-side check (cameras carry concrete numpy distortion params)."""
+    for c in cameras:
+        d = getattr(c, "distortion", None)
+        if d is not None and np.any(np.asarray(d)):
+            return True
+    return False
+
+
+def _undistort_grid(fl, pp, dist, *, height, width):
+    """Undistorted normalized coords of every distorted pixel center
+    ((H, W, 2)) and the virtual-pinhole focal scale s <= 1 keeping
+    fl*s*n + pp strictly inside the (height, width) pinhole image."""
+    yy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+    xx = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+    nd = jnp.stack(
+        [(xx - pp[0]) / fl[0], (yy - pp[1]) / fl[1]], axis=-1
+    )
+    n = geometry.undistort_normalized(nd, dist)
+    # Robustness clamp: outside the lens's invertible domain (possible for
+    # barrel distortion past the fold radius) Newton can wander; bound the
+    # undistorted radius to 3x the largest distorted corner radius so one
+    # bad corner cannot collapse the virtual focal to ~0.
+    r_d = jnp.sqrt(nd[..., 0] ** 2 + nd[..., 1] ** 2)
+    r_cap = 3.0 * jnp.max(r_d)
+    r_n = jnp.sqrt(n[..., 0] ** 2 + n[..., 1] ** 2)
+    n = n * jnp.minimum(1.0, r_cap / jnp.maximum(r_n, 1e-20))[..., None]
+
+    def axis_scale(nv, f, c, size):
+        # largest s with 0.5 <= s*f*nv + c <= size - 0.5 for every pixel
+        s = jnp.where(
+            nv > 0,
+            (size - 0.5 - c) / (f * nv),
+            jnp.where(nv < 0, (0.5 - c) / (f * nv), jnp.inf),
+        )
+        return jnp.min(s)
+
+    s = jnp.minimum(
+        jnp.float32(1.0),
+        jnp.minimum(
+            axis_scale(n[..., 0], fl[0], pp[0], jnp.float32(width)),
+            axis_scale(n[..., 1], fl[1], pp[1], jnp.float32(height)),
+        ),
+    )
+    return n, s
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def _distortion_scales(fl, pp, dist, *, height, width):
+    """(N,) virtual-pinhole focal scales for a camera batch (vmapped
+    _undistort_grid, keeping only s) — used so budget probes match the
+    focal the distorted render rasterizes with."""
+    def one(f, p, d):
+        _, s = _undistort_grid(f, p, d, height=height, width=width)
+        return s
+
+    return jax.vmap(one)(fl, pp, dist)
+
+
+def _resample_wh(idx_wh, depth_wh, n, fl_s, pp):
+    """Nearest-sample the (W, H) pinhole index/depth images at the pinhole
+    pixel coords of each distorted pixel's ray; returns (W, H) outputs."""
+    px = fl_s[0] * n[..., 0] + pp[0]  # (H, W)
+    py = fl_s[1] * n[..., 1] + pp[1]
+    ix = jnp.clip(px.astype(jnp.int32), 0, idx_wh.shape[0] - 1)
+    iy = jnp.clip(py.astype(jnp.int32), 0, idx_wh.shape[1] - 1)
+    return idx_wh[ix, iy].T, depth_wh[ix, iy].T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile", "backend",
+                     "clip_near", "dense_e_cap"),
+)
+def _render_triangles_distorted_jit(vertices, faces, face_vertices, rot,
+                                    trans, fl, pp, dist, *, height, width,
+                                    max_tris_per_tile, backend,
+                                    clip_near=False, dense_e_cap=None):
+    """Distorted-camera triangle render: virtual-pinhole render + undistort
+    resample, one compiled program."""
+    n, s = _undistort_grid(fl, pp, dist, height=height, width=width)
+    fl_s = fl * s
+    idx_wh, depth_wh, overflow = _render_triangles_jit(
+        vertices, faces, face_vertices, rot, trans, fl_s, pp,
+        height=height, width=width, max_tris_per_tile=max_tris_per_tile,
+        backend=backend, clip_near=clip_near, dense_e_cap=dense_e_cap,
+    )
+    idx, depth = _resample_wh(idx_wh, depth_wh, n, fl_s, pp)
+    return idx, depth, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile", "backend",
+                     "num_primitives", "clip_near", "dense_e_cap"),
+)
+def _render_texels_distorted_jit(vertices, faces, face_vertices, resolutions,
+                                 first_texel_index, rot, trans, fl, pp, dist,
+                                 *, height, width, max_tris_per_tile, backend,
+                                 num_primitives, clip_near=False,
+                                 dense_e_cap=None):
+    n, s = _undistort_grid(fl, pp, dist, height=height, width=width)
+    fl_s = fl * s
+    idx_wh, depth_wh, overflow = _render_texels_jit(
+        vertices, faces, face_vertices, resolutions, first_texel_index,
+        rot, trans, fl_s, pp, height=height, width=width,
+        max_tris_per_tile=max_tris_per_tile, backend=backend,
+        num_primitives=num_primitives, clip_near=clip_near,
+        dense_e_cap=dense_e_cap,
+    )
+    idx, depth = _resample_wh(idx_wh, depth_wh, n, fl_s, pp)
+    return idx, depth, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile", "backend",
+                     "clip_near", "dense_e_cap"),
+)
+def _render_scan_distorted(vertices, faces, face_vertices, rot, trans, fl,
+                           pp, dist, *, height, width, max_tris_per_tile,
+                           backend=None, clip_near=False, dense_e_cap=None):
+    """Batched distorted render; returns (idx (N, W, H) u32, depth (N, W, H),
+    overflow) — note the per-view outputs are already (W, H), unlike
+    _render_scan whose consumers transpose."""
+    def step(ov, cam):
+        r, t, f, p, d = cam
+        idx, depth, ov_i = _render_triangles_distorted_jit(
+            vertices, faces, face_vertices, r, t, f, p, d,
+            height=height, width=width,
+            max_tris_per_tile=max_tris_per_tile, backend=backend,
+            clip_near=clip_near, dense_e_cap=dense_e_cap,
+        )
+        return ov + ov_i, (idx, depth)
+
+    ov, (idxs, depths) = jax.lax.scan(
+        step, jnp.int32(0), (rot, trans, fl, pp, dist)
+    )
+    return idxs, depths, ov
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_tris_per_tile",
+                     "num_primitives", "backend", "clip_near",
+                     "dense_e_cap"),
+)
+def _render_texels_scan_distorted(vertices, faces, face_vertices,
+                                  resolutions, first_texel_index, rot, trans,
+                                  fl, pp, dist, *, height, width,
+                                  max_tris_per_tile, num_primitives,
+                                  backend=None, clip_near=False,
+                                  dense_e_cap=None):
+    def step(ov, cam):
+        r, t, f, p, d = cam
+        idx, depth, ov_i = _render_texels_distorted_jit(
+            vertices, faces, face_vertices, resolutions, first_texel_index,
+            r, t, f, p, d, height=height, width=width,
+            max_tris_per_tile=max_tris_per_tile, backend=backend,
+            num_primitives=num_primitives, clip_near=clip_near,
+            dense_e_cap=dense_e_cap,
+        )
+        return ov + ov_i, (idx, depth)
+
+    ov, (idxs, depths) = jax.lax.scan(
+        step, jnp.int32(0), (rot, trans, fl, pp, dist)
+    )
+    return idxs, depths, ov
 
 
 @functools.partial(

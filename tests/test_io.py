@@ -179,11 +179,13 @@ class TestColmap:
     def test_unsupported_model_raises(self, tmp_path):
         import struct
 
+        # SIMPLE_RADIAL/RADIAL/OPENCV parse natively now
+        # (tests/test_distortion.py); the fisheye family still raises
         with open(tmp_path / "cameras.bin", "wb") as f:
             f.write(struct.pack("<Q", 1))
-            f.write(struct.pack("<ii", 1, 2))  # SIMPLE_RADIAL
+            f.write(struct.pack("<ii", 1, 9))  # RADIAL_FISHEYE
             f.write(struct.pack("<QQ", 10, 10))
-            f.write(np.zeros(4, "<f8").tobytes())
+            f.write(np.zeros(5, "<f8").tobytes())
         with pytest.raises(colmap_io.ColmapError):
             colmap_io.read_cameras(str(tmp_path))
 
