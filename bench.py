@@ -41,7 +41,14 @@ PRESETS = {
     # paper's texel mode at scale: 49k tris subdivided into ~1M texel
     # primitives -> the exact16 large-P fusion regime
     "texels": (64, 4, 1024, 768, 19),
+    # texel mode at the REFERENCE default texels_per_pixel=0.1
+    # (TexturedTriangleRenderer.h:87) on the scannet-preset mesh/frame —
+    # the configuration the paper's eval actually runs
+    "texels01": (91, 8, 1296, 968, 40),
 }
+
+# texels_per_pixel by preset (texels presets only)
+TPP = {"texels": 2.0, "texels01": 0.1}
 
 
 def main():
@@ -78,7 +85,7 @@ def main():
         detail["dense_seconds_per_batch"] = dense_detail[
             "seconds_per_batch"]
         detail["dense_overflow"] = dense_detail["overflow"]
-        for sub in ("scannet", "texels"):
+        for sub in ("scannet", "texels", "texels01"):
             sub_value, sub_detail = measure_preset(sub, sub_repeats)
             detail[f"{sub}_MPix_s"] = sub_value
             detail[f"{sub}_overflow"] = sub_detail["overflow"]
@@ -147,7 +154,7 @@ def measure_preset(preset, repeats):
 
     texel_params = None
     num_primitives = len(faces)
-    if preset == "texels":
+    if preset in TPP:
         import tempfile
 
         import semantic_meshes
@@ -156,7 +163,7 @@ def measure_preset(preset, repeats):
         tmp = tempfile.mkdtemp()
         write_mesh(tmp + "/m.ply", vertices, faces)
         renderer = semantic_meshes.render.texels(
-            semantic_meshes.data.Ply(tmp + "/m.ply"), cams, 2.0
+            semantic_meshes.data.Ply(tmp + "/m.ply"), cams, TPP[preset]
         )
         vertices = np.asarray(renderer.vertices)
         faces = np.asarray(renderer.faces)  # reordered for texel uv
