@@ -11,6 +11,7 @@ constructor params + a cursor for "how many views are already fused".
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -39,14 +40,19 @@ def save_aggregator(path, aggregator: MeshAggregator, views_done: int = 0,
         views_done=int(views_done),
         extra=extra or {},
     )
-    # write through a file handle: np.savez_compressed(path, ...) silently
-    # appends ".npz" to extensionless paths, breaking load(path)
-    with open(path, "wb") as f:
+    # Crash-safe: write to a sibling temp file and os.replace — a SIGKILL
+    # mid-write must never leave a truncated file at `path` (a resume
+    # would die on it; caught by the sigkill test in test_eval_scannet.py).
+    # Also write through a file handle: np.savez_compressed(path, ...)
+    # silently appends ".npz" to extensionless paths, breaking load(path).
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
         np.savez_compressed(
             f,
             state=np.asarray(aggregator.state),
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         )
+    os.replace(tmp, path)
 
 
 def load_aggregator(path):

@@ -314,6 +314,89 @@ def test_eval_checkpoint_resume(scannet_dir, tmp_path):
     assert not list(ck.glob("agg-*.npz"))
 
 
+def test_eval_checkpoint_sigkill_resume(scannet_dir, tmp_path):
+    """A hard SIGKILL mid-run (no cooperative crash hook, no atexit, no
+    flush) followed by a resume must still produce results identical to an
+    uninterrupted run — the crash-safe write ordering claim under a real
+    kill. The kill fires as soon as the first checkpoint manifest appears
+    on disk, i.e. mid-scene-1 fusion."""
+    import signal
+    import time
+
+    import yaml
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+
+    def cmd(out, extra):
+        return [
+            sys.executable,
+            os.path.join(REPO, "eval-scannet", "eval_scannet.py"),
+            "--scannet", str(scannet_dir),
+            "--model", "probs",
+            "--probs_dir", str(scannet_dir / "probs"),
+            "--aggregator", "sum",
+            "--output", str(out),
+        ] + extra
+
+    ref_out = tmp_path / "ref"
+    proc = subprocess.run(
+        cmd(ref_out, []), env=env, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    with open(ref_out / "run-1.yaml") as f:
+        ref = yaml.safe_load(f)
+
+    ck = tmp_path / "ckpt"
+    out = tmp_path / "resumed"
+    child = subprocess.Popen(
+        cmd(out, ["--checkpoint", str(ck), "--checkpoint_every", "1"]),
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 600
+    try:
+        while not (ck / "manifest.npz").is_file():
+            if child.poll() is not None:
+                pytest.fail(
+                    f"eval exited (rc={child.returncode}) before the first "
+                    "checkpoint was written"
+                )
+            if time.time() > deadline:
+                pytest.fail("no checkpoint appeared within 600 s")
+            time.sleep(0.05)
+        child.send_signal(signal.SIGKILL)
+        child.wait(timeout=60)
+    finally:
+        if child.poll() is None:
+            child.kill()
+    assert child.returncode == -signal.SIGKILL
+    assert not (out / "run-1.yaml").exists()
+
+    proc = subprocess.run(
+        cmd(out, ["--checkpoint", str(ck), "--checkpoint_every", "1"]),
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "Resuming" in proc.stdout
+    with open(out / "run-1.yaml") as f:
+        got = yaml.safe_load(f)
+
+    assert got["params"] == ref["params"]
+    for group in ("vertex", "image_network", "image_fused"):
+        for key in ("accuracy", "mean_iou"):
+            assert got["metrics"][group][key] == pytest.approx(
+                ref["metrics"][group][key], abs=1e-6
+            ), (group, key)
+        np.testing.assert_allclose(
+            np.asarray(got["metrics"][group]["confusion_matrix"]),
+            np.asarray(ref["metrics"][group]["confusion_matrix"]),
+            atol=1e-3,
+        )
+
+
 def test_eval_tfcv_stub_backend(scannet_dir, tmp_path):
     """--model tfcv plumbing exercised end-to-end against the numpy
     tfcv/tensorflow stubs in tests/_tfcv_stub (VERDICT r1: without this the
