@@ -211,13 +211,16 @@ def measure_preset(preset, repeats):
             dense_e_cap = (2 * int(stats[:, 0].max()),
                            2 * int(stats[:, 1].max()))
 
-        if os.environ.get("SM_MICRO_SPLIT") == "1" and texel_params is None:
-            # uni-slot prefix A/B (dense.rasterize micro_split): permute
+        if (os.environ.get("SM_MICRO_SPLIT", "1") == "1"
+                and texel_params is None):
+            # uni-slot prefix (dense.rasterize micro_split): permute
             # faces so triangles sub-pixel in EVERY view come first —
             # they then cost 1 fragment slot instead of micro_max^2. The
             # fused accumulator rows are in permuted-face space; the
             # bench only measures throughput, a real consumer un-permutes
-            # once per scene.
+            # once per scene. DEFAULT ON since the round-4 A/B/A on v5e:
+            # dense preset 22.66 / 24.13 / 22.66 MPix/s (off/on/off, +6.5%,
+            # overflow 0); SM_MICRO_SPLIT=0 opts out.
             order, k = _dense.uni_order(
                 vertices, faces, rot, trans, fl, pp,
                 height=height, width=width,
