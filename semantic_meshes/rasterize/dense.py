@@ -123,17 +123,25 @@ def _check_micro_max(micro_max):
 # alpha = per (tile, triangle) pair (streaming kernel full-tile test +
 # packed-table gather), beta = per fragment-sort row (two 3-operand sorts
 # + slot arithmetic), gamma = per binning-sort row, paid only while any
-# pairs exist (pairs == 0 skips binning + kernel entirely). Defaults are
-# derived from recorded v5e standalone phase timings (docs/PERFORMANCE.md):
-# beta = 21 ms / 2.8M micro z-resolve rows ~ 7.5; gamma = 14 ms / 2M
-# binning-sort rows ~ 7; alpha = scannet rasterize residual after those
-# two terms, ~9.4 ms / 107k pairs ~ 88. Standalone phases do NOT compose
-# in-pipeline (XLA overlaps them inside the per-view scan) — re-fit from
-# the three fixed-threshold microbench_scannet runs before trusting auto
-# as a default.
+# pairs exist (pairs == 0 skips binning + kernel entirely).
+#
+# alpha/beta defaults are the round-4 IN-PIPELINE fit: the scannet-preset
+# e2e bench at fixed SM_MICRO_MAX=2/3/4 measured 45.53/44.72/46.51
+# ms/view (region minimum, v5e, same session); with the preset's exact
+# counts (pairs 106727/44160/11975, margin-capped fragment rows
+# 150392/894348/1589952, binning rows constant at 496860) the three
+# equations solve exactly to alpha = 97, beta = 7.05 — within 10% of the
+# standalone-phase estimates (88, 7.5), so the linear model survives
+# XLA's in-pipeline overlap. Under the fit the model reproduces the
+# measured ordering (picks 3 at scannet; every other preset shape is
+# routing-degenerate: small/default/large have zero micro triangles,
+# dense is all-micro at every threshold). gamma is NOT identifiable from
+# those runs (pairs > 0 in all three, so the binning term is constant)
+# and keeps its standalone estimate; it only prices the pairs == 0
+# binning-skip credit.
 ROUTING_THRESHOLDS = (2, 3, 4, 5)
-ROUTE_ALPHA = float(os.environ.get("SM_ROUTE_ALPHA", "88"))
-ROUTE_BETA = float(os.environ.get("SM_ROUTE_BETA", "7.5"))
+ROUTE_ALPHA = float(os.environ.get("SM_ROUTE_ALPHA", "97"))
+ROUTE_BETA = float(os.environ.get("SM_ROUTE_BETA", "7.05"))
 ROUTE_GAMMA = float(os.environ.get("SM_ROUTE_GAMMA", "7"))
 
 K_SPAN = 5  # 4 span slots + 1 global-bucket slot per triangle
