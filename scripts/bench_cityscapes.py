@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""End-to-end timing of the flagship demo at Cityscapes scale.
+
+Builds a synthetic scene at --width x --height (default 2048x1024, the
+Cityscapes frame size) with 19-class precomputed probability maps on
+disk, then times `scripts/colorize_cityscapes_mesh.py --probs` over it
+as a subprocess — the whole demo including process start, COLMAP/PLY
+parsing, per-image PNG + .npy IO, render, fusion, and the colorized PLY
+write. This is the unblocked format-level stand-in for the reference's
+tfcv leg (ref: python/scripts/colorize_cityscapes_mesh.py:39-43): the 2D
+model is external by design (ref: README.md:24-29 step 2) and its output
+is exactly these per-image probability maps.
+
+Number to beat: the reference reports ~2 s/image for the same demo on an
+RTX 6000 host install (ref: README.md:91), model inference included; our
+--probs leg excludes inference (it is precomputed on disk) but pays the
+full ~76 MB/image float16 probs read back from disk.
+
+Prints one JSON line. Usage:
+    python scripts/bench_cityscapes.py [--views 20] [--subdivisions 64]
+        [--width 2048 --height 1024] [--keep DIR]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_scene(root, *, views, subdivisions, width, height, classes=19):
+    """Cube mesh + COLMAP text workspace + per-view probs (.npy f16) +
+    PNG images, mirroring tests/test_scripts.py's fixture at scale."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from semantic_meshes import testing
+    from semantic_meshes.io import colmap as cio
+    from semantic_meshes.io.ply import write_mesh
+
+    os.makedirs(root, exist_ok=True)
+    vertices, faces = testing.make_cube(subdivisions)
+    write_mesh(os.path.join(root, "mesh.ply"), vertices, faces)
+    cams = testing.make_ring_cameras(
+        num_views=views, width=width, height=height
+    )
+
+    def rot_to_quat(m):
+        w = np.sqrt(max(1.0 + m[0, 0] + m[1, 1] + m[2, 2], 0.0)) / 2
+        return np.array(
+            [w, (m[2, 1] - m[1, 2]) / (4 * w),
+             (m[0, 2] - m[2, 0]) / (4 * w),
+             (m[1, 0] - m[0, 1]) / (4 * w)]
+        )
+
+    ws = os.path.join(root, "ws")
+    os.makedirs(ws, exist_ok=True)
+    cameras = {
+        1: cio.ColmapCamera(
+            1, "PINHOLE", width, height,
+            np.array([0.9 * height, 0.9 * height]),
+            np.array([width / 2, height / 2]),
+        )
+    }
+    images = {
+        i: cio.ColmapImage(
+            i, rot_to_quat(np.asarray(c.rotation, np.float64)),
+            np.asarray(c.translation, np.float64), 1, f"v{i:03d}.png",
+        )
+        for i, c in enumerate(cams, 1)
+    }
+    cio.write_cameras_txt(os.path.join(ws, "cameras.txt"), cameras)
+    cio.write_images_txt(os.path.join(ws, "images.txt"), images)
+
+    imgdir = os.path.join(root, "images")
+    probsdir = os.path.join(root, "probs")
+    os.makedirs(imgdir, exist_ok=True)
+    os.makedirs(probsdir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (height, width, 3), np.uint8)
+    for i in range(1, views + 1):
+        # plausible peaked distributions (softmax of random logits), the
+        # same statistics a real model emits; float16 like
+        # scripts/precompute_probs.py writes
+        logits = rng.normal(0, 2, (height, width, classes)).astype(
+            np.float32
+        )
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = (e / e.sum(-1, keepdims=True)).astype(np.float16)
+        np.save(os.path.join(probsdir, f"v{i:03d}.npy"), probs)
+        imageio.imwrite(os.path.join(imgdir, f"v{i:03d}.png"), img)
+    return len(faces)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=20)
+    ap.add_argument("--subdivisions", type=int, default=64)
+    ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--aggregator", default="sum")
+    ap.add_argument("--keep", help="scene directory (reused if populated)")
+    args = ap.parse_args()
+
+    root = args.keep or tempfile.mkdtemp(prefix="sm_cityscapes_")
+    marker = os.path.join(root, "images", f"v{args.views:03d}.png")
+    if not os.path.exists(marker):
+        t0 = time.time()
+        faces = build_scene(
+            root, views=args.views, subdivisions=args.subdivisions,
+            width=args.width, height=args.height,
+        )
+        build_s = time.time() - t0
+    else:
+        faces, build_s = 12 * args.subdivisions**2, 0.0
+
+    out = os.path.join(root, "colorized.ply")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "colorize_cityscapes_mesh.py"),
+            "--colmap", os.path.join(root, "ws"),
+            "--input_ply", os.path.join(root, "mesh.ply"),
+            "--images", os.path.join(root, "images"),
+            "--output_ply", out,
+            "--probs", os.path.join(root, "probs"),
+            "--aggregator", args.aggregator,
+        ],
+        env=env, capture_output=True, text=True,
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout + proc.stderr)
+        sys.exit(1)
+    if not os.path.exists(out):
+        sys.stderr.write("no output PLY\n")
+        sys.exit(1)
+
+    print(json.dumps({
+        "metric": "cityscapes_demo_s_per_image",
+        "value": round(wall / args.views, 3),
+        "unit": "s/image (end-to-end incl. process start + IO)",
+        "vs_reference_2s": round(2.0 / (wall / args.views), 1),
+        "detail": {
+            "views": args.views,
+            "resolution": [args.width, args.height],
+            "triangles": faces,
+            "total_wall_s": round(wall, 1),
+            "scene_build_s": round(build_s, 1),
+            "probs_mb_per_image": round(
+                args.width * args.height * 19 * 2 / 1e6, 1
+            ),
+            "scene_dir": root,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
