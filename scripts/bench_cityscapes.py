@@ -29,6 +29,12 @@ import sys
 import tempfile
 import time
 
+# the parent only builds the scene (numpy); pin it to CPU so the chip is
+# free for the timed child (same pattern as scripts/tpu_resume_killtest.py
+# — the tunneled TPU is single-tenant)
+_user_platform = os.environ.get("SM_PLATFORM")
+os.environ.setdefault("SM_PLATFORM", "cpu")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -122,6 +128,10 @@ def main():
     out = os.path.join(root, "colorized.ply")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if _user_platform is None:
+        env.pop("SM_PLATFORM", None)  # child: environment default (TPU)
+    env.setdefault("SM_COMPILE_CACHE",
+                   os.path.expanduser("~/.cache/sm_xla"))
     t0 = time.time()
     proc = subprocess.run(
         [

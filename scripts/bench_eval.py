@@ -21,6 +21,12 @@ import sys
 import tempfile
 import time
 
+# the parent only builds the scene (numpy); pin it to CPU so the chip is
+# free for the timed child (same pattern as scripts/tpu_resume_killtest.py
+# — the tunneled TPU is single-tenant)
+_user_platform = os.environ.get("SM_PLATFORM")
+os.environ.setdefault("SM_PLATFORM", "cpu")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -72,6 +78,8 @@ def main():
     if args.texels:
         cmd += ["--mode", "texels"]
     env = dict(os.environ)
+    if _user_platform is None:
+        env.pop("SM_PLATFORM", None)  # child: environment default (TPU)
     env.setdefault("SM_COMPILE_CACHE",
                    os.path.expanduser("~/.cache/sm_xla"))
     t0 = time.perf_counter()
