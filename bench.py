@@ -196,6 +196,7 @@ def measure_preset(preset, repeats):
             pairs, micro, m = _dense.pick_route(curve, len(faces))
             dense_e_cap = (_dense.BUDGET_MARGIN * pairs,
                            _dense.BUDGET_MARGIN * micro, m)
+            micro_cnt, mm = micro, m
             print(f"# auto routing: micro_max={m} "
                   f"(curve={curve.tolist()})", file=sys.stderr, flush=True)
         else:
@@ -210,6 +211,7 @@ def measure_preset(preset, repeats):
             # micro and the dense path skips binning entirely
             dense_e_cap = (2 * int(stats[:, 0].max()),
                            2 * int(stats[:, 1].max()))
+            micro_cnt, mm = int(stats[:, 1].max()), None
 
         if (os.environ.get("SM_MICRO_SPLIT", "1") == "1"
                 and texel_params is None):
@@ -218,27 +220,35 @@ def measure_preset(preset, repeats):
             # they then cost 1 fragment slot instead of micro_max^2. The
             # fused accumulator rows are in permuted-face space; the
             # bench only measures throughput, a real consumer un-permutes
-            # once per scene. DEFAULT ON since the round-4 A/B/A on v5e:
-            # dense preset 22.66 / 24.13 / 22.66 MPix/s (off/on/off, +6.5%,
-            # overflow 0); SM_MICRO_SPLIT=0 opts out.
+            # once per scene. Applied only where the row-volume gate says
+            # it wins (split forfeits micro compaction — the v5e A/B/A:
+            # dense preset 22.66/24.13/22.66 MPix/s off/on/off, while an
+            # UNGATED split regressed scannet 27.55 -> 22.97 by paying
+            # mm^2*T uncompacted fragment rows). SM_MICRO_SPLIT=0 opts
+            # out entirely; the library pipeline with the same gate is
+            # distributed.fuse_views_split.
             order, k = _dense.uni_order(
                 vertices, faces, rot, trans, fl, pp,
                 height=height, width=width,
             )
-            faces = faces[order]
-            dev_args = jax.device_put(
-                (vertices, faces, rot, trans, fl, pp, probs,
-                 np.float32(0.5))
-            )
-            # keep an auto-picked routing threshold for the tail rows
-            mm = dense_e_cap[2] if len(dense_e_cap) > 2 else None
-            pairs_s = max(int(np.asarray(_dense.candidate_count(
-                vertices, faces, rot[i], trans[i], fl[i], pp[i],
-                height=height, width=width, micro_split=k, micro_max=mm,
-            ))) for i in range(n_views))
-            dense_e_cap = (_dense.BUDGET_MARGIN * pairs_s, 0, mm, k)
-            print(f"# micro_split: k={k}/{len(faces)} uni rows, "
-                  f"pairs={pairs_s}", file=sys.stderr, flush=True)
+            if _dense.split_wins(k, len(faces), micro_cnt, mm):
+                faces = faces[order]
+                dev_args = jax.device_put(
+                    (vertices, faces, rot, trans, fl, pp, probs,
+                     np.float32(0.5))
+                )
+                pairs_s = max(int(np.asarray(_dense.candidate_count(
+                    vertices, faces, rot[i], trans[i], fl[i], pp[i],
+                    height=height, width=width, micro_split=k,
+                    micro_max=mm,
+                ))) for i in range(n_views))
+                dense_e_cap = (_dense.BUDGET_MARGIN * pairs_s, 0, mm, k)
+                print(f"# micro_split: k={k}/{len(faces)} uni rows, "
+                      f"pairs={pairs_s}", file=sys.stderr, flush=True)
+            else:
+                print(f"# micro_split: skipped (k={k}/{len(faces)} uni "
+                      f"rows, micro={micro_cnt} — compaction wins)",
+                      file=sys.stderr, flush=True)
 
     def run_async():
         if texel_params is not None:

@@ -10,6 +10,14 @@ the first (compiling) frame by using enough frames to amortize.
 
 Usage: python scripts/bench_eval.py [--subdivisions 60] [--frames 40]
            [--width 1296] [--height 968] [--model jax-unet|probs]
+           [--scenes 1] [--graphs]
+
+--scenes N builds an N-scene sweep (slightly varied mesh sizes — the
+eval's size bucketing keeps them on shared compiled programs) and the
+eval aggregates metrics across all of them; --graphs then runs
+eval-scannet/create_scannet_eval_graphs.py over the result YAMLs,
+demonstrating the full sweep -> YAML -> paper-plots pipeline on the
+current device (ref: eval-scannet/create_scannet_eval_graphs.py).
 """
 
 import argparse
@@ -41,6 +49,10 @@ def main():
                     choices=["jax-unet", "probs"])
     ap.add_argument("--aggregator", default="mul")
     ap.add_argument("--texels", action="store_true")
+    ap.add_argument("--scenes", type=int, default=1)
+    ap.add_argument("--graphs", action="store_true",
+                    help="run create_scannet_eval_graphs.py on the "
+                         "result YAMLs afterwards")
     ap.add_argument("--keep", help="directory to build the scene in "
                                    "(reused if it already exists)")
     args = ap.parse_args()
@@ -48,21 +60,31 @@ def main():
     from semantic_meshes import testing
 
     root = args.keep or tempfile.mkdtemp(prefix="sm_bench_eval_")
-    name = "scene0000_00"
-    scene_sens = os.path.join(root, "scans", name, f"{name}.sens")
-    if not os.path.exists(scene_sens):
+    built = []
+    for s in range(args.scenes):
+        name = f"scene{s:04d}_00"
+        scene_sens = os.path.join(root, "scans", name, f"{name}.sens")
+        if os.path.exists(scene_sens):
+            continue
         os.makedirs(os.path.join(root, "scans"), exist_ok=True)
         testing.write_scannet_label_tsv(
             os.path.join(root, "scannetv2-labels.combined.tsv"))
         t0 = time.perf_counter()
+        # vary mesh sizes across the sweep (within one size bucket's
+        # reach, so the eval's bucketing shares compiled programs) and
+        # make later scenes' predictions noisier so the fused-vs-network
+        # delta in the graphs is non-degenerate
         faces, views = testing.build_synthetic_scannet_scene(
-            root, name, subdivisions=args.subdivisions,
+            root, name, subdivisions=args.subdivisions + 2 * s,
             num_views=args.frames, width=args.width, height=args.height,
             write_probs=(args.model == "probs"),
+            prob_noise=0.2 if args.model == "probs" else 0.0,
+            noise_seed=s,
         )
-        print(json.dumps({"scene_built": {"faces": faces, "frames": views,
-                          "seconds": round(time.perf_counter() - t0, 1)}}),
-              flush=True)
+        built.append({"scene": name, "faces": faces, "frames": views,
+                      "seconds": round(time.perf_counter() - t0, 1)})
+    if built:
+        print(json.dumps({"scenes_built": built}), flush=True)
 
     out = os.path.join(root, "results")
     cmd = [
@@ -96,14 +118,34 @@ def main():
     )
     timers = {k: {"total_s": float(t), "calls": int(n),
                   "ms_per_call": float(ms)} for k, t, n, ms in m}
-    print(json.dumps({
+    result = {
         "metric": "eval_e2e",
+        "scenes": args.scenes,
         "frames": args.frames,
         "model": args.model,
         "aggregator": args.aggregator,
         "total_wall_s": round(wall, 1),
         "timers": timers,
-    }), flush=True)
+    }
+
+    if args.graphs:
+        t0 = time.perf_counter()
+        gproc = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "eval-scannet",
+                          "create_scannet_eval_graphs.py"),
+             "--path", out, "--min_scenes", "1"],
+            env=env, capture_output=True, text=True,
+        )
+        if gproc.returncode != 0:
+            sys.stderr.write(gproc.stdout + gproc.stderr)
+            raise SystemExit(f"graphs failed rc={gproc.returncode}")
+        result["graphs"] = {
+            "seconds": round(time.perf_counter() - t0, 1),
+            "files": sorted(f for f in os.listdir(out)
+                            if f.endswith((".png", ".csv"))),
+        }
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -231,10 +231,18 @@ def fuse_views_split(vertices, faces, rotations, translations,
 
     Host-side data prep happens per call and costs exactly TWO device
     syncs regardless of view count (one batched uni-mask scan, one
-    batched pair-budget scan) plus a host argsort and one (P, C) inverse
+    batched budget-stats scan) plus a host argsort and one (P, C) inverse
     row gather; intended for the micro-dominated dense regime
     where a scene is fused across many views. clip_near is unsupported
-    (the prefix permutes faces, not clip pieces)."""
+    (the prefix permutes faces, not clip pieces).
+
+    The split is applied only where it wins: micro_split forfeits micro
+    compaction (mutually exclusive in rasterize()), so on scenes with few
+    uni rows and few micro triangles it LOSES (measured 17% on the
+    scannet bench preset). When `rasterize.dense.split_wins` says
+    compaction's fragment-row volume is smaller, this falls back to plain
+    fuse_views with right-sized compaction budgets — same result, no
+    permutation, never slower than either fixed choice."""
     if clip_near:
         raise ValueError("fuse_views_split does not support clip_near "
                          "(the uni prefix permutes faces, not clip pieces)")
@@ -248,10 +256,22 @@ def fuse_views_split(vertices, faces, rotations, translations,
         principal_points, height=height, width=width,
     )
     faces_p = jnp.asarray(faces[perm])
-    pairs = int(_dense.candidate_count_batch(
+    stats = np.asarray(_dense.candidate_stats_batch(
         vertices, faces_p, rotations, translations, focal_lengths,
         principal_points, height=height, width=width, micro_split=int(k),
+        micro_max=micro_max,
     ))
+    pairs, micro = int(stats[0]), int(stats[1])
+    if not _dense.split_wins(k, faces.shape[0], micro, micro_max):
+        return fuse_views(
+            vertices, jnp.asarray(faces), rotations, translations,
+            focal_lengths, principal_points, probs, images_equal_weight,
+            weights, num_primitives=num_primitives, aggregator=aggregator,
+            height=height, width=width,
+            dense_e_cap=(_dense.BUDGET_MARGIN * pairs,
+                         _dense.BUDGET_MARGIN * micro, micro_max),
+            **kwargs,
+        )
     acc, overflow = fuse_views(
         vertices, faces_p, rotations, translations, focal_lengths,
         principal_points, probs, images_equal_weight, weights,

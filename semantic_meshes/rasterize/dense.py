@@ -931,6 +931,77 @@ def candidate_count_batch(vertices, faces, rotations, translations,
     return best
 
 
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "clip_near", "micro_max",
+                              "micro_split")
+)
+def candidate_stats_batch(vertices, faces, rotations, translations,
+                          focal_lengths, principal_points, y_offset=0,
+                          face_vertices=None, *, height, width,
+                          clip_near=False, micro_max=None,
+                          micro_split=None):
+    """Elementwise max over a camera batch of candidate_stats, in ONE
+    dispatch: a (2,) int32 of (max pairs, max micro count) — everything
+    the budget AND the split-vs-compaction decision need, one sync per
+    scene."""
+    _check_micro_max(micro_max)
+    verts = jnp.asarray(vertices, jnp.float32)
+    facs = jnp.asarray(faces, jnp.int32)
+    y_offset = jnp.asarray(y_offset, jnp.float32)
+
+    def step(best, cam):
+        rot, trans, fl, pp = cam
+        setup = xla_rast._make_setup(
+            verts, facs, rot, trans, fl, pp, face_vertices, clip_near
+        )
+        micro, small, big, _, _, span_h, span_w = _classify(
+            setup, height, width, y_offset, micro_max, micro_split
+        )
+        stats = jnp.stack([
+            _pair_count(small, big, span_h, span_w),
+            jnp.sum(micro.astype(jnp.int32)),
+        ])
+        return jnp.maximum(best, stats), None
+
+    best, _ = jax.lax.scan(
+        step, jnp.zeros(2, jnp.int32),
+        (rotations, translations, focal_lengths, principal_points),
+    )
+    return best
+
+
+def split_frag_rows(k, n_setup_rows, micro_max=None):
+    """Fragment-sort rows under the uni-slot prefix (micro_split=k):
+    one slot per uni row, micro_max^2 per remaining row — compaction is
+    unavailable (mutually exclusive with micro_split in rasterize())."""
+    m = MICRO_MAX if micro_max is None else int(micro_max)
+    return int(k) + m * m * (int(n_setup_rows) - int(k))
+
+
+def compact_frag_rows(micro, n_setup_rows, micro_max=None):
+    """Fragment-sort rows under micro compaction at the cap policy's
+    budget margin (the same estimate pick_micro_max prices)."""
+    m = MICRO_MAX if micro_max is None else int(micro_max)
+    return m * m * min(BUDGET_MARGIN * int(micro), int(n_setup_rows))
+
+
+def split_wins(k, n_setup_rows, micro, micro_max=None):
+    """True iff the uni-slot prefix yields fewer fragment-sort rows than
+    micro compaction at this routing threshold. The two are mutually
+    exclusive, so every split consumer must make this choice; fragment
+    volume is the only term that differs (pair counts are identical —
+    uni rows are sub-pixel, hence micro-class at any threshold).
+
+    Measured basis (v5e, round 4, bench presets): the dense preset
+    (k/T = 0.82, all-micro — compaction is a no-op) wins with the split,
+    22.66 -> 24.13 MPix/s; the scannet preset (k = 0, micro/T = 0.09 at
+    threshold 2) REGRESSED 27.55 -> 22.97 under an unconditional split
+    because it forfeited compaction (397k fragment rows vs 70k). This
+    gate picks the winner in both regimes."""
+    return (split_frag_rows(k, n_setup_rows, micro_max)
+            < compact_frag_rows(micro, n_setup_rows, micro_max))
+
+
 def uni_order(vertices, faces, rot, trans, fl, pp, *, height, width):
     """The micro_split caller recipe in one call: AND uni_eligible over a
     camera batch (leading axis), stable-sort eligible rows first.

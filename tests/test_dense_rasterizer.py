@@ -357,6 +357,76 @@ class TestUniSlotPrefix:
             assert int(ov0) == 0 and int(ov1) == 0
             np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
 
+    def test_split_wins_gate(self):
+        """The split-vs-compaction row-volume gate reproduces both
+        measured v5e outcomes: the dense preset's shape (k/T = 0.82,
+        all-micro) picks the split (+6.5% measured); the scannet preset's
+        shape (k = 0, micro 8.7k of 99k at threshold 2) picks compaction
+        (an ungated split measured a 17% regression). Ties (k = 0,
+        micro-dominated) go to compaction — no permutation for free."""
+        assert dense.split_wins(411_600, 500_000, 500_000, 2)
+        assert not dense.split_wins(0, 99_372, 8_700, 2)
+        assert not dense.split_wins(0, 500_000, 500_000, 2)
+        # rows_split = k + m^2 (T - k) vs rows_comp = m^2 min(2 micro, T)
+        assert dense.split_frag_rows(10, 100, 2) == 10 + 4 * 90
+        assert dense.compact_frag_rows(30, 100, 2) == 4 * 60
+        assert dense.compact_frag_rows(80, 100, 2) == 4 * 100
+
+    def test_fuse_views_split_falls_back_when_compaction_wins(
+            self, monkeypatch):
+        """A scene with ZERO uni rows and few micro triangles (big
+        triangles at high resolution — the scannet regime) must take the
+        compaction fallback inside fuse_views_split and still reproduce
+        fuse_views bit-for-bit."""
+        import jax.numpy as jnp
+
+        from semantic_meshes import distributed
+
+        monkeypatch.setenv("SM_RASTERIZER", "dense")
+        vertices, faces = testing.make_cube(3)  # 108 big triangles
+        cams = testing.make_ring_cameras(num_views=2, width=160, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        uni = np.asarray(dense.uni_eligible_batch(
+            vertices, faces, rot, trans, fl, pp, height=96, width=160,
+        ))
+        stats = np.asarray(dense.candidate_stats_batch(
+            vertices, faces, rot, trans, fl, pp, height=96, width=160,
+        ))
+        assert not dense.split_wins(
+            int(uni.sum()), len(faces), int(stats[1])
+        )  # the scene really is in the fallback regime
+        rng = np.random.default_rng(1)
+        probs = jnp.asarray(np.stack(
+            [testing.random_probs(rng, 96, 160, 4) for _ in range(2)]
+        ))
+        kw = dict(num_primitives=len(faces), aggregator="sum",
+                  height=96, width=160)
+        a0, ov0 = distributed.fuse_views(
+            vertices, faces, rot, trans, fl, pp, probs, jnp.float32(0.5),
+            **kw,
+        )
+        a1, ov1 = distributed.fuse_views_split(
+            vertices, faces, rot, trans, fl, pp, probs, jnp.float32(0.5),
+            **kw,
+        )
+        assert int(ov0) == 0 and int(ov1) == 0
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+    def test_candidate_stats_batch_equals_per_view_loop(self):
+        v, f = self._scene()
+        cams = testing.make_ring_cameras(num_views=4, width=256, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        loop = np.stack([
+            np.asarray(dense.candidate_stats(
+                v, f, rot[i], trans[i], fl[i], pp[i], height=96, width=256,
+            ))
+            for i in range(4)
+        ]).max(axis=0)
+        batch = np.asarray(dense.candidate_stats_batch(
+            v, f, rot, trans, fl, pp, height=96, width=256,
+        ))
+        np.testing.assert_array_equal(batch, loop)
+
     def test_fuse_views_split_rejects_clip_near(self):
         from semantic_meshes import distributed
 
