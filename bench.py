@@ -102,7 +102,7 @@ def main():
     )
 
 
-def _device_reachable(timeout=300):
+def _device_reachable(timeout=240, attempts=3, retry_sleep=30):
     """Probe the jax backend in a subprocess (mirrors this process's
     platform selection: SM_PLATFORM pin, else the environment default).
     A wedged axon tunnel hangs jax.devices() indefinitely; the subprocess
@@ -110,7 +110,14 @@ def _device_reachable(timeout=300):
     initializes jax, so the two never race the axon plugin init. The
     probe inherits JAX_COMPILATION_CACHE_DIR (set above) via env, but we
     pin it explicitly too: the probe compile must be a one-time cost, not
-    a 30-130 s tunneled-compile tax per bench run."""
+    a 30-130 s tunneled-compile tax per bench run.
+
+    Retries: a bench process that JUST exited can hold the tunneled
+    device through its teardown long enough that the next probe's
+    jax.devices() blocks past any single timeout (seen twice in
+    back-to-back queued bench runs); a truly wedged tunnel fails every
+    attempt, so retrying distinguishes "previous holder still exiting"
+    from "tunnel down" instead of mislabeling the former."""
     code = (
         "import os, jax\n"
         "p = os.environ.get('SM_PLATFORM')\n"
@@ -124,14 +131,23 @@ def _device_reachable(timeout=300):
         "import jax.numpy as jnp\n"
         "print(float(jnp.ones((8, 8)).sum()))\n"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        if attempt:
+            print(
+                f"bench.py: device probe attempt {attempt} failed; "
+                f"retrying in {retry_sleep}s", file=sys.stderr,
+            )
+            time.sleep(retry_sleep)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def measure_preset(preset, repeats):
