@@ -63,6 +63,14 @@ parser.add_argument("--model", type=str, default="tfcv",
                     "jax model, or precomputed probability maps")
 parser.add_argument("--probs_dir", type=str, default=None,
                     help="With --model probs: <scene>/<frame>.npy prob maps")
+parser.add_argument("--probs_dtype", type=str, default="f32",
+                    choices=["f32", "f16", "bf16"],
+                    help="With --model probs: wire dtype for the per-frame "
+                    "host->device prob-map upload (the eval's dominant "
+                    "cost on a tunneled device — a 1296x968x40 f32 map is "
+                    "200 MB/frame). Fusion and metrics math stays f32 on "
+                    "device; f16 halves the transfer at <=2^-11 relative "
+                    "probability error")
 parser.add_argument("--params", type=str, default=None,
                     help="With --model jax-unet: flax msgpack checkpoint of "
                     "trained RGBDUNet weights (random init otherwise)")
@@ -457,9 +465,17 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
         gt_labels = load_gt_labels(scene, index)
         probs = None
         if args.model == "probs":
+            import jax
+
+            wire = {"f32": np.float32, "f16": np.float16,
+                    "bf16": jnp.bfloat16}[args.probs_dtype]
             probs = np.load(
                 os.path.join(args.probs_dir, name, f"{index}.npy")
-            ).astype(np.float32)
+            )
+            # start the (async) host->device upload from the IO worker so
+            # the transfer overlaps the previous frame's compute instead
+            # of serializing with it on the main thread
+            probs = jax.device_put(np.asarray(probs, dtype=wire))
         return (index, frame, cached, cache_file, color, depth, gt_labels,
                 probs)
 

@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--height", type=int, default=968)
     ap.add_argument("--model", default="jax-unet",
                     choices=["jax-unet", "probs"])
+    ap.add_argument("--probs_dtype", default="f16",
+                    choices=["f32", "f16", "bf16"],
+                    help="With --model probs: wire dtype for the prob-map "
+                    "upload (f16 default — the upload dominates e2e time "
+                    "on a tunneled device; pass f32 for the exact-wire "
+                    "variant)")
     ap.add_argument("--aggregator", default="mul")
     ap.add_argument("--texels", action="store_true")
     ap.add_argument("--scenes", type=int, default=1)
@@ -96,7 +102,8 @@ def main():
         "--timings",
     ]
     if args.model == "probs":
-        cmd += ["--probs_dir", os.path.join(root, "probs")]
+        cmd += ["--probs_dir", os.path.join(root, "probs"),
+                "--probs_dtype", args.probs_dtype]
     if args.texels:
         cmd += ["--mode", "texels"]
     env = dict(os.environ)
@@ -111,20 +118,32 @@ def main():
     if proc.returncode != 0:
         raise SystemExit(f"eval failed rc={proc.returncode}")
 
-    # PhaseTimers lines: "  <name>: 1.234s (N calls, X ms/call)"
+    # PhaseTimers lines:
+    #   "  <name>: 1.234s (N calls, X ms/call, Y ms median)"
+    # the median is the steady-state number (first calls carry the
+    # 30-130 s tunneled XLA compiles; at typical frame counts they
+    # dominate the mean)
     m = re.findall(
-        r"^\s+([\w/ .-]+): ([0-9.]+)s \((\d+) calls, ([0-9.]+) ms/call\)",
+        r"^\s+([\w/ .-]+): ([0-9.]+)s \((\d+) calls, ([0-9.]+) ms/call"
+        r"(?:, ([0-9.]+) ms median)?\)",
         proc.stdout, re.M,
     )
     timers = {k: {"total_s": float(t), "calls": int(n),
-                  "ms_per_call": float(ms)} for k, t, n, ms in m}
+                  "ms_per_call": float(ms),
+                  **({"ms_median": float(med)} if med else {})}
+              for k, t, n, ms, med in m}
+    steady_ms = sum(v.get("ms_median", v["ms_per_call"])
+                    for v in timers.values())
     result = {
         "metric": "eval_e2e",
         "scenes": args.scenes,
         "frames": args.frames,
         "model": args.model,
         "aggregator": args.aggregator,
+        **({"probs_dtype": args.probs_dtype}
+           if args.model == "probs" else {}),
         "total_wall_s": round(wall, 1),
+        "steady_ms_per_frame": round(steady_ms, 1),
         "timers": timers,
     }
 

@@ -25,6 +25,7 @@ class PhaseTimers:
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        self.durations = defaultdict(list)
 
     @contextlib.contextmanager
     def phase(self, name):
@@ -33,8 +34,24 @@ class PhaseTimers:
             try:
                 yield
             finally:
-                self.totals[name] += time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                self.totals[name] += dt
                 self.counts[name] += 1
+                self.durations[name].append(dt)
+
+    def median(self, name):
+        """Median call duration in seconds (0.0 if the phase never ran).
+
+        The mean is the wrong steady-state number on a tunneled device:
+        the first call of a phase carries the XLA compile (30-130 s
+        through the tunneled compile service), which at typical call
+        counts dominates the average; the median is compile-free."""
+        d = sorted(self.durations[name])
+        if not d:
+            return 0.0
+        n = len(d)
+        mid = n // 2
+        return d[mid] if n % 2 else 0.5 * (d[mid - 1] + d[mid])
 
     def report(self):
         lines = ["phase timings:"]
@@ -43,7 +60,8 @@ class PhaseTimers:
                 f"  {name}: {self.totals[name]:.3f}s "
                 f"({self.counts[name]} calls, "
                 f"{self.totals[name] / max(self.counts[name], 1) * 1e3:.1f} "
-                "ms/call)"
+                "ms/call, "
+                f"{self.median(name) * 1e3:.1f} ms median)"
             )
         return "\n".join(lines)
 

@@ -96,6 +96,13 @@ def test_profiling_phase_timers():
     assert t.counts["beta"] == 1
     rep = t.report()
     assert "alpha" in rep and "beta" in rep
+    # median is compile-free steady state: odd/even counts + missing phase
+    t.durations["gamma"] = [5.0, 0.01, 0.02]
+    assert t.median("gamma") == 0.02
+    t.durations["delta"] = [0.01, 0.03, 5.0, 5.0]
+    assert abs(t.median("delta") - 2.515) < 1e-9
+    assert t.median("never-ran") == 0.0
+    assert "ms median" in rep
 
 
 def test_sharded_texels_matches_single_chip(texel_scene):

@@ -210,7 +210,9 @@ def test_eval_scannet_end_to_end(scannet_dir, tmp_path):
 
 def test_eval_scannet_texels_mode(scannet_dir, tmp_path):
     """Texels-mode eval: renderer built from all frame cameras, texel
-    primitives fused, YAML params include texel_resolution."""
+    primitives fused, YAML params include texel_resolution. Runs with
+    --probs_dtype f16 (the fixture's one-hot probs are f16-exact) to
+    cover the reduced-wire-precision upload path end to end."""
     out = tmp_path / "results_texels"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -223,6 +225,7 @@ def test_eval_scannet_texels_mode(scannet_dir, tmp_path):
             "--scannet", str(scannet_dir),
             "--model", "probs",
             "--probs_dir", str(scannet_dir / "probs"),
+            "--probs_dtype", "f16",
             "--aggregator", "sum",
             "--mode", "texels",
             "--texel_resolution", "2.0",
