@@ -406,6 +406,14 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
             mesh, cameras, args.texel_resolution, clip_near=args.clip_near,
             bucket=not args.no_face_buckets,
         )
+    # size the dense candidate budgets over the WHOLE frame set in one
+    # batched probe: per-frame renders then never breach mid-scene (a
+    # breach costs a sync + re-probe + recompile — 10-100+ s through a
+    # tunneled compile service) and each resolution compiles exactly one
+    # program, stable across runs for the persistent compile cache
+    renderer.prepare(
+        [frame_camera(fr) for fr in sens.frames[:: args.frames_step]]
+    )
     aggregator = semantic_meshes.fusion.MeshAggregator(
         primitives=renderer.getPrimitivesNum(),
         classes=classes_num,

@@ -110,6 +110,10 @@ def main():
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--aggregator", default="sum")
+    ap.add_argument("--probs_dtype", default="f16",
+                    choices=["f32", "f16", "u8"],
+                    help="wire dtype for the prob-map upload (passed "
+                    "through to colorize_cityscapes_mesh.py)")
     ap.add_argument("--keep", help="scene directory (reused if populated)")
     args = ap.parse_args()
 
@@ -142,6 +146,7 @@ def main():
             "--images", os.path.join(root, "images"),
             "--output_ply", out,
             "--probs", os.path.join(root, "probs"),
+            "--probs_dtype", args.probs_dtype,
             "--aggregator", args.aggregator,
         ],
         env=env, capture_output=True, text=True,
@@ -165,8 +170,10 @@ def main():
             "triangles": faces,
             "total_wall_s": round(wall, 1),
             "scene_build_s": round(build_s, 1),
-            "probs_mb_per_image": round(
-                args.width * args.height * 19 * 2 / 1e6, 1
+            "probs_dtype": args.probs_dtype,
+            "probs_wire_mb_per_image": round(
+                args.width * args.height * 19
+                * {"f32": 4, "f16": 2, "u8": 1}[args.probs_dtype] / 1e6, 1
             ),
             "scene_dir": root,
         },

@@ -44,6 +44,14 @@ parser.add_argument("--images", type=str, required=True,
 parser.add_argument("--output_ply", type=str, required=True)
 parser.add_argument("--probs", type=str, default=None,
                     help="Folder with precomputed (H, W, 19) .npy prob maps")
+parser.add_argument("--probs_dtype", type=str, default="f16",
+                    choices=["f32", "f16", "u8"],
+                    help="With --probs: wire dtype for the host->device "
+                    "prob-map upload (a 2048x1024x19 f32 map is 160 MB — "
+                    "the demo's dominant cost when the device link is "
+                    "slow). Fusion math stays f32 on device; f16 is "
+                    "lossless for f16-on-disk maps, u8 quantizes to "
+                    "p*255 (<=1/510 abs error per class)")
 parser.add_argument("--model", type=str, default="jax-unet",
                     choices=["jax-unet", "tfcv"])
 parser.add_argument("--params", type=str, default=None,
@@ -69,25 +77,43 @@ parser.add_argument("--input_hw", type=int, nargs=2, default=(512, 512),
 parser.add_argument("--widths", type=int, nargs="+",
                     default=(64, 128, 256, 512),
                     help="jax model channel widths")
+parser.add_argument("--timings", action="store_true",
+                    help="print a per-phase wall-clock breakdown at exit")
 args = parser.parse_args()
 
 import imageio.v2 as imageio  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 from tqdm import tqdm  # noqa: E402
+
+from semantic_meshes.profiling import PhaseTimers  # noqa: E402
+
+timers = PhaseTimers()
 
 CLASSES = 19
 
 
 def build_predictor():
     if args.probs is not None:
+        wire = {"f32": np.float32, "f16": np.float16}.get(args.probs_dtype)
+
         def predict(image, image_file):
             base = os.path.splitext(os.path.basename(image_file))[0]
             p = os.path.join(args.probs, base + ".npy")
-            probs = np.load(p).astype(np.float32)
+            probs = np.load(p)
             if probs.shape[:2] != image.shape[:2]:
                 raise ValueError(
                     f"{p}: probs {probs.shape} vs image {image.shape}"
                 )
-            return probs
+            if wire is None:  # u8: quantize on host, dequantize on device
+                probs = np.rint(
+                    probs.astype(np.float32) * 255.0
+                ).astype(np.uint8)
+            elif probs.dtype != wire:
+                probs = probs.astype(wire)
+            # async host->device upload; called from the prefetch worker so
+            # the transfer overlaps the previous frame's render+fuse
+            return jax.device_put(np.ascontiguousarray(probs))
         return predict
     if args.model == "tfcv":
         import tensorflow as tf
@@ -117,7 +143,9 @@ def build_predictor():
     )
 
     def predict(image, image_file):
-        return np.asarray(model(image))
+        # stays a device array: the prediction feeds fusion directly, a
+        # host round-trip would cost 2x the map size on the device link
+        return model(image)
     return predict
 
 
@@ -125,32 +153,69 @@ print("Loading segmentation predictor...")
 predict = build_predictor()
 
 print("Creating mesh...")
-mesh = semantic_meshes.data.Ply(args.input_ply)
-renderer = semantic_meshes.render.triangles(
-    mesh, clip_near=args.clip_near
-)
-colmap_workspace = semantic_meshes.data.Colmap(args.colmap)
-aggregator = semantic_meshes.fusion.MeshAggregator(
-    primitives=renderer.getPrimitivesNum(), classes=CLASSES,
-    aggregator=args.aggregator,
-)
+with timers.phase("setup (mesh+renderer+colmap)"):
+    mesh = semantic_meshes.data.Ply(args.input_ply)
+    renderer = semantic_meshes.render.triangles(
+        mesh, clip_near=args.clip_near
+    )
+    colmap_workspace = semantic_meshes.data.Colmap(args.colmap)
+    aggregator = semantic_meshes.fusion.MeshAggregator(
+        primitives=renderer.getPrimitivesNum(), classes=CLASSES,
+        aggregator=args.aggregator,
+    )
 
 print("Annotating mesh...")
 image_files = sorted(
     os.path.join(args.images, f) for f in os.listdir(args.images)
 )
-for image_file in tqdm(image_files):
-    image = imageio.imread(image_file)
-    prediction = predict(image, image_file)  # (H, W, 19)
-    primitive_indices, _ = renderer.render(
-        colmap_workspace.getCamera(image_file)
-    )
-    aggregator.add(
-        primitive_indices, np.transpose(prediction, (1, 0, 2))
+
+# size the render budgets over ALL cameras upfront (one dispatch + one
+# sync): the per-frame renders below then never overflow-resync or
+# re-probe/recompile mid-loop
+with timers.phase("prepare budgets"):
+    renderer.prepare(
+        [colmap_workspace.getCamera(f) for f in image_files]
     )
 
+
+def load_frame(image_file):
+    """IO + predict for one frame, run on the prefetch worker: disk read,
+    model inference / prob-map load, and the (async) device upload all
+    overlap the previous frame's render+fuse on the main thread."""
+    with timers.phase("load+predict (worker)"):
+        image = imageio.imread(image_file)
+        return predict(image, image_file)  # (H, W, 19)
+
+
+from concurrent.futures import ThreadPoolExecutor  # noqa: E402
+
+if not image_files:
+    sys.exit(f"no images in {args.images}")
+
+with ThreadPoolExecutor(max_workers=1) as pool:
+    pending = pool.submit(load_frame, image_files[0])
+    for i, image_file in enumerate(tqdm(image_files)):
+        with timers.phase("wait prefetch"):
+            prediction = pending.result()
+        if i + 1 < len(image_files):
+            pending = pool.submit(load_frame, image_files[i + 1])
+        with timers.phase("render"):
+            primitive_indices, _ = renderer.render(
+                colmap_workspace.getCamera(image_file)
+            )
+        with timers.phase("fuse"):
+            prediction = jnp.asarray(prediction)  # device-resident now
+            if prediction.dtype == jnp.uint8:
+                prediction = prediction.astype(jnp.float32) / \
+                    np.float32(255.0)
+            # (H, W, C) -> (W, H, C) on device (XLA transpose, no host copy)
+            aggregator.add(
+                primitive_indices, jnp.transpose(prediction, (1, 0, 2))
+            )
+
 print("Computing primitive colors...")
-primitive_annotations = np.asarray(aggregator.get())
+with timers.phase("get"):
+    primitive_annotations = np.asarray(aggregator.get())
 dont_care_threshold = 0.9
 without_annotations = primitive_annotations.sum(-1) < dont_care_threshold
 
@@ -162,3 +227,5 @@ primitive_colors = np.where(
 
 print("Saving colorized mesh...")
 mesh.save(args.output_ply, primitive_colors)
+if args.timings:
+    print(timers.report())

@@ -71,6 +71,9 @@ mask_files = sorted(
     for f in os.listdir(args.masks)
     if f.lower().endswith((".png", ".jpg", ".jpeg", ".tiff", ".bmp", ".gif"))
 )
+# one batched budget probe over the full camera set (no mid-loop
+# re-probe/recompile; see render.TrianglesRenderer.prepare)
+renderer.prepare([colmap_workspace.getCamera(f) for f in mask_files])
 for mask_file in tqdm(mask_files):
     mask = imageio.imread(mask_file)
 

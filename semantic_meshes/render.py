@@ -429,6 +429,33 @@ class TrianglesRenderer:
         """Total dropped candidate pairs across all renders (syncs once)."""
         return self.overflow_policy.total()
 
+    def prepare(self, cameras):
+        """Pre-size the adaptive candidate budgets for a full camera set.
+
+        Sequential `render(cam)` calls size the dense backend's candidate
+        budget from the FIRST camera they see at each resolution; a later
+        camera that exceeds the 2x margin spills to the overflow counter
+        and triggers a self-heal (re-probe + recompile — 10-100+ s through
+        a tunneled compile service). When the camera set is known upfront
+        (the demo scripts and eval all have it), calling prepare() probes
+        the max budget over ALL cameras in one batched dispatch + one sync
+        — per-frame renders then never breach, never resync, and compile
+        exactly one program per resolution (stable across runs, so the
+        persistent compile cache hits). Groups mixed resolutions
+        automatically; a no-op for non-dense backends.
+        """
+        cams = list(cameras)
+        by_hw = {}
+        for c in cams:
+            by_hw.setdefault(_camera_hw(c), []).append(c)
+        for (height, width), group in by_hw.items():
+            rot, trans, fl, pp = stack_cameras(group)
+            self._dense_e_cap(
+                height, width, rot, trans, fl, pp,
+                dist=stack_distortions(group)
+                if _has_distortion(group) else None,
+            )
+
     def render_many(self, cameras):
         """Render a batch of same-resolution cameras in one compiled scan.
 
@@ -728,6 +755,7 @@ class TexelsRenderer:
 
     _check_overflow = TrianglesRenderer._check_overflow
     overflow_total = TrianglesRenderer.overflow_total
+    prepare = TrianglesRenderer.prepare
 
     def render_many(self, cameras):
         """Batched texel-mode render (one compiled scan; see

@@ -316,3 +316,66 @@ class TestPredictorInputHandling:
                 classes=3, input_hw=(32, 32), widths=(8, 16),
                 params=dummy, params_path=str(p),
             )
+
+
+def test_prepare_budgets_whole_camera_set():
+    """renderer.prepare(cameras) sizes the dense candidate budget over the
+    FULL camera set upfront: per-frame renders then never breach the
+    budget (overflow_total 0, no mid-loop re-probe/recompile) and output
+    is bit-identical to the unprepared sequential path."""
+    import semantic_meshes
+    from semantic_meshes import testing
+    from semantic_meshes.io.ply import write_mesh
+    import tempfile, os
+
+    vertices, faces = testing.make_cube(4)
+    d = tempfile.mkdtemp()
+    write_mesh(os.path.join(d, "c.ply"), vertices, faces)
+    mesh = semantic_meshes.data.Ply(os.path.join(d, "c.ply"))
+    cams = testing.make_ring_cameras(num_views=4, width=128, height=96)
+    # force the dense backend — prepare targets its adaptive budgets
+    r_prep = semantic_meshes.render.triangles(mesh, backend="dense")
+    r_prep.prepare(cams)
+    key = (96, 128)
+    assert key in r_prep.dense_cap_policy._cap
+    budget = r_prep.dense_cap_policy._cap[key]
+
+    r_seq = semantic_meshes.render.triangles(mesh, backend="dense")
+    for cam in cams:
+        idx_p, dep_p = r_prep.render(cam)
+        idx_s, dep_s = r_seq.render(cam)
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_s))
+        np.testing.assert_array_equal(np.asarray(dep_p), np.asarray(dep_s))
+    # the whole-set budget never breaches and never regrows mid-loop
+    assert r_prep.overflow_total() == 0
+    assert r_prep.dense_cap_policy._cap[key] == budget
+    # batch-max budget covers every single-camera probe
+    per_cam = [
+        semantic_meshes.render.triangles(mesh, backend="dense")
+        for _ in cams
+    ]
+    for rc, cam in zip(per_cam, cams):
+        rc.render(cam)
+        single = rc.dense_cap_policy._cap[key]
+        assert budget[0] >= single[0] and budget[1] >= single[1]
+
+
+def test_prepare_groups_mixed_resolutions():
+    import semantic_meshes
+    from semantic_meshes import testing
+    from semantic_meshes.io.ply import write_mesh
+    import tempfile, os
+
+    vertices, faces = testing.make_cube(3)
+    d = tempfile.mkdtemp()
+    write_mesh(os.path.join(d, "c.ply"), vertices, faces)
+    mesh = semantic_meshes.data.Ply(os.path.join(d, "c.ply"))
+    cams_a = testing.make_ring_cameras(num_views=2, width=128, height=96)
+    cams_b = testing.make_ring_cameras(num_views=2, width=64, height=48)
+    r = semantic_meshes.render.triangles(mesh, backend="dense")
+    r.prepare(cams_a + cams_b)
+    assert (96, 128) in r.dense_cap_policy._cap
+    assert (48, 64) in r.dense_cap_policy._cap
+    for cam in cams_a + cams_b:
+        r.render(cam)
+    assert r.overflow_total() == 0

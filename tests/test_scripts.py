@@ -86,7 +86,11 @@ def scene(tmp_path_factory):
     return root, tri_class
 
 
-def test_colorize_cityscapes_mesh_probs_backend(scene, tmp_path):
+@pytest.mark.parametrize("probs_dtype", ["f16", "u8"])
+def test_colorize_cityscapes_mesh_probs_backend(scene, tmp_path, probs_dtype):
+    # f16 is the default wire dtype (lossless here: fixture probs are
+    # one-hot); u8 quantizes to p*255 — also exact for one-hot maps, so
+    # the palette assertions below stay bit-exact for both
     root, tri_class = scene
     out = tmp_path / "colorized.ply"
     env = dict(os.environ)
@@ -102,6 +106,7 @@ def test_colorize_cityscapes_mesh_probs_backend(scene, tmp_path):
             "--images", str(root / "images"),
             "--output_ply", str(out),
             "--probs", str(root / "probs"),
+            "--probs_dtype", probs_dtype,
         ],
         env=env, capture_output=True, text=True, timeout=600,
     )
