@@ -62,15 +62,18 @@ parser.add_argument("--model", type=str, default="tfcv",
                     help="Predictor backend: original tfcv ESANet, bundled "
                     "jax model, or precomputed probability maps")
 parser.add_argument("--probs_dir", type=str, default=None,
-                    help="With --model probs: <scene>/<frame>.npy prob maps")
+                    help="With --model probs: <scene>/<frame>.npy dense "
+                    "maps or <scene>/<frame>.npz top-k maps "
+                    "(precompute_probs.py --topk)")
 parser.add_argument("--probs_dtype", type=str, default="f32",
-                    choices=["f32", "f16", "bf16"],
+                    choices=["f32", "f16", "bf16", "u8"],
                     help="With --model probs: wire dtype for the per-frame "
                     "host->device prob-map upload (the eval's dominant "
                     "cost on a tunneled device — a 1296x968x40 f32 map is "
                     "200 MB/frame). Fusion and metrics math stays f32 on "
                     "device; f16 halves the transfer at <=2^-11 relative "
-                    "probability error")
+                    "probability error, u8 quarters it at <=1/510 abs "
+                    "error; top-k .npz maps ship as stored")
 parser.add_argument("--params", type=str, default=None,
                     help="With --model jax-unet: flax msgpack checkpoint of "
                     "trained RGBDUNet weights (random init otherwise)")
@@ -473,17 +476,17 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
         gt_labels = load_gt_labels(scene, index)
         probs = None
         if args.model == "probs":
-            import jax
+            from semantic_meshes import probs_io
 
-            wire = {"f32": np.float32, "f16": np.float16,
-                    "bf16": jnp.bfloat16}[args.probs_dtype]
-            probs = np.load(
-                os.path.join(args.probs_dir, name, f"{index}.npy")
-            )
-            # start the (async) host->device upload from the IO worker so
-            # the transfer overlaps the previous frame's compute instead
+            # dense .npy (re-cast to --probs_dtype for the wire) or
+            # top-k .npz from precompute_probs.py --topk; starts the
+            # (async) host->device upload from the IO worker so the
+            # transfer overlaps the previous frame's compute instead
             # of serializing with it on the main thread
-            probs = jax.device_put(np.asarray(probs, dtype=wire))
+            probs = probs_io.load(
+                os.path.join(args.probs_dir, name, str(index)),
+                wire=args.probs_dtype,
+            )
         return (index, frame, cached, cache_file, color, depth, gt_labels,
                 probs)
 
@@ -514,8 +517,13 @@ for scene_index, (scene, input_mesh_file) in enumerate(scenes):
 
             with timers.phase("predict"):
                 if probs is None:
-                    probs = predict_probs(color, depth, tuple(resolution))
-                probs = jnp.asarray(probs)
+                    probs = jnp.asarray(
+                        predict_probs(color, depth, tuple(resolution))
+                    )
+                else:
+                    from semantic_meshes import probs_io
+
+                    probs = probs_io.densify(probs)
 
             if fi >= metrics_done:
                 with timers.phase("metrics_network"):

@@ -39,9 +39,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_scene(root, *, views, subdivisions, width, height, classes=19):
-    """Cube mesh + COLMAP text workspace + per-view probs (.npy f16) +
-    PNG images, mirroring tests/test_scripts.py's fixture at scale."""
+def build_scene(root, *, views, subdivisions, width, height):
+    """Cube mesh + COLMAP text workspace + PNG images, mirroring
+    tests/test_scripts.py's fixture at scale (probs are built separately
+    per wire format by ensure_probs)."""
     import imageio.v2 as imageio
     import numpy as np
 
@@ -84,23 +85,54 @@ def build_scene(root, *, views, subdivisions, width, height, classes=19):
     cio.write_images_txt(os.path.join(ws, "images.txt"), images)
 
     imgdir = os.path.join(root, "images")
-    probsdir = os.path.join(root, "probs")
     os.makedirs(imgdir, exist_ok=True)
-    os.makedirs(probsdir, exist_ok=True)
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (height, width, 3), np.uint8)
     for i in range(1, views + 1):
+        imageio.imwrite(os.path.join(imgdir, f"v{i:03d}.png"), img)
+    return len(faces)
+
+
+def ensure_probs(root, store, *, views, width, height, classes=19):
+    """Per-view probability maps in one wire format (f16|u8|topk<K> u8
+    values), under probs-<store>/. The same per-view rng seed across
+    formats means every store quantizes the SAME underlying f32 maps."""
+    import numpy as np
+
+    from semantic_meshes import probs_io
+
+    probsdir = os.path.join(root, f"probs-{store}")
+    marker = os.path.join(
+        probsdir,
+        f"v{views:03d}" + (".npz" if store.startswith("topk") else ".npy"),
+    )
+    if os.path.exists(marker):
+        return probsdir
+    os.makedirs(probsdir, exist_ok=True)
+    k = int(store[4:]) if store.startswith("topk") else None
+    for i in range(1, views + 1):
         # plausible peaked distributions (softmax of random logits), the
-        # same statistics a real model emits; float16 like
-        # scripts/precompute_probs.py writes
+        # same statistics a real model emits
+        rng = np.random.default_rng(1000 + i)
         logits = rng.normal(0, 2, (height, width, classes)).astype(
             np.float32
         )
         e = np.exp(logits - logits.max(-1, keepdims=True))
-        probs = (e / e.sum(-1, keepdims=True)).astype(np.float16)
-        np.save(os.path.join(probsdir, f"v{i:03d}.npy"), probs)
-        imageio.imwrite(os.path.join(imgdir, f"v{i:03d}.png"), img)
-    return len(faces)
+        probs = e / e.sum(-1, keepdims=True)
+        base = os.path.join(probsdir, f"v{i:03d}")
+        if k is not None:
+            part = np.argpartition(probs, -k, axis=-1)[..., -k:]
+            vals = np.take_along_axis(probs, part, axis=-1)
+            order = np.argsort(-vals, axis=-1)
+            idx = np.take_along_axis(part, order, axis=-1).astype(np.uint8)
+            vals = np.take_along_axis(vals, order, axis=-1)
+            np.savez(base + ".npz", values=probs_io.quantize_u8(vals),
+                     indices=idx, classes=np.int32(classes))
+        elif store == "u8":
+            np.save(base + ".npy", probs_io.quantize_u8(probs))
+        else:
+            np.save(base + ".npy", probs.astype(np.float16))
+    return probsdir
 
 
 def main():
@@ -110,26 +142,72 @@ def main():
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--aggregator", default="sum")
-    ap.add_argument("--probs_dtype", default="f16",
+    ap.add_argument("--leg", default="probs", choices=["probs", "unet"],
+                    help="probs: fuse precomputed maps from disk (pays "
+                    "the full prob-map read + host->device upload); "
+                    "unet: on-device inference from the 6 MB/image PNGs "
+                    "— the apples-to-apples shape vs the reference's "
+                    "~2 s/image, which includes its PSPNet forward")
+    ap.add_argument("--probs_store", default="f16",
+                    help="probs leg: on-disk format — f16, u8, or "
+                    "topk<K> (e.g. topk6: K most-probable classes as "
+                    "u8 values + u8 indices)")
+    ap.add_argument("--probs_dtype", default=None,
                     choices=["f32", "f16", "u8"],
-                    help="wire dtype for the prob-map upload (passed "
-                    "through to colorize_cityscapes_mesh.py)")
+                    help="probs leg: wire dtype for dense maps (default: "
+                    "the store's own dtype; topk stores ship as stored)")
+    ap.add_argument("--timings", action="store_true",
+                    help="pass --timings through to the demo and echo "
+                    "its per-phase breakdown on stderr")
     ap.add_argument("--keep", help="scene directory (reused if populated)")
     args = ap.parse_args()
 
     root = args.keep or tempfile.mkdtemp(prefix="sm_cityscapes_")
     marker = os.path.join(root, "images", f"v{args.views:03d}.png")
+    t0 = time.time()
     if not os.path.exists(marker):
-        t0 = time.time()
         faces = build_scene(
             root, views=args.views, subdivisions=args.subdivisions,
             width=args.width, height=args.height,
         )
-        build_s = time.time() - t0
     else:
-        faces, build_s = 12 * args.subdivisions**2, 0.0
+        faces = 12 * args.subdivisions**2
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "scripts", "colorize_cityscapes_mesh.py"),
+        "--colmap", os.path.join(root, "ws"),
+        "--input_ply", os.path.join(root, "mesh.ply"),
+        "--images", os.path.join(root, "images"),
+        "--output_ply", os.path.join(root, "colorized.ply"),
+        "--aggregator", args.aggregator,
+    ]
+    classes = 19
+    detail = {}
+    if args.leg == "probs":
+        wire = args.probs_dtype or (
+            "u8" if args.probs_store == "u8" else "f16"
+        )
+        probsdir = ensure_probs(
+            root, args.probs_store, views=args.views,
+            width=args.width, height=args.height, classes=classes,
+        )
+        cmd += ["--probs", probsdir, "--probs_dtype", wire]
+        if args.probs_store.startswith("topk"):
+            k = int(args.probs_store[4:])
+            wire_mb = args.width * args.height * k * 2 / 1e6
+        else:
+            wire_mb = (args.width * args.height * classes
+                       * {"f32": 4, "f16": 2, "u8": 1}[wire] / 1e6)
+        detail = {"probs_store": args.probs_store, "probs_dtype": wire,
+                  "probs_wire_mb_per_image": round(wire_mb, 1)}
+    else:
+        cmd += ["--model", "jax-unet"]
+        detail = {"image_wire_mb_per_image": round(
+            args.width * args.height * 3 / 1e6, 1)}
+    if args.timings:
+        cmd.append("--timings")
+    build_s = time.time() - t0
 
-    out = os.path.join(root, "colorized.ply")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if _user_platform is None:
@@ -137,27 +215,17 @@ def main():
     env.setdefault("SM_COMPILE_CACHE",
                    os.path.expanduser("~/.cache/sm_xla"))
     t0 = time.time()
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "scripts", "colorize_cityscapes_mesh.py"),
-            "--colmap", os.path.join(root, "ws"),
-            "--input_ply", os.path.join(root, "mesh.ply"),
-            "--images", os.path.join(root, "images"),
-            "--output_ply", out,
-            "--probs", os.path.join(root, "probs"),
-            "--probs_dtype", args.probs_dtype,
-            "--aggregator", args.aggregator,
-        ],
-        env=env, capture_output=True, text=True,
-    )
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
     wall = time.time() - t0
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout + proc.stderr)
         sys.exit(1)
-    if not os.path.exists(out):
+    if not os.path.exists(os.path.join(root, "colorized.ply")):
         sys.stderr.write("no output PLY\n")
         sys.exit(1)
+    if args.timings:
+        tail = proc.stdout[proc.stdout.find("phase timings:"):]
+        sys.stderr.write(tail + "\n")
 
     print(json.dumps({
         "metric": "cityscapes_demo_s_per_image",
@@ -165,16 +233,13 @@ def main():
         "unit": "s/image (end-to-end incl. process start + IO)",
         "vs_reference_2s": round(2.0 / (wall / args.views), 1),
         "detail": {
+            "leg": args.leg,
             "views": args.views,
             "resolution": [args.width, args.height],
             "triangles": faces,
             "total_wall_s": round(wall, 1),
             "scene_build_s": round(build_s, 1),
-            "probs_dtype": args.probs_dtype,
-            "probs_wire_mb_per_image": round(
-                args.width * args.height * 19
-                * {"f32": 4, "f16": 2, "u8": 1}[args.probs_dtype] / 1e6, 1
-            ),
+            **detail,
             "scene_dir": root,
         },
     }))

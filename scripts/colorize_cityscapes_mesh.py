@@ -95,25 +95,25 @@ CLASSES = 19
 
 def build_predictor():
     if args.probs is not None:
-        wire = {"f32": np.float32, "f16": np.float16}.get(args.probs_dtype)
+        from semantic_meshes import probs_io
 
         def predict(image, image_file):
-            base = os.path.splitext(os.path.basename(image_file))[0]
-            p = os.path.join(args.probs, base + ".npy")
-            probs = np.load(p)
-            if probs.shape[:2] != image.shape[:2]:
+            base = os.path.join(
+                args.probs,
+                os.path.splitext(os.path.basename(image_file))[0],
+            )
+            # dense .npy (re-cast to --probs_dtype for the wire) or
+            # top-k .npz (already compact; ships as stored); async
+            # host->device upload from the prefetch worker so the
+            # transfer overlaps the previous frame's render+fuse
+            loaded = probs_io.load(base, wire=args.probs_dtype)
+            shape = (loaded.values if isinstance(loaded, probs_io.TopKProbs)
+                     else loaded).shape
+            if tuple(shape[:2]) != image.shape[:2]:
                 raise ValueError(
-                    f"{p}: probs {probs.shape} vs image {image.shape}"
+                    f"{base}: probs {shape} vs image {image.shape}"
                 )
-            if wire is None:  # u8: quantize on host, dequantize on device
-                probs = np.rint(
-                    probs.astype(np.float32) * 255.0
-                ).astype(np.uint8)
-            elif probs.dtype != wire:
-                probs = probs.astype(wire)
-            # async host->device upload; called from the prefetch worker so
-            # the transfer overlaps the previous frame's render+fuse
-            return jax.device_put(np.ascontiguousarray(probs))
+            return loaded
         return predict
     if args.model == "tfcv":
         import tensorflow as tf
@@ -204,10 +204,10 @@ with ThreadPoolExecutor(max_workers=1) as pool:
                 colmap_workspace.getCamera(image_file)
             )
         with timers.phase("fuse"):
-            prediction = jnp.asarray(prediction)  # device-resident now
-            if prediction.dtype == jnp.uint8:
-                prediction = prediction.astype(jnp.float32) / \
-                    np.float32(255.0)
+            from semantic_meshes import probs_io
+            # dense f32 on device from any wire format (dequant u8 /
+            # top-k reconstruct happen in one fused XLA pass)
+            prediction = probs_io.densify(prediction)
             # (H, W, C) -> (W, H, C) on device (XLA transpose, no host copy)
             aggregator.add(
                 primitive_indices, jnp.transpose(prediction, (1, 0, 2))

@@ -1,0 +1,123 @@
+"""Wire formats for precomputed class-probability maps.
+
+The reference treats the 2D segmentation model as external (ref:
+README.md:24-29 step 2); its eval consumes the model's dense float maps
+directly from GPU memory. When maps instead arrive from disk (the
+--probs legs of scripts/colorize_cityscapes_mesh.py and
+eval-scannet/eval_scannet.py), the host->device upload dominates the
+pipeline on slow links: a 2048x1024x19 float32 map is 160 MB/frame.
+
+This module owns the compact wire formats and their device-side
+decoders. Fusion math stays float32 on device in every case.
+
+  dense  <base>.npy  (H, W, C) float32/float16/uint8
+         uint8 stores rint(p*255): <= 1/510 abs error per class.
+  top-k  <base>.npz  {values (H, W, K) f16/u8 descending, indices
+         (H, W, K) uint8, classes ()} — written by
+         scripts/precompute_probs.py --topk K. Dropped mass per pixel is
+         bounded by K * p_(K+1) <= (1 - sum(values)); the don't-care
+         rule (sum(probs) <= 0.5, ref: fusion/Mesh.h:98) keeps working
+         because the retained sum only shrinks.
+
+`load(base)` reads either file and starts the async upload;
+`densify(loaded)` turns it into the dense float32 (H, W, C) map on
+device (one fused XLA pass: broadcast-compare one-hot times values,
+summed over K — never materialized on host).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TopKProbs(NamedTuple):
+    """Device-resident top-K probability map (values descending)."""
+
+    values: jax.Array   # (H, W, K) float16 or uint8
+    indices: jax.Array  # (H, W, K) uint8
+    classes: int
+
+
+WIRE_DTYPES = {
+    "f32": np.float32,
+    "f16": np.float16,
+    "bf16": None,  # resolved via jnp at cast time (numpy has no bf16)
+    "u8": np.uint8,
+}
+
+
+def quantize_u8(probs: np.ndarray) -> np.ndarray:
+    """rint(p*255) — the storage/wire quantization for uint8 maps."""
+    return np.rint(probs.astype(np.float32) * 255.0).astype(np.uint8)
+
+
+def _cast_wire(probs: np.ndarray, wire: str) -> np.ndarray:
+    if wire == "u8":
+        if probs.dtype == np.uint8:
+            return probs  # already quantized on disk
+        return quantize_u8(probs)
+    if probs.dtype == np.uint8:
+        # stored quantized, wider wire requested: undo the quantization
+        # (plain astype would drop the /255 scale)
+        probs = probs.astype(np.float32) * np.float32(1.0 / 255.0)
+    if wire == "bf16":
+        import ml_dtypes  # ships with jax
+
+        dt = np.dtype(ml_dtypes.bfloat16)
+        return probs if probs.dtype == dt else probs.astype(dt)
+    dt = WIRE_DTYPES[wire]
+    return probs if probs.dtype == dt else probs.astype(dt)
+
+
+def load(base: str, wire: str = "f16") -> Union[jax.Array, TopKProbs]:
+    """Load `<base>.npy` (dense) or `<base>.npz` (top-k) and start the
+    async host->device upload. `wire` re-casts DENSE maps for the wire
+    (top-k maps ship in their stored dtype — already compact). Call from
+    a prefetch worker so the transfer overlaps compute."""
+    npz = base + ".npz"
+    if os.path.exists(npz):
+        with np.load(npz) as z:
+            vals, idx = z["values"], z["indices"]
+            classes = int(z["classes"])
+        return TopKProbs(
+            jax.device_put(np.ascontiguousarray(vals)),
+            jax.device_put(np.ascontiguousarray(idx)),
+            classes,
+        )
+    probs = np.load(base + ".npy")
+    return jax.device_put(np.ascontiguousarray(_cast_wire(probs, wire)))
+
+
+@partial(jax.jit, static_argnums=1)
+def _densify_topk(t: tuple, classes: int) -> jax.Array:
+    values, indices = t
+    vals = values.astype(jnp.float32)
+    if values.dtype == jnp.uint8:
+        vals = vals * np.float32(1.0 / 255.0)
+    # one-hot compare fused into the K-sum by XLA: one pass over the
+    # (H, W, C) output, no (H, W, K, C) intermediate in HBM
+    onehot = (
+        indices[..., None] == jnp.arange(classes, dtype=jnp.int32)
+    )
+    return jnp.sum(vals[..., None] * onehot, axis=-2)
+
+
+@jax.jit
+def _dequant_dense(probs: jax.Array) -> jax.Array:
+    p = probs.astype(jnp.float32)
+    if probs.dtype == jnp.uint8:
+        p = p * np.float32(1.0 / 255.0)
+    return p
+
+
+def densify(loaded: Union[jax.Array, TopKProbs, np.ndarray]) -> jax.Array:
+    """Dense float32 (H, W, C) map on device from any wire format."""
+    if isinstance(loaded, TopKProbs):
+        return _densify_topk((loaded.values, loaded.indices), loaded.classes)
+    return _dequant_dense(jnp.asarray(loaded))

@@ -1,0 +1,150 @@
+"""Wire formats for precomputed probability maps (semantic_meshes.probs_io).
+
+The reference uploads dense float maps straight from its GPU-resident
+model (ref: eval-scannet/eval_scannet.py:217-225); our --probs legs read
+maps from disk, so the wire format is a first-class knob. These tests pin
+the quantization error bounds and the device-side densify against numpy
+oracles, and the file-level load() contract both scripts rely on.
+"""
+
+import numpy as np
+import pytest
+
+from semantic_meshes import probs_io
+
+
+def _softmax_maps(h=7, w=5, c=19, seed=0):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(0, 2, (h, w, c)).astype(np.float32)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def _topk_arrays(probs, k):
+    part = np.argpartition(probs, -k, axis=-1)[..., -k:]
+    vals = np.take_along_axis(probs, part, axis=-1)
+    order = np.argsort(-vals, axis=-1)
+    idx = np.take_along_axis(part, order, axis=-1).astype(np.uint8)
+    return np.take_along_axis(vals, order, axis=-1), idx
+
+
+class TestQuantize:
+    def test_u8_roundtrip_error_bound(self):
+        probs = _softmax_maps()
+        q = probs_io.quantize_u8(probs)
+        assert q.dtype == np.uint8
+        back = q.astype(np.float32) / 255.0
+        assert np.abs(back - probs).max() <= 0.5 / 255.0 + 1e-7
+
+    def test_u8_saturates_at_one(self):
+        assert probs_io.quantize_u8(np.array([1.0, 0.0]))[0] == 255
+
+
+class TestDensify:
+    def test_dense_f16_matches_f32(self):
+        probs = _softmax_maps()
+        out = np.asarray(probs_io.densify(probs.astype(np.float16)))
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out, probs, atol=2 ** -11)
+
+    def test_dense_u8_dequantizes(self):
+        probs = _softmax_maps()
+        out = np.asarray(probs_io.densify(probs_io.quantize_u8(probs)))
+        np.testing.assert_allclose(out, probs, atol=1 / 510 + 1e-6)
+
+    def test_topk_full_k_is_exact_to_quantization(self):
+        """K = classes keeps everything: densify == dequantized dense."""
+        probs = _softmax_maps(c=6)
+        vals, idx = _topk_arrays(probs, 6)
+        import jax
+
+        t = probs_io.TopKProbs(
+            jax.device_put(probs_io.quantize_u8(vals)),
+            jax.device_put(idx), 6,
+        )
+        out = np.asarray(probs_io.densify(t))
+        np.testing.assert_allclose(out, probs, atol=1 / 510 + 1e-6)
+
+    def test_topk_drops_only_the_tail(self):
+        """K < classes: kept classes match the original, dropped classes
+        are exactly the smallest probabilities (now zero)."""
+        probs = _softmax_maps()
+        k = 4
+        vals, idx = _topk_arrays(probs, k)
+        import jax
+
+        t = probs_io.TopKProbs(
+            jax.device_put(vals.astype(np.float16)),
+            jax.device_put(idx), probs.shape[-1],
+        )
+        out = np.asarray(probs_io.densify(t))
+        oracle = np.zeros_like(probs)
+        np.put_along_axis(oracle, idx.astype(np.int64), vals, axis=-1)
+        np.testing.assert_allclose(out, oracle, atol=2 ** -11)
+        # per-pixel retained mass is the max possible for k entries
+        kept = out.sum(-1)
+        best = np.sort(probs, axis=-1)[..., -k:].sum(-1)
+        np.testing.assert_allclose(kept, best, atol=k * 2 ** -11)
+
+
+class TestLoad:
+    def test_load_dense_casts_wire(self, tmp_path):
+        probs = _softmax_maps()
+        np.save(tmp_path / "f.npy", probs)  # f32 on disk
+        loaded = probs_io.load(str(tmp_path / "f"), wire="f16")
+        assert loaded.dtype == np.float16
+        out = np.asarray(probs_io.densify(loaded))
+        np.testing.assert_allclose(out, probs, atol=2 ** -11)
+
+    def test_load_dense_u8_disk_to_wider_wire_dequantizes(self, tmp_path):
+        probs = _softmax_maps()
+        np.save(tmp_path / "q.npy", probs_io.quantize_u8(probs))
+        loaded = probs_io.load(str(tmp_path / "q"), wire="f32")
+        assert loaded.dtype == np.float32
+        np.testing.assert_allclose(
+            np.asarray(loaded), probs, atol=1 / 510 + 1e-6
+        )
+
+    def test_load_prefers_npz(self, tmp_path):
+        probs = _softmax_maps(c=8)
+        vals, idx = _topk_arrays(probs, 3)
+        np.save(tmp_path / "m.npy", probs)
+        np.savez(tmp_path / "m.npz", values=vals.astype(np.float16),
+                 indices=idx, classes=np.int32(8))
+        loaded = probs_io.load(str(tmp_path / "m"))
+        assert isinstance(loaded, probs_io.TopKProbs)
+        assert loaded.classes == 8
+
+    def test_load_missing_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            probs_io.load(str(tmp_path / "absent"))
+
+
+class TestFusionParity:
+    def test_topk_fusion_close_to_dense_for_peaked_maps(self):
+        """Fusing top-6 maps approximates dense fusion: for softmax-peaked
+        distributions the argmax class is always retained, so the fused
+        argmax matches almost everywhere."""
+        import jax
+
+        from semantic_meshes import fusion
+
+        probs = _softmax_maps(h=16, w=16, c=19, seed=3)
+        vals, idx = _topk_arrays(probs, 6)
+        prim = np.arange(16 * 16, dtype=np.uint32).reshape(16, 16) % 40
+
+        def fuse(p_hwc):
+            agg = fusion.MeshAggregator(
+                primitives=40, classes=19, aggregator="sum"
+            )
+            agg.add(jax.numpy.asarray(prim.T),
+                    jax.numpy.transpose(p_hwc, (1, 0, 2)))
+            return np.asarray(agg.get())
+
+        dense = fuse(jax.numpy.asarray(probs))
+        t = probs_io.TopKProbs(
+            jax.device_put(probs_io.quantize_u8(vals)),
+            jax.device_put(idx), 19,
+        )
+        sparse = fuse(probs_io.densify(t))
+        assert (dense.argmax(-1) == sparse.argmax(-1)).mean() > 0.95

@@ -86,12 +86,32 @@ def scene(tmp_path_factory):
     return root, tri_class
 
 
-@pytest.mark.parametrize("probs_dtype", ["f16", "u8"])
+@pytest.mark.parametrize("probs_dtype", ["f16", "u8", "topk2"])
 def test_colorize_cityscapes_mesh_probs_backend(scene, tmp_path, probs_dtype):
     # f16 is the default wire dtype (lossless here: fixture probs are
-    # one-hot); u8 quantizes to p*255 — also exact for one-hot maps, so
-    # the palette assertions below stay bit-exact for both
+    # one-hot); u8 quantizes to p*255 — also exact for one-hot maps — and
+    # topk2 keeps the 2 most-probable classes (a one-hot map's argmax is
+    # always retained), so the palette assertions below stay bit-exact
+    # for all three
     root, tri_class = scene
+    probs_dir = root / "probs"
+    if probs_dtype.startswith("topk"):
+        from semantic_meshes import probs_io
+
+        k = int(probs_dtype[4:])
+        probs_dir = tmp_path / "probs_topk"
+        os.makedirs(probs_dir)
+        for f in os.listdir(root / "probs"):
+            probs = np.load(root / "probs" / f)
+            part = np.argpartition(probs, -k, axis=-1)[..., -k:]
+            vals = np.take_along_axis(probs, part, axis=-1)
+            order = np.argsort(-vals, axis=-1)
+            idx = np.take_along_axis(part, order, -1).astype(np.uint8)
+            np.savez(probs_dir / (os.path.splitext(f)[0] + ".npz"),
+                     values=probs_io.quantize_u8(
+                         np.take_along_axis(vals, order, -1)),
+                     indices=idx, classes=np.int32(probs.shape[-1]))
+        probs_dtype = "f16"  # wire arg is ignored for .npz stores
     out = tmp_path / "colorized.ply"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -105,7 +125,7 @@ def test_colorize_cityscapes_mesh_probs_backend(scene, tmp_path, probs_dtype):
             "--input_ply", str(root / "mesh.ply"),
             "--images", str(root / "images"),
             "--output_ply", str(out),
-            "--probs", str(root / "probs"),
+            "--probs", str(probs_dir),
             "--probs_dtype", probs_dtype,
         ],
         env=env, capture_output=True, text=True, timeout=600,
