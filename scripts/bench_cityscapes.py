@@ -159,6 +159,9 @@ def main():
     ap.add_argument("--timings", action="store_true",
                     help="pass --timings through to the demo and echo "
                     "its per-phase breakdown on stderr")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="pass through to the demo: views per fused "
+                    "render+fuse dispatch (0 = auto, 1 = per-view)")
     ap.add_argument("--keep", help="scene directory (reused if populated)")
     args = ap.parse_args()
 
@@ -206,6 +209,10 @@ def main():
             args.width * args.height * 3 / 1e6, 1)}
     if args.timings:
         cmd.append("--timings")
+    if args.chunk:
+        cmd += ["--chunk", str(args.chunk)]
+    timings_json = os.path.join(root, "phase_timings.json")
+    cmd += ["--timings_json", timings_json]
     build_s = time.time() - t0
 
     env = dict(os.environ)
@@ -227,6 +234,28 @@ def main():
         tail = proc.stdout[proc.stdout.find("phase timings:"):]
         sys.stderr.write(tail + "\n")
 
+    # steady-state rate: strip the one-time costs a long run amortizes —
+    # device acquisition (1-240 s of tunnel weather) and first-call
+    # compiles (per phase: total - median * calls is concentrated in the
+    # first call; exact when later calls sit at the median)
+    phase_detail = {}
+    if os.path.exists(timings_json):
+        with open(timings_json) as f:
+            phases = json.load(f)
+        acquire_s = phases.get("device acquire", {}).get("total_s", 0.0)
+        compile_s = sum(
+            max(0.0, p["total_s"] - p["median_s"] * p["calls"])
+            for name, p in phases.items() if name != "device acquire"
+        )
+        phase_detail = {
+            "device_acquire_s": round(acquire_s, 1),
+            "compile_overhead_s": round(compile_s, 1),
+            "steady_s_per_image": round(
+                max(0.0, wall - acquire_s - compile_s) / args.views, 3
+            ),
+            "phases": phases,
+        }
+
     print(json.dumps({
         "metric": "cityscapes_demo_s_per_image",
         "value": round(wall / args.views, 3),
@@ -239,7 +268,9 @@ def main():
             "triangles": faces,
             "total_wall_s": round(wall, 1),
             "scene_build_s": round(build_s, 1),
+            "chunk": args.chunk,
             **detail,
+            **phase_detail,
             "scene_dir": root,
         },
     }))

@@ -79,6 +79,19 @@ parser.add_argument("--widths", type=int, nargs="+",
                     help="jax model channel widths")
 parser.add_argument("--timings", action="store_true",
                     help="print a per-phase wall-clock breakdown at exit")
+parser.add_argument("--timings_json", type=str, default=None,
+                    help="write the per-phase breakdown as JSON "
+                    "({phase: {total_s, calls, median_s}}) to this path "
+                    "at exit — bench drivers separate one-time costs "
+                    "(device acquisition, compiles) from steady-state "
+                    "per-image rates with it")
+parser.add_argument("--chunk", type=int, default=0,
+                    help="views per fused render+fuse dispatch: the chunk "
+                    "is ONE compiled scan (distributed.fuse_views) instead "
+                    "of per-view render+add dispatches — amortizes "
+                    "per-dispatch overhead, which dominates on remote/"
+                    "tunneled devices. 0 = auto (4 when supported), "
+                    "1 = per-view path")
 args = parser.parse_args()
 
 import imageio.v2 as imageio  # noqa: E402
@@ -89,6 +102,13 @@ from tqdm import tqdm  # noqa: E402
 from semantic_meshes.profiling import PhaseTimers  # noqa: E402
 
 timers = PhaseTimers()
+
+with timers.phase("device acquire"):
+    # First device op + real readback: the per-process backend/device
+    # acquisition (measured 1-240 s through a tunneled PJRT plugin,
+    # tunnel-weather dependent) lands in THIS phase so every later phase
+    # times our pipeline, not the handshake.
+    np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
 
 CLASSES = 19
 
@@ -168,14 +188,16 @@ print("Annotating mesh...")
 image_files = sorted(
     os.path.join(args.images, f) for f in os.listdir(args.images)
 )
+if not image_files:
+    sys.exit(f"no images in {args.images}")
+
+all_cameras = [colmap_workspace.getCamera(f) for f in image_files]
 
 # size the render budgets over ALL cameras upfront (one dispatch + one
 # sync): the per-frame renders below then never overflow-resync or
 # re-probe/recompile mid-loop
 with timers.phase("prepare budgets"):
-    renderer.prepare(
-        [colmap_workspace.getCamera(f) for f in image_files]
-    )
+    renderer.prepare(all_cameras)
 
 
 def load_frame(image_file):
@@ -189,29 +211,108 @@ def load_frame(image_file):
 
 from concurrent.futures import ThreadPoolExecutor  # noqa: E402
 
-if not image_files:
-    sys.exit(f"no images in {args.images}")
+from semantic_meshes import distributed, probs_io  # noqa: E402
+from semantic_meshes.data import stack_cameras  # noqa: E402
+from semantic_meshes.render import _has_distortion  # noqa: E402
 
-with ThreadPoolExecutor(max_workers=1) as pool:
-    pending = pool.submit(load_frame, image_files[0])
-    for i, image_file in enumerate(tqdm(image_files)):
-        with timers.phase("wait prefetch"):
-            prediction = pending.result()
-        if i + 1 < len(image_files):
-            pending = pool.submit(load_frame, image_files[i + 1])
-        with timers.phase("render"):
-            primitive_indices, _ = renderer.render(
-                colmap_workspace.getCamera(image_file)
-            )
-        with timers.phase("fuse"):
-            from semantic_meshes import probs_io
-            # dense f32 on device from any wire format (dequant u8 /
-            # top-k reconstruct happen in one fused XLA pass)
-            prediction = probs_io.densify(prediction)
-            # (H, W, C) -> (W, H, C) on device (XLA transpose, no host copy)
-            aggregator.add(
-                primitive_indices, jnp.transpose(prediction, (1, 0, 2))
-            )
+chunk = args.chunk
+if chunk <= 0:  # auto: the fused scan handles every leg but distortion
+    chunk = 1 if _has_distortion(all_cameras) else min(4, len(image_files))
+if chunk > 1 and _has_distortion(all_cameras):
+    sys.exit("--chunk > 1 requires pinhole cameras (the fused scan has "
+             "no distorted-rasterization path); rerun with --chunk 1")
+
+# stable (per-process) predict_fn objects: fuse_views jit-caches on the
+# predict_fn's identity, so these must be created once, not per chunk
+_DENSIFY_TOPK = probs_io.TopKDensify(CLASSES)
+overflows = []
+
+
+def fuse_chunk(preds, cams, n_pad):
+    """ONE compiled render+fuse scan over a camera chunk. Ragged tails
+    are padded with repeated cameras + all-zero probability maps: zero
+    probs fail the don't-care test (sum <= 0.5, ref: fusion/Mesh.h:98)
+    so a pad view contributes exactly nothing to any aggregator, and the
+    padded shape keeps ONE compiled program for every chunk."""
+    if n_pad:
+        cams = cams + [cams[-1]] * n_pad
+    rot, trans, fl, pp = stack_cameras(cams)
+    if isinstance(preds[0], probs_io.TopKProbs):
+        zv = jnp.zeros_like(preds[0].values)
+        zi = jnp.zeros_like(preds[0].indices)
+        vals = jnp.stack([p.values for p in preds] + [zv] * n_pad)
+        idxs = jnp.stack([p.indices for p in preds] + [zi] * n_pad)
+        probs_arg, predict_fn = (vals, idxs), _DENSIFY_TOPK
+        hw = preds[0].values.shape[:2]
+    else:
+        arrs = [jnp.asarray(p) for p in preds]
+        arrs += [jnp.zeros_like(arrs[0])] * n_pad
+        probs_arg, predict_fn = jnp.stack(arrs), probs_io.densify
+        hw = arrs[0].shape[:2]
+    height, width = int(hw[0]), int(hw[1])
+    cap = renderer._dense_e_cap(height, width, rot, trans, fl, pp)
+    acc, overflow = distributed.fuse_views(
+        renderer.vertices, renderer.faces, rot, trans, fl, pp,
+        probs_arg, jnp.float32(aggregator.images_equal_weight), None,
+        num_primitives=renderer.getPrimitivesNum(),
+        aggregator=aggregator.aggregator, height=height, width=width,
+        max_tris_per_tile=renderer.max_tris_per_tile,
+        clip_near=renderer.clip_near, dense_e_cap=cap,
+        predict_fn=predict_fn,
+    )
+    aggregator.merge(acc)
+    overflows.append(overflow)  # stays async; summed+synced at exit
+
+
+def load_chunk(files):
+    return [load_frame(f) for f in files]
+
+
+if chunk > 1:
+    chunks = [image_files[i:i + chunk]
+              for i in range(0, len(image_files), chunk)]
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(load_chunk, chunks[0])
+        for ci, files in enumerate(tqdm(chunks)):
+            with timers.phase("wait prefetch"):
+                preds = pending.result()
+            if ci + 1 < len(chunks):
+                pending = pool.submit(load_chunk, chunks[ci + 1])
+            with timers.phase("fuse chunk (render+fuse scan)"):
+                fuse_chunk(
+                    preds,
+                    [colmap_workspace.getCamera(f) for f in files],
+                    chunk - len(files),
+                )
+else:
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(load_frame, image_files[0])
+        for i, image_file in enumerate(tqdm(image_files)):
+            with timers.phase("wait prefetch"):
+                prediction = pending.result()
+            if i + 1 < len(image_files):
+                pending = pool.submit(load_frame, image_files[i + 1])
+            with timers.phase("render"):
+                primitive_indices, _ = renderer.render(
+                    colmap_workspace.getCamera(image_file)
+                )
+            with timers.phase("fuse"):
+                # dense f32 on device from any wire format (dequant u8 /
+                # top-k reconstruct happen in one fused XLA pass)
+                prediction = probs_io.densify(prediction)
+                # (H, W, C) -> (W, H, C) on device (XLA transpose, no
+                # host copy)
+                aggregator.add(
+                    primitive_indices, jnp.transpose(prediction, (1, 0, 2))
+                )
+
+if overflows:
+    dropped = int(np.asarray(sum(jnp.asarray(o) for o in overflows)))
+    if dropped:
+        print(f"WARNING: {dropped} candidate pairs dropped by the "
+              "rasterizer's budgets — geometry is missing from the "
+              "fusion; re-run after renderer.prepare() on these cameras",
+              file=sys.stderr)
 
 print("Computing primitive colors...")
 with timers.phase("get"):
@@ -229,3 +330,8 @@ print("Saving colorized mesh...")
 mesh.save(args.output_ply, primitive_colors)
 if args.timings:
     print(timers.report())
+if args.timings_json:
+    import json
+
+    with open(args.timings_json, "w") as f:
+        json.dump(timers.as_dict(), f)

@@ -148,12 +148,15 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
 
 def _scan_classes(probs, predict_fn):
     """Class count of the scanned accumulator: probs' trailing dim, or the
-    predictor's output width when views carry raw images instead."""
+    predictor's output width when views carry raw images — or any pytree
+    the predictor densifies (e.g. stacked probs_io top-k (values, indices)
+    pairs) — instead."""
     if predict_fn is None:
         return probs.shape[-1]
-    out = jax.eval_shape(predict_fn, jax.ShapeDtypeStruct(
-        probs.shape[1:], probs.dtype
-    ))
+    struct = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), probs
+    )
+    out = jax.eval_shape(predict_fn, struct)
     return out.shape[-1]
 
 

@@ -108,6 +108,31 @@ def _densify_topk(t: tuple, classes: int) -> jax.Array:
     return jnp.sum(vals[..., None] * onehot, axis=-2)
 
 
+class TopKDensify:
+    """Stable `predict_fn` for the fused scans: densify one view's top-k
+    `(values, indices)` pair to a dense float32 (H, W, C) map inside
+    `distributed.fuse_views(predict_fn=...)`. predict_fn is a static jit
+    argument, so instances with equal `classes` compare and hash equal —
+    re-constructing one never recompiles the scan."""
+
+    __slots__ = ("classes", "__weakref__")  # jax jit caching weakrefs it
+
+    def __init__(self, classes: int):
+        self.classes = int(classes)
+
+    def __call__(self, t):
+        values, indices = t[0], t[1]
+        return _densify_topk((values, indices), self.classes)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, TopKDensify) and other.classes == self.classes
+        )
+
+    def __hash__(self):
+        return hash(("probs_io.TopKDensify", self.classes))
+
+
 @jax.jit
 def _dequant_dense(probs: jax.Array) -> jax.Array:
     p = probs.astype(jnp.float32)

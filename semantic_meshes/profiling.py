@@ -53,6 +53,19 @@ class PhaseTimers:
         mid = n // 2
         return d[mid] if n % 2 else 0.5 * (d[mid - 1] + d[mid])
 
+    def as_dict(self):
+        """Machine-readable snapshot: {phase: {total_s, calls, median_s}}
+        (bench drivers parse this to separate one-time costs — device
+        acquisition, compiles — from steady-state per-call rates)."""
+        return {
+            name: {
+                "total_s": round(self.totals[name], 4),
+                "calls": self.counts[name],
+                "median_s": round(self.median(name), 4),
+            }
+            for name in self.totals
+        }
+
     def report(self):
         lines = ["phase timings:"]
         for name in sorted(self.totals, key=self.totals.get, reverse=True):

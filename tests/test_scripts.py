@@ -158,6 +158,54 @@ def test_colorize_cityscapes_mesh_probs_backend(scene, tmp_path, probs_dtype):
     np.testing.assert_array_equal(cols[colored], expected[colored])
 
 
+@pytest.mark.parametrize("chunk", [1, 2])
+def test_colorize_cityscapes_mesh_chunked(scene, tmp_path, chunk):
+    """--chunk legs: 1 = the per-view render+add path, 2 = the fused
+    render+fuse scan with a RAGGED tail (3 views in chunks of 2 pads the
+    last chunk with a zero-prob view, which must contribute nothing —
+    zero probs fail the don't-care test, ref: fusion/Mesh.h:98). Both
+    must produce the exact palette colors of the default path."""
+    root, tri_class = scene
+    out = tmp_path / f"colorized_chunk{chunk}.ply"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "colorize_cityscapes_mesh.py"),
+            "--colmap", str(root / "ws"),
+            "--input_ply", str(root / "mesh.ply"),
+            "--images", str(root / "images"),
+            "--output_ply", str(out),
+            "--probs", str(root / "probs"),
+            "--chunk", str(chunk),
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    CLASS_TO_COLOR = np.asarray(
+        [
+            (128, 64, 128), (244, 35, 232), (70, 70, 70), (102, 102, 156),
+            (190, 153, 153), (153, 153, 153), (250, 170, 30), (220, 220, 0),
+            (107, 142, 35), (152, 251, 152), (70, 130, 180), (220, 20, 60),
+            (255, 0, 0), (0, 0, 142), (0, 0, 70), (0, 60, 100), (0, 80, 100),
+            (0, 0, 230), (119, 11, 32),
+        ],
+        dtype=np.uint8,
+    )
+    e = read_ply(str(out))
+    cols = np.stack(
+        [e["face"].data["red"], e["face"].data["green"],
+         e["face"].data["blue"]], -1,
+    )
+    colored = cols.any(-1)
+    assert colored.sum() > len(cols) * 0.5
+    expected = CLASS_TO_COLOR[tri_class]
+    np.testing.assert_array_equal(cols[colored], expected[colored])
+
+
 def test_colorize_cityscapes_mesh_jax_sliding(scene, tmp_path):
     """--model jax-unet with --sliding/--multi_scale: the reference demo's
     tfcv.predict.sliding((713,713), 0.2) + multi_scale([0.5]) semantics
