@@ -148,3 +148,92 @@ class TestFusionParity:
         )
         sparse = fuse(probs_io.densify(t))
         assert (dense.argmax(-1) == sparse.argmax(-1)).mean() > 0.95
+
+
+class TestTopKDensify:
+    """TopKDensify: the stable predict_fn for fused scans (a static jit
+    argument in distributed.fuse_views — its hash/eq define the compile
+    cache key)."""
+
+    def test_matches_densify(self):
+        import jax.numpy as jnp
+
+        probs = _softmax_maps(seed=5)
+        vals, idx = _topk_arrays(probs, 4)
+        t = probs_io.TopKProbs(
+            jnp.asarray(vals.astype(np.float16)), jnp.asarray(idx), 19
+        )
+        via_class = probs_io.TopKDensify(19)((t.values, t.indices))
+        via_fn = probs_io.densify(t)
+        np.testing.assert_array_equal(
+            np.asarray(via_class), np.asarray(via_fn)
+        )
+
+    def test_equal_instances_hash_equal(self):
+        # re-constructing TopKDensify(C) must not recompile the scan:
+        # equal classes -> equal objects, equal hashes
+        a, b = probs_io.TopKDensify(19), probs_io.TopKDensify(19)
+        assert a == b and hash(a) == hash(b)
+        assert a != probs_io.TopKDensify(20)
+        assert a != probs_io.densify
+
+    def test_weakrefable(self):
+        # jax's jit cache takes weakrefs to static callables
+        import weakref
+
+        d = probs_io.TopKDensify(19)
+        assert weakref.ref(d)() is d
+
+    def test_fuse_views_scan_with_topk_predict_fn(self):
+        """End-to-end through the scan: stacked top-k pairs + TopKDensify
+        equal per-view dense fusion, and an all-zero pad view contributes
+        nothing (fails the don't-care test, ref: fusion/Mesh.h:98)."""
+        import jax.numpy as jnp
+
+        from semantic_meshes import distributed, testing
+
+        vertices, faces = testing.make_cube(2)
+        W = H = 24
+        cams = testing.make_ring_cameras(num_views=2, width=W, height=H)
+        from semantic_meshes.data import stack_cameras
+
+        rot, trans, fl, pp = stack_cameras(cams)
+        C, k = 19, 3
+        rng = np.random.default_rng(7)
+        logits = rng.normal(0, 2, (2, H, W, C)).astype(np.float32)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        vals = np.empty((2, H, W, k), np.float16)
+        idxs = np.empty((2, H, W, k), np.uint8)
+        for i in range(2):
+            v, ix = _topk_arrays(probs[i], k)
+            vals[i], idxs[i] = v.astype(np.float16), ix
+        # pad with a zero view (the ragged-tail convention of the demo)
+        vals_p = np.concatenate([vals, np.zeros_like(vals[:1])])
+        idxs_p = np.concatenate([idxs, np.zeros_like(idxs[:1])])
+        rot_p = jnp.concatenate([rot, rot[-1:]])
+        trans_p = jnp.concatenate([trans, trans[-1:]])
+        fl_p = jnp.concatenate([fl, fl[-1:]])
+        pp_p = jnp.concatenate([pp, pp[-1:]])
+        P = len(faces)
+        acc, overflow = distributed.fuse_views(
+            jnp.asarray(vertices), jnp.asarray(faces),
+            rot_p, trans_p, fl_p, pp_p,
+            (jnp.asarray(vals_p), jnp.asarray(idxs_p)),
+            jnp.float32(0.5), None,
+            num_primitives=P, aggregator="sum", height=H, width=W,
+            predict_fn=probs_io.TopKDensify(C),
+        )
+        assert int(overflow) == 0
+        # oracle: the same scan over pre-densified maps, no pad view
+        ref_acc, _ref_ov = distributed.fuse_views(
+            jnp.asarray(vertices), jnp.asarray(faces), rot, trans, fl, pp,
+            jnp.stack([probs_io.densify(probs_io.TopKProbs(
+                jnp.asarray(vals[i]), jnp.asarray(idxs[i]), C
+            )) for i in range(2)]),
+            jnp.float32(0.5), None,
+            num_primitives=P, aggregator="sum", height=H, width=W,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(ref_acc), rtol=1e-5, atol=1e-5
+        )
