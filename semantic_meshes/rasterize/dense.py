@@ -78,23 +78,30 @@ if TILE_H <= 0 or TILE_H % 8 or TILE_W <= 0 or TILE_W % 128:
     )
 # Micro/streaming routing threshold: triangles whose pixel-center bbox is
 # <= MICRO_MAX x MICRO_MAX ride the fragment path (MICRO_MAX^2 fragment
-# slots each); larger ones are tile-binned for the streaming kernel. The
-# default 2 matches the original design point; raising it trades
-# streaming-kernel per-candidate work (a full-tile VPU test per (tile,
-# triangle) pair) for fragment-sort rows (~7.5 ns/row across the two
-# z-resolve sorts — the same figure ROUTE_BETA encodes below) — measure
-# at the scannet preset before changing (scripts/microbench_scannet.py
-# prints the per-threshold routing curve). Also a static `micro_max`
-# argument on rasterize() and the probes so an A/B needs no reimport.
+# slots each); larger ones are tile-binned for the streaming kernel.
+# Raising it trades streaming-kernel per-candidate work (a full-tile VPU
+# test per (tile, triangle) pair) for fragment-sort rows (~7.5 ns/row
+# across the two z-resolve sorts — the same figure ROUTE_BETA encodes
+# below) — measure at the scannet preset before changing
+# (scripts/microbench_scannet.py prints the per-threshold routing curve).
+# Also a static `micro_max` argument on rasterize() and the probes so an
+# A/B needs no reimport.
 #
-# SM_MICRO_MAX=auto: the RENDERERS pick the threshold per resolution from
-# the same one-sync probe that sizes the candidate budgets, minimizing
-# the linear cost model below (pick_micro_max). No single fixed value
-# serves every scene: the scannet-preset mesh bins 107k (tile, triangle)
-# pairs at threshold 2 but only 2.5k at 4, while the dense-preset mesh is
-# all-micro at 2 already, so raising its threshold only multiplies
-# fragment-sort rows.
-_mm_env = os.environ.get("SM_MICRO_MAX", "2")
+# SM_MICRO_MAX=auto (the DEFAULT since round 5): the RENDERERS pick the
+# threshold per resolution from the same one-sync probe that sizes the
+# candidate budgets, minimizing the linear cost model below
+# (pick_micro_max). No single fixed value serves every scene: the
+# scannet-preset mesh bins 107k (tile, triangle) pairs at threshold 2
+# but only 2.5k at 4, while the dense-preset mesh is all-micro at 2
+# already, so raising its threshold only multiplies fragment-sort rows.
+# Promotion basis: the round-4 in-pipeline re-fit (alpha=97, beta=7.05,
+# solved exactly from scannet e2e at m=2/3/4 = 45.53/44.72/46.51
+# ms/view) picks the measured winner m=3 at scannet (+1.8%) and the
+# already-optimal point everywhere else (every other preset is
+# routing-degenerate). Set SM_MICRO_MAX=<int> to pin the old fixed
+# routing; routing is output-invariant either way (oracle bit-parity
+# asserted at thresholds 1/2/4/6 in tests).
+_mm_env = os.environ.get("SM_MICRO_MAX", "auto")
 MICRO_AUTO = _mm_env.strip().lower() == "auto"
 try:
     MICRO_MAX = 2 if MICRO_AUTO else int(_mm_env)
@@ -647,7 +654,9 @@ def rasterize(
     in the overflow counter.
 
     micro_max: micro/streaming routing threshold (pixel-center bbox side;
-    default None = the SM_MICRO_MAX env knob, 2). Any value yields the
+    default None = the SM_MICRO_MAX env knob — 2 under the default
+    'auto', whose per-resolution pick the RENDERERS/plan_fuse pass in
+    explicitly via dense_e_cap). Any value yields the
     same image — it only moves triangles between the fragment path and
     the streaming kernel — but budgets probed under one threshold must be
     used with the same threshold.
