@@ -110,7 +110,7 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
                           height, width, max_tris_per_tile=256,
                           prim_transform=None, axis_name=None, y_offset=None,
                           face_vertices=None, clip_near=False,
-                          dense_e_cap=None):
+                          dense_e_cap=None, resample_grid=None):
     """One fused render+aggregate step (stays entirely in HBM).
 
     camera_arrays: (rotation, translation, focal_lengths, principal_point).
@@ -119,6 +119,16 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
     ids (the texel-shader / cross-chip winner-merge hook — z lets a
     'faces'-sharded caller merge block winners by depth); default uses
     triangle ids directly.
+
+    resample_grid: optional (H, W, 2) undistorted normalized ray coords
+    of each DISTORTED pixel center (render._undistort_grid) — the caller
+    then passes the virtual-pinhole (scaled) focal in camera_arrays, the
+    rasterize + prim_transform run in pinhole space, and one coherent
+    nearest-gather maps the primitive image back onto the distorted
+    pixels BEFORE accumulation (so pixels-per-face counts and probs
+    sampling both happen in the distorted frame — exactly what the
+    per-view render() -> add() path fuses over). Mirrors
+    render._render_triangles_distorted_jit in (H, W) layout.
 
     Returns ((P, C) fusion delta, overflow): overflow counts candidate
     pairs the rasterizer dropped under its static budgets this view. The
@@ -139,6 +149,12 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
         prim = jnp.where(tri >= 0, tri, num_primitives).astype(jnp.int32)
     else:
         prim = prim_transform(tri, depth, camera_arrays)
+    if resample_grid is not None:
+        px = fl[0] * resample_grid[..., 0] + pp[0]
+        py = fl[1] * resample_grid[..., 1] + pp[1]
+        ix = jnp.clip(px.astype(jnp.int32), 0, width - 1)
+        iy = jnp.clip(py.astype(jnp.int32), 0, height - 1)
+        prim = prim[iy, ix]
     delta = view_accumulate(
         prim, probs, weights, images_equal_weight,
         num_primitives, aggregator, axis_name=axis_name,
@@ -168,7 +184,8 @@ def _scan_classes(probs, predict_fn):
     ),
 )
 def fuse_views(vertices, faces, rotations, translations, focal_lengths,
-               principal_points, probs, images_equal_weight, weights=None, *,
+               principal_points, probs, images_equal_weight, weights=None,
+               distortions=None, prim_remap=None, *,
                num_primitives, aggregator, height, width,
                max_tris_per_tile=256, clip_near=False, dense_e_cap=None,
                predict_fn=None):
@@ -181,6 +198,18 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     is the total candidate pairs dropped by the rasterizer's static
     budgets across all views (0 in a correctly-budgeted run — check it,
     dropped pairs mean missing geometry in the fusion).
+
+    distortions: optional (N, 4) lens parameters (data.Camera.distortion
+    — SIMPLE_RADIAL/RADIAL/OPENCV, COLMAP's default real-workspace
+    models). Each view then renders under its virtual pinhole and
+    resamples onto the distorted pixels inside the same scan body
+    (render_and_accumulate resample_grid), so distorted scenes keep the
+    one-program pipeline. Equals the per-view render() -> add() path.
+
+    prim_remap: optional (T,) int32 triangle-id map applied per pixel
+    before accumulation (prim = prim_remap[tri]) — how a uni-split plan
+    (plan_fuse) returns its accumulator in original face order for the
+    cost of one coherent (H, W) gather per view; see FusePlan.
 
     predict_fn: optional traceable `(H, W, ...) image -> (H, W, C) probs`
     segmentation model. When given, `probs` carries the raw images and
@@ -196,16 +225,32 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
 
     def step(carry, view):
         acc, ov = carry
-        rot, trans, fl, pp, pr, wt = view
+        rot, trans, fl, pp, pr, wt, dist = view
         if predict_fn is not None:
             pr = predict_fn(pr)
+        grid = None
+        if dist is not None:
+            from .render import _undistort_grid
+
+            grid, s = _undistort_grid(
+                fl, pp, dist, height=height, width=width
+            )
+            fl = fl * s
+        prim_transform = None
+        if prim_remap is not None:
+            def prim_transform(tri, _z, _cams):
+                return jnp.where(
+                    tri >= 0, prim_remap[jnp.maximum(tri, 0)],
+                    num_primitives,
+                ).astype(jnp.int32)
         delta, ov_view = render_and_accumulate(
             vertices, faces, (rot, trans, fl, pp), pr, wt,
             images_equal_weight,
             num_primitives=num_primitives, aggregator=aggregator,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
             face_vertices=face_vertices, clip_near=clip_near,
-            dense_e_cap=dense_e_cap,
+            dense_e_cap=dense_e_cap, resample_grid=grid,
+            prim_transform=prim_transform,
         )
         return (acc + delta, ov + ov_view), None
 
@@ -215,80 +260,180 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     (acc, overflow), _ = jax.lax.scan(
         step, (acc0, jnp.int32(0)),
         (rotations, translations, focal_lengths, principal_points, probs,
-         weights),
+         weights, distortions),
     )
     return acc, overflow
+
+
+class FusePlan:
+    """Per-scene fusion plan from `plan_fuse`: the (possibly uni-permuted)
+    faces to rasterize, the right-sized dense candidate budget, and —
+    when the plan split — the (T,) map from permuted triangle ids back to
+    original face ids (`remap[i] = perm[i]`, i.e. faces[remap] row i is
+    the triangle the rasterizer calls i).
+
+    The remap is applied PER PIXEL inside the scan (fuse_views
+    prim_remap): rendered index images are spatially coherent, so the
+    (H, W) id gather rides the coherent-gather fast path (~2 ms/view,
+    CLAUDE.md) and the accumulator lands in ORIGINAL face order with no
+    post-hoc work. The alternative — un-permuting the (P, C) accumulator
+    with a row gather — pays the measured strided/random row-gather rate
+    (~0.7 us/row on v5e: ~340 ms at 500k faces, dwarfing the split's
+    win), so it is deliberately not offered.
+
+    Probing, routing and the split-vs-compaction choice are per-scene
+    host decisions with device syncs; the fused scan itself is pure
+    device work. Splitting them lets a caller plan once and time or
+    repeat `fuse_views_planned` without re-paying the probes (bench.py,
+    the chunked demo, and any steady-state serving loop)."""
+
+    __slots__ = ("faces", "dense_e_cap", "remap", "micro_max", "split_k")
+
+    def __init__(self, faces, dense_e_cap, remap=None, micro_max=None,
+                 split_k=0):
+        self.faces = faces
+        self.dense_e_cap = dense_e_cap
+        self.remap = remap  # (T,) int32 permuted id -> original id
+        self.micro_max = micro_max  # routing threshold probed (or None)
+        self.split_k = split_k  # uni-prefix length (0 = no split)
+
+
+def plan_fuse(vertices, faces, rotations, translations, focal_lengths,
+              principal_points, *, height, width, backend=None,
+              clip_near=False, micro_max=None, distortions=None,
+              allow_split=True):
+    """Probe a scene once and build the FusePlan every fusion entry point
+    shares: batched candidate/routing stats (one `lax.scan` dispatch + one
+    sync each — never per view), the SM_MICRO_MAX=auto routing pick, and
+    the uni-slot-prefix-vs-micro-compaction gate (`dense.split_wins` —
+    the two are mutually exclusive in rasterize(), and each wins on
+    different scenes: the v5e A/B measured the split +6.5% on the
+    all-micro dense preset but -17% on the scannet preset where it
+    forfeits compaction).
+
+    distortions: (N, 4) lens parameters (or None) — probes then run under
+    each view's virtual-pinhole focal (render._distortion_scales), the
+    focal the distorted render actually rasterizes with.
+
+    allow_split: set False for texel-mode plans (texel ids come from
+    per-face tables; the prefix permutation is whole-triangle only) and
+    for callers that need per-pixel primitive ids in original face order.
+    Non-dense backends get a no-op plan (no probes, no budget)."""
+    faces_np = np.asarray(faces, np.int32)
+    n_rows = faces_np.shape[0] * (2 if clip_near else 1)
+    if not rast.uses_dense(backend, faces_np.shape[0]):
+        return FusePlan(jnp.asarray(faces_np), None)
+
+    from . import render as _render
+    from .rasterize import dense as _dense
+
+    fl = jnp.asarray(focal_lengths, jnp.float32)
+    if distortions is not None and np.any(np.asarray(distortions)):
+        s = _render._distortion_scales(
+            fl, jnp.asarray(principal_points, jnp.float32),
+            jnp.asarray(distortions, jnp.float32),
+            height=height, width=width,
+        )
+        fl = fl * s[:, None]
+
+    if micro_max is None and _dense.MICRO_AUTO:
+        face_vertices = jnp.asarray(vertices, jnp.float32)[
+            jnp.asarray(faces_np)
+        ]
+        curve = np.asarray(_render._dense_routing_probe(
+            vertices, faces_np, face_vertices, rotations, translations,
+            fl, principal_points, height=height, width=width,
+            clip_near=clip_near,
+        ))
+        pairs, micro, micro_max = _dense.pick_route(curve, n_rows)
+    else:
+        stats = np.asarray(_dense.candidate_stats_batch(
+            vertices, faces_np, rotations, translations, fl,
+            principal_points, height=height, width=width,
+            clip_near=clip_near, micro_max=micro_max,
+        ))
+        pairs, micro = int(stats[0]), int(stats[1])
+
+    if allow_split and not clip_near:
+        perm, k = _dense.uni_order(
+            vertices, faces_np, rotations, translations, fl,
+            principal_points, height=height, width=width,
+        )
+        if k and _dense.split_wins(k, n_rows, micro, micro_max):
+            faces_p = jnp.asarray(faces_np[perm])
+            pairs_s = int(np.asarray(_dense.candidate_stats_batch(
+                vertices, faces_p, rotations, translations, fl,
+                principal_points, height=height, width=width,
+                micro_split=int(k), micro_max=micro_max,
+            ))[0])
+            return FusePlan(
+                faces_p,
+                (_dense.BUDGET_MARGIN * pairs_s, 0, micro_max, int(k)),
+                remap=jnp.asarray(perm.astype(np.int32)),
+                micro_max=micro_max, split_k=int(k),
+            )
+    return FusePlan(
+        jnp.asarray(faces_np),
+        (_dense.BUDGET_MARGIN * pairs, _dense.BUDGET_MARGIN * micro,
+         micro_max),
+        micro_max=micro_max,
+    )
+
+
+def fuse_views_planned(plan, vertices, rotations, translations,
+                       focal_lengths, principal_points, probs,
+                       images_equal_weight, weights=None, *,
+                       num_primitives, aggregator, height, width,
+                       **kwargs):
+    """Run the batched fused scan under a FusePlan (one dispatch, no
+    probes). The accumulator comes out in ORIGINAL face order even when
+    the plan split (per-pixel id remap inside the scan — see FusePlan).
+    Equals fuse_views(faces) exactly; see plan_fuse."""
+    return fuse_views(
+        vertices, plan.faces, rotations, translations, focal_lengths,
+        principal_points, probs, images_equal_weight, weights,
+        num_primitives=num_primitives, aggregator=aggregator,
+        height=height, width=width, dense_e_cap=plan.dense_e_cap,
+        prim_remap=plan.remap,
+        **kwargs,
+    )
 
 
 def fuse_views_split(vertices, faces, rotations, translations,
                      focal_lengths, principal_points, probs,
                      images_equal_weight, weights=None, *,
                      num_primitives, aggregator, height, width,
-                     clip_near=False, micro_max=None, **kwargs):
+                     clip_near=False, micro_max=None, distortions=None,
+                     **kwargs):
     """fuse_views with the dense path's uni-slot prefix, handled end to
-    end: permute faces sub-pixel-first (rasterize.dense.uni_order over
-    the batch), right-size the pair budget at the split, run the fused
-    scan, and un-permute the accumulator back to original face order —
-    the result equals fuse_views while the micro fragment sorts pay ONE
-    slot per sub-pixel triangle instead of micro_max^2.
+    end: permute faces sub-pixel-first, right-size the pair budget at the
+    split, run the fused scan, and un-permute the accumulator back to
+    original face order — the result equals fuse_views while the micro
+    fragment sorts pay ONE slot per sub-pixel triangle instead of
+    micro_max^2. The split is applied only where `dense.split_wins` says
+    it beats micro compaction (the two are mutually exclusive; measured
+    +6.5% dense preset / -17% scannet preset if forced); otherwise this
+    is plain fuse_views with right-sized compaction budgets — never
+    slower than either fixed choice.
 
-    Host-side data prep happens per call and costs exactly TWO device
-    syncs regardless of view count (one batched uni-mask scan, one
-    batched budget-stats scan) plus a host argsort and one (P, C) inverse
-    row gather; intended for the micro-dominated dense regime
-    where a scene is fused across many views. clip_near is unsupported
-    (the prefix permutes faces, not clip pieces).
-
-    The split is applied only where it wins: micro_split forfeits micro
-    compaction (mutually exclusive in rasterize()), so on scenes with few
-    uni rows and few micro triangles it LOSES (measured 17% on the
-    scannet bench preset). When `rasterize.dense.split_wins` says
-    compaction's fragment-row volume is smaller, this falls back to plain
-    fuse_views with right-sized compaction budgets — same result, no
-    permutation, never slower than either fixed choice."""
-    if clip_near:
-        raise ValueError("fuse_views_split does not support clip_near "
-                         "(the uni prefix permutes faces, not clip pieces)")
-    import numpy as np
-
-    from .rasterize import dense as _dense
-
-    faces = np.asarray(faces, np.int32)
-    perm, k = _dense.uni_order(
+    This is plan_fuse + fuse_views_planned in one call (a few device
+    syncs of host-side planning per scene, then one fused dispatch); use
+    the two-step form to amortize planning over repeated fusions.
+    clip_near is unsupported with the split (the prefix permutes faces,
+    not clip pieces) — plan_fuse then plans compaction instead."""
+    plan = plan_fuse(
         vertices, faces, rotations, translations, focal_lengths,
         principal_points, height=height, width=width,
+        clip_near=clip_near, micro_max=micro_max, distortions=distortions,
     )
-    faces_p = jnp.asarray(faces[perm])
-    stats = np.asarray(_dense.candidate_stats_batch(
-        vertices, faces_p, rotations, translations, focal_lengths,
-        principal_points, height=height, width=width, micro_split=int(k),
-        micro_max=micro_max,
-    ))
-    pairs, micro = int(stats[0]), int(stats[1])
-    if not _dense.split_wins(k, faces.shape[0], micro, micro_max):
-        return fuse_views(
-            vertices, jnp.asarray(faces), rotations, translations,
-            focal_lengths, principal_points, probs, images_equal_weight,
-            weights, num_primitives=num_primitives, aggregator=aggregator,
-            height=height, width=width,
-            dense_e_cap=(_dense.BUDGET_MARGIN * pairs,
-                         _dense.BUDGET_MARGIN * micro, micro_max),
-            **kwargs,
-        )
-    acc, overflow = fuse_views(
-        vertices, faces_p, rotations, translations, focal_lengths,
+    return fuse_views_planned(
+        plan, vertices, rotations, translations, focal_lengths,
         principal_points, probs, images_equal_weight, weights,
         num_primitives=num_primitives, aggregator=aggregator,
-        height=height, width=width,
-        dense_e_cap=(_dense.BUDGET_MARGIN * pairs, 0, micro_max, int(k)),
+        height=height, width=width, clip_near=clip_near,
+        **({} if distortions is None else {"distortions": distortions}),
         **kwargs,
     )
-    # accumulator rows are permuted-face segments; un-permute only the
-    # face rows (aggregators may carry trailing background/count rows)
-    inv = jnp.asarray(np.argsort(perm))
-    face_rows = faces.shape[0]
-    acc = acc.at[:face_rows].set(acc[:face_rows][inv])
-    return acc, overflow
 
 
 @functools.partial(
@@ -301,15 +446,18 @@ def fuse_views_split(vertices, faces, rotations, translations,
 def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
                       rotations, translations, focal_lengths,
                       principal_points, probs, images_equal_weight,
-                      weights=None, *,
+                      weights=None, distortions=None, *,
                       num_primitives, aggregator, height, width,
                       max_tris_per_tile=256, clip_near=False,
                       dense_e_cap=None, predict_fn=None):
     """Batched texel-mode pipeline: like fuse_views, but primitives are the
     sub-triangle texels of a TexelsRenderer (pass its reordered `faces`,
     `resolutions` and `first_texel_index`). Returns (accumulator (P, C),
-    overflow int32) like fuse_views. predict_fn: see fuse_views — runs the
-    segmentation forward inside the scan (probs then carries raw images)."""
+    overflow int32) like fuse_views. distortions: optional (N, 4) lens
+    parameters — texels shade in virtual-pinhole space, then the texel
+    image resamples onto the distorted pixels (see fuse_views). predict_fn:
+    see fuse_views — runs the segmentation forward inside the scan (probs
+    then carries raw images)."""
 
     def prim_transform_factory(rot, trans, fl, pp):
         def prim_transform(tri, _z, camera_arrays):
@@ -328,9 +476,17 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
 
     def step(carry, view):
         acc, ov = carry
-        rot, trans, fl, pp, pr, wt = view
+        rot, trans, fl, pp, pr, wt, dist = view
         if predict_fn is not None:
             pr = predict_fn(pr)
+        grid = None
+        if dist is not None:
+            from .render import _undistort_grid
+
+            grid, s = _undistort_grid(
+                fl, pp, dist, height=height, width=width
+            )
+            fl = fl * s  # texel shading + resample both use the virtual fl
         delta, ov_view = render_and_accumulate(
             vertices, faces, (rot, trans, fl, pp), pr, wt,
             images_equal_weight,
@@ -338,7 +494,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
             prim_transform=prim_transform_factory(rot, trans, fl, pp),
             face_vertices=face_vertices, clip_near=clip_near,
-            dense_e_cap=dense_e_cap,
+            dense_e_cap=dense_e_cap, resample_grid=grid,
         )
         return (acc + delta, ov + ov_view), None
 
@@ -348,7 +504,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
     (acc, overflow), _ = jax.lax.scan(
         step, (acc0, jnp.int32(0)),
         (rotations, translations, focal_lengths, principal_points, probs,
-         weights),
+         weights, distortions),
     )
     return acc, overflow
 
@@ -357,7 +513,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                       width, max_tris_per_tile=256,
                       shard_primitives=False, texel_params=None,
                       clip_near=False, dense_e_cap=None,
-                      with_weights=False):
+                      with_weights=False, with_distortion=False):
     """Build a pjit-able multi-chip fuse step over `mesh`.
 
     Mesh axes used (any subset may have size 1):
@@ -410,6 +566,14 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     API parity with the reference's 3-arg add
     (ref: include/semantic_meshes/fusion/Mesh.h:66,103).
 
+    with_distortion: when True the returned function takes a trailing
+    (N, 4) lens-parameter array sharded P('views') (after weights when
+    both are set); each chip renders its views under their virtual
+    pinholes and resamples onto the distorted pixels (see fuse_views).
+    Incompatible with a 'pixels' axis > 1: the undistortion resample
+    gathers across row bands, which a row-sharded rasterization cannot
+    serve without materializing the full image per chip.
+
     Requires: N % mesh.shape['views'] == 0, H % mesh.shape['pixels'] == 0,
     and P % n_chips == 0 (n_chips = the product of ALL mesh axis sizes,
     including 'faces' when present) when shard_primitives.
@@ -417,6 +581,12 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     n_pixels = mesh.shape["pixels"]
     n_views = mesh.shape["views"]
     n_faces_axis = mesh.shape.get("faces", 1)
+    if with_distortion and n_pixels > 1:
+        raise ValueError(
+            "with_distortion is incompatible with a 'pixels' mesh axis > 1 "
+            "(the undistortion resample gathers across row bands); shard "
+            "distorted scenes over 'views' (and optionally 'faces')"
+        )
     local_h = height // n_pixels
     if local_h * n_pixels != height:
         raise ValueError(
@@ -443,10 +613,12 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     )
     if with_weights:
         in_specs = in_specs + (P("views", "pixels"),)
+    if with_distortion:
+        in_specs = in_specs + (P("views"),)
 
     def fuse_impl(vertices, faces, rotations, translations, focal_lengths,
                   principal_points, probs, images_equal_weight,
-                  weights=None):
+                  weights=None, distortions=None):
         row0 = jax.lax.axis_index("pixels") * local_h
         faces = jnp.asarray(faces, jnp.int32)
         res_blk, first_blk = texel_params if texel_params else (None, None)
@@ -527,7 +699,18 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
 
         def step(carry, view):
             acc, ov = carry
-            rot, trans, fl, pp, pr, wt = view
+            rot, trans, fl, pp, pr, wt, dist = view
+            grid = None
+            if dist is not None:
+                from .render import _undistort_grid
+
+                # n_pixels == 1 here (checked at build): local_h is the
+                # full height and row0 is 0, so the grid/render/resample
+                # all see whole images
+                grid, s = _undistort_grid(
+                    fl, pp, dist, height=local_h, width=width
+                )
+                fl = fl * s
             delta, ov_view = render_and_accumulate(
                 vertices, faces, (rot, trans, fl, pp), pr, wt,
                 images_equal_weight,
@@ -538,7 +721,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                 face_vertices=face_vertices,
                 prim_transform=prim_transform_factory(rot, trans, fl, pp),
                 clip_near=clip_near,
-                dense_e_cap=dense_e_cap,
+                dense_e_cap=dense_e_cap, resample_grid=grid,
             )
             if shard_primitives:
                 # huge-P mode: merge THIS view's delta with a ring
@@ -571,7 +754,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
         (acc, overflow), _ = jax.lax.scan(
             step, acc0,
             (rotations, translations, focal_lengths, principal_points, probs,
-             weights),
+             weights, distortions),
         )
         # Merge: each view's delta was already merged across 'pixels' inside
         # _accumulate_view (counts need the full image), so acc is replicated
@@ -588,12 +771,31 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
         overflow = jax.lax.psum(overflow, ov_axes)
         return acc, overflow
 
-    if with_weights:
+    # shard_map needs a fixed positional arity matching in_specs: build the
+    # wrapper for the (with_weights, with_distortion) combination requested
+    if with_weights and with_distortion:
+        def fuse(vertices, faces, rotations, translations, focal_lengths,
+                 principal_points, probs, images_equal_weight, weights,
+                 distortions):
+            return fuse_impl(
+                vertices, faces, rotations, translations, focal_lengths,
+                principal_points, probs, images_equal_weight, weights,
+                distortions,
+            )
+    elif with_weights:
         def fuse(vertices, faces, rotations, translations, focal_lengths,
                  principal_points, probs, images_equal_weight, weights):
             return fuse_impl(
                 vertices, faces, rotations, translations, focal_lengths,
                 principal_points, probs, images_equal_weight, weights,
+            )
+    elif with_distortion:
+        def fuse(vertices, faces, rotations, translations, focal_lengths,
+                 principal_points, probs, images_equal_weight, distortions):
+            return fuse_impl(
+                vertices, faces, rotations, translations, focal_lengths,
+                principal_points, probs, images_equal_weight,
+                distortions=distortions,
             )
     else:
         def fuse(vertices, faces, rotations, translations, focal_lengths,

@@ -427,20 +427,72 @@ class TestUniSlotPrefix:
         ))
         np.testing.assert_array_equal(batch, loop)
 
-    def test_fuse_views_split_rejects_clip_near(self):
+    def test_fuse_views_split_clip_near_plans_compaction(self, monkeypatch):
+        """clip_near cannot ride the uni prefix (it permutes faces, not
+        clip pieces): plan_fuse must plan compaction instead (no
+        permutation) and fuse_views_split must still equal fuse_views."""
+        import jax.numpy as jnp
+
         from semantic_meshes import distributed
 
-        with pytest.raises(ValueError, match="clip_near"):
-            distributed.fuse_views_split(
-                np.zeros((3, 3), np.float32), np.zeros((1, 3), np.int32),
-                *(np.zeros((1, 3, 3), np.float32),
-                  np.zeros((1, 3), np.float32),
-                  np.zeros((1, 2), np.float32),
-                  np.zeros((1, 2), np.float32)),
-                np.zeros((1, 8, 8, 2), np.float32), np.float32(0.5),
-                num_primitives=1, aggregator="sum", height=8, width=8,
-                clip_near=True,
-            )
+        monkeypatch.setenv("SM_RASTERIZER", "dense")
+        vertices, faces = testing.make_cube(20)
+        cams = testing.make_ring_cameras(num_views=2, width=128, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        plan = distributed.plan_fuse(
+            vertices, faces, rot, trans, fl, pp, height=96, width=128,
+            clip_near=True,
+        )
+        assert plan.remap is None and plan.split_k == 0
+        rng = np.random.default_rng(2)
+        probs = jnp.asarray(np.stack(
+            [testing.random_probs(rng, 96, 128, 4) for _ in range(2)]
+        ))
+        kw = dict(num_primitives=len(faces), aggregator="sum",
+                  height=96, width=128, clip_near=True)
+        a0, ov0 = distributed.fuse_views(
+            vertices, faces, rot, trans, fl, pp, probs, jnp.float32(0.5),
+            **kw,
+        )
+        a1, ov1 = distributed.fuse_views_split(
+            vertices, faces, rot, trans, fl, pp, probs, jnp.float32(0.5),
+            **kw,
+        )
+        assert int(ov0) == 0 and int(ov1) == 0
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+    def test_plan_fuse_planned_equals_fuse_views(self, monkeypatch):
+        """plan_fuse + fuse_views_planned (the two-step form bench.py and
+        the chunked demo ride) reproduces fuse_views bit-for-bit, with
+        the plan actually taking the split on a sub-pixel scene."""
+        import jax.numpy as jnp
+
+        from semantic_meshes import distributed
+
+        monkeypatch.setenv("SM_RASTERIZER", "dense")
+        vertices, faces = testing.make_cube(40)  # sub-pixel at 128x96
+        cams = testing.make_ring_cameras(num_views=3, width=128, height=96)
+        rot, trans, fl, pp = stack_cameras(cams)
+        plan = distributed.plan_fuse(
+            vertices, faces, rot, trans, fl, pp, height=96, width=128,
+        )
+        assert plan.split_k > 0 and plan.remap is not None
+        rng = np.random.default_rng(3)
+        probs = jnp.asarray(np.stack(
+            [testing.random_probs(rng, 96, 128, 5) for _ in range(3)]
+        ))
+        kw = dict(num_primitives=len(faces), aggregator="sum",
+                  height=96, width=128)
+        a0, ov0 = distributed.fuse_views(
+            vertices, faces, rot, trans, fl, pp, probs, jnp.float32(0.5),
+            **kw,
+        )
+        a1, ov1 = distributed.fuse_views_planned(
+            plan, vertices, rot, trans, fl, pp, probs, jnp.float32(0.5),
+            **kw,
+        )
+        assert int(ov0) == 0 and int(ov1) == 0
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
 
     def test_batched_probes_equal_per_view_loop(self):
         """uni_eligible_batch / candidate_count_batch (one scan dispatch,
