@@ -161,6 +161,42 @@ def undistort_normalized(xy_distorted, dist, iters: int = 20):
     return jax.lax.fori_loop(0, iters, step, xy_distorted)
 
 
+def max_monotonic_radius(dist):
+    """Largest undistorted radius within the radial model's invertible
+    (monotonic) range, or +inf when the polynomial is monotonic
+    everywhere.
+
+    The radial map r -> r (1 + k1 r^2 + k2 r^4) folds where its
+    derivative 1 + 3 k1 r^2 + 5 k2 r^4 hits zero; beyond the fold the
+    lens is not invertible and Newton (undistort_normalized) can wander
+    arbitrarily far. Solving for x = r^2: 5 k2 x^2 + 3 k1 x + 1 = 0 —
+    the smallest positive root is the fold. Tangential p1/p2 terms are
+    ignored for this bound (they do not affect the radial fold and are
+    small for real lenses). Branchless over a traced (..., 4) dist; used
+    by render._undistort_grid to cap diverged pixels (ADVICE r4: one bad
+    corner must not shrink the virtual focal for the whole frame)."""
+    dist = jnp.asarray(dist, jnp.float32)
+    k1, k2 = dist[..., 0], dist[..., 1]
+    disc = 9.0 * k1 * k1 - 20.0 * k2
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    quad_ok = (k2 != 0) & (disc >= 0)
+    denom_q = jnp.where(k2 == 0, 1.0, 10.0 * k2)
+    lin_ok = (k2 == 0) & (k1 < 0)
+    denom_l = jnp.where(k1 == 0, 1.0, 3.0 * k1)
+
+    def pos_or_inf(x, ok):
+        return jnp.where(ok & (x > 0), x, jnp.inf)
+
+    x_min = jnp.minimum(
+        jnp.minimum(
+            pos_or_inf((-3.0 * k1 - sq) / denom_q, quad_ok),
+            pos_or_inf((-3.0 * k1 + sq) / denom_q, quad_ok),
+        ),
+        pos_or_inf(-1.0 / denom_l, lin_ok),
+    )
+    return jnp.sqrt(x_min)
+
+
 def look_at(eye, target, up):
     """Right-handed look-at -> (rotation, translation) world->camera, with the
     camera looking down +z (the projection convention used by the renderer).

@@ -951,12 +951,20 @@ def _undistort_grid(fl, pp, dist, *, height, width):
         [(xx - pp[0]) / fl[0], (yy - pp[1]) / fl[1]], axis=-1
     )
     n = geometry.undistort_normalized(nd, dist)
-    # Robustness clamp: outside the lens's invertible domain (possible for
-    # barrel distortion past the fold radius) Newton can wander; bound the
-    # undistorted radius to 3x the largest distorted corner radius so one
-    # bad corner cannot collapse the virtual focal to ~0.
+    # Robustness clamp: outside the lens's invertible domain (barrel
+    # distortion past the fold radius, where the radial polynomial's
+    # derivative crosses zero) Newton can wander; bound the undistorted
+    # radius to the closed-form monotonic range — the largest radius the
+    # lens can actually have produced — with 3x the largest distorted
+    # corner radius as a fallback for lenses that are monotonic
+    # everywhere (there the undistorted radius is finite anyway). The
+    # virtual focal scale below takes a min over EVERY pixel, so without
+    # this one diverged corner would undersample the whole frame
+    # (ADVICE r4).
     r_d = jnp.sqrt(nd[..., 0] ** 2 + nd[..., 1] ** 2)
-    r_cap = 3.0 * jnp.max(r_d)
+    r_cap = jnp.minimum(
+        geometry.max_monotonic_radius(dist), 3.0 * jnp.max(r_d)
+    )
     r_n = jnp.sqrt(n[..., 0] ** 2 + n[..., 1] ** 2)
     n = n * jnp.minimum(1.0, r_cap / jnp.maximum(r_n, 1e-20))[..., None]
 

@@ -109,6 +109,51 @@ class TestDistortionMath:
             want = oracle_undistort(d4, xy_d)
             np.testing.assert_allclose(got, want, atol=3e-5)
 
+    def test_max_monotonic_radius(self):
+        """Closed-form fold radius of the radial polynomial (the bound
+        _undistort_grid clamps diverged Newton pixels to, ADVICE r4)."""
+        inf = float("inf")
+        # monotonic lenses: no fold
+        assert float(geometry.max_monotonic_radius(
+            np.zeros(4, np.float32))) == inf
+        assert float(geometry.max_monotonic_radius(
+            np.array([0.2, 0, 0, 0], np.float32))) == inf  # pincushion
+        # barrel k1 < 0, k2 = 0: fold at r = sqrt(-1/(3 k1))
+        got = float(geometry.max_monotonic_radius(
+            np.array([-0.12, 0, 0, 0], np.float32)))
+        np.testing.assert_allclose(got, np.sqrt(1.0 / (3 * 0.12)),
+                                   rtol=1e-6)
+        # general k1/k2: the derivative really is zero at the returned
+        # radius and positive inside it
+        for k1, k2 in [(-0.08, 0.015), (0.06, -0.02), (-0.3, -0.05)]:
+            r = float(geometry.max_monotonic_radius(
+                np.array([k1, k2, 0, 0], np.float32)))
+            if np.isfinite(r):
+                d = 1 + 3 * k1 * r**2 + 5 * k2 * r**4
+                np.testing.assert_allclose(d, 0.0, atol=1e-4)
+                rin = np.linspace(0, r * 0.98, 64)
+                assert (1 + 3 * k1 * rin**2 + 5 * k2 * rin**4 > 0).all()
+
+    def test_undistort_grid_fold_clamp_preserves_focal_scale(self):
+        """A strong barrel lens whose corners sit past the fold radius:
+        the fold clamp must keep the virtual-pinhole scale within the
+        invertible range instead of letting one diverged corner shrink it
+        toward the 3x-corner fallback (undersampling the whole frame)."""
+        import jax.numpy as jnp
+
+        fl = jnp.asarray([30.0, 30.0])
+        pp = jnp.asarray([48.0, 36.0])
+        dist = jnp.asarray([-0.5, 0.0, 0.0, 0.0])  # fold at r ~ 0.816
+        n, s = render_mod._undistort_grid(fl, pp, dist, height=72, width=96)
+        r_fold = float(geometry.max_monotonic_radius(dist))
+        r_n = np.sqrt(np.asarray(n[..., 0]) ** 2 + np.asarray(n[..., 1]) ** 2)
+        assert r_n.max() <= r_fold * (1 + 1e-5)
+        # with every ray inside the fold radius the pinhole frame already
+        # contains fl * r_fold = 24.5 px of reach — no shrink at all (the
+        # pre-fix 3x-corner fallback allowed diverged radii up to ~6.0,
+        # which would have scaled the focal down ~3x for the whole frame)
+        assert float(s) == 1.0
+
     def test_zero_distortion_is_identity(self):
         xy = np.linspace(-1, 1, 20).reshape(10, 2).astype(np.float32)
         z = np.zeros(4, np.float32)
@@ -353,6 +398,139 @@ class TestDistortedRender:
             fg = arr != 0xFFFFFFFF
             assert fg.any()
             assert arr[fg].max() < r.getPrimitivesNum()
+
+
+class TestDistortedFusedPipelines:
+    """Distortion through the ONE-PROGRAM pipelines (round-5, VERDICT r4
+    item 4): fuse_views / fuse_views_texels / make_sharded_fuse accept
+    per-view lens parameters and must equal the per-view
+    render() -> MeshAggregator.add() path — COLMAP's default model is
+    SIMPLE_RADIAL, so real workspaces ride these paths."""
+
+    def _scene_and_cams(self):
+        mesh = scene()
+        cams = [
+            make_camera(distortion=[0.12]),
+            make_camera(distortion=[-0.08, 0.01]),
+            make_camera(),  # pinhole (zero lens) mixed into the batch
+            make_camera(distortion=[0.05]),
+        ]
+        return mesh, cams
+
+    def _per_view_state(self, renderer, cams, probs, agg_name, P, C):
+        from semantic_meshes.fusion import MeshAggregator
+
+        agg = MeshAggregator(
+            primitives=P, classes=C, aggregator=agg_name,
+            images_equal_weight=0.5,
+        )
+        for cam, pr in zip(cams, probs):
+            idx, _ = renderer.render(cam)
+            agg.add(idx, pr.transpose(1, 0, 2))
+        return np.asarray(agg.state)
+
+    @pytest.mark.parametrize("agg_name", ["sum", "mul"])
+    def test_fuse_views_distorted_equals_per_view(self, agg_name):
+        from semantic_meshes import distributed, testing
+        from semantic_meshes.data import stack_distortions
+
+        mesh, cams = self._scene_and_cams()
+        r = render_mod.triangles(mesh)
+        P, C = r.getPrimitivesNum(), 4
+        W, H = cams[0].resolution
+        rng = np.random.default_rng(5)
+        probs = np.stack(
+            [testing.random_probs(rng, H, W, C, dont_care_frac=0.1)
+             for _ in cams]
+        )
+        want = self._per_view_state(r, cams, probs, agg_name, P, C)
+        rot, trans, fl, pp = stack_cameras(cams)
+        acc, overflow = distributed.fuse_views(
+            mesh.vertices, mesh.faces, rot, trans, fl, pp, probs,
+            np.float32(0.5), distortions=stack_distortions(cams),
+            num_primitives=P, aggregator=agg_name, height=H, width=W,
+        )
+        assert int(overflow) == 0
+        np.testing.assert_allclose(
+            np.asarray(acc), want, rtol=2e-5, atol=1e-5
+        )
+
+    def test_fuse_views_texels_distorted_equals_per_view(self):
+        from semantic_meshes import distributed, testing
+        from semantic_meshes.data import stack_distortions
+
+        mesh, cams = self._scene_and_cams()
+        r = render_mod.texels(mesh, cams, texels_per_pixel=0.05)
+        P, C = r.getPrimitivesNum(), 3
+        W, H = cams[0].resolution
+        rng = np.random.default_rng(6)
+        probs = np.stack(
+            [testing.random_probs(rng, H, W, C) for _ in cams]
+        )
+        want = self._per_view_state(r, cams, probs, "sum", P, C)
+        rot, trans, fl, pp = stack_cameras(cams)
+        acc, overflow = distributed.fuse_views_texels(
+            r.vertices, r.faces, r.resolutions, r.first_texel_index,
+            rot, trans, fl, pp, probs, np.float32(0.5),
+            distortions=stack_distortions(cams),
+            num_primitives=P, aggregator="sum", height=H, width=W,
+        )
+        assert int(overflow) == 0
+        np.testing.assert_allclose(
+            np.asarray(acc), want, rtol=2e-5, atol=1e-5
+        )
+
+    def test_sharded_distorted_matches_single_chip(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from semantic_meshes import distributed, testing
+        from semantic_meshes.data import stack_distortions
+
+        devices = np.array(jax.devices())
+        if devices.size < 4:
+            pytest.skip("needs 4 devices (virtual cpu mesh)")
+        dev_mesh = Mesh(devices[:4].reshape(4, 1), ("views", "pixels"))
+
+        mesh, cams = self._scene_and_cams()
+        P, C = len(mesh.faces), 3
+        W, H = cams[0].resolution
+        rng = np.random.default_rng(7)
+        probs = np.stack(
+            [testing.random_probs(rng, H, W, C) for _ in cams]
+        )
+        rot, trans, fl, pp = stack_cameras(cams)
+        dists = stack_distortions(cams)
+        kw = dict(num_primitives=P, aggregator="sum", height=H, width=W)
+        ref = np.asarray(distributed.fuse_views(
+            mesh.vertices, mesh.faces, rot, trans, fl, pp, probs,
+            np.float32(0.5), distortions=dists, **kw,
+        )[0])
+        fuse = distributed.make_sharded_fuse(
+            dev_mesh, with_distortion=True, **kw
+        )
+        with dev_mesh:
+            got = np.asarray(
+                fuse(mesh.vertices, mesh.faces, rot, trans, fl, pp, probs,
+                     np.float32(0.5), dists)[0]
+            )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+    def test_sharded_distortion_rejects_pixel_axis(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from semantic_meshes import distributed
+
+        devices = np.array(jax.devices())
+        if devices.size < 2:
+            pytest.skip("needs 2 devices")
+        dev_mesh = Mesh(devices[:2].reshape(1, 2), ("views", "pixels"))
+        with pytest.raises(ValueError, match="pixels"):
+            distributed.make_sharded_fuse(
+                dev_mesh, with_distortion=True, num_primitives=2,
+                aggregator="sum", height=48, width=64,
+            )
 
 
 class TestColmapWorkspaceEndToEnd:
