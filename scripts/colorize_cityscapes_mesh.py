@@ -193,12 +193,6 @@ if not image_files:
 
 all_cameras = [colmap_workspace.getCamera(f) for f in image_files]
 
-# size the render budgets over ALL cameras upfront (one dispatch + one
-# sync): the per-frame renders below then never overflow-resync or
-# re-probe/recompile mid-loop
-with timers.phase("prepare budgets"):
-    renderer.prepare(all_cameras)
-
 
 def load_frame(image_file):
     """IO + predict for one frame, run on the prefetch worker: disk read,
@@ -212,15 +206,36 @@ def load_frame(image_file):
 from concurrent.futures import ThreadPoolExecutor  # noqa: E402
 
 from semantic_meshes import distributed, probs_io  # noqa: E402
-from semantic_meshes.data import stack_cameras  # noqa: E402
+from semantic_meshes.data import stack_cameras, stack_distortions  # noqa: E402
 from semantic_meshes.render import _has_distortion  # noqa: E402
 
 chunk = args.chunk
-if chunk <= 0:  # auto: the fused scan handles every leg but distortion
-    chunk = 1 if _has_distortion(all_cameras) else min(4, len(image_files))
-if chunk > 1 and _has_distortion(all_cameras):
-    sys.exit("--chunk > 1 requires pinhole cameras (the fused scan has "
-             "no distorted-rasterization path); rerun with --chunk 1")
+if chunk <= 0:
+    chunk = min(4, len(image_files))
+distorted = _has_distortion(all_cameras)
+
+# Budget planning, one dispatch + a few syncs for the WHOLE run: the
+# chunked leg plans per resolution through distributed.plan_fuse (batched
+# probes + SM_MICRO_MAX=auto routing + the uni-split gate — the same plan
+# bench.py measures); the per-view leg sizes the renderer's cap policy
+# over all cameras (renderer.prepare). Either way the per-frame loop
+# below never overflow-resyncs or re-probes/recompiles mid-run.
+with timers.phase("prepare budgets"):
+    if chunk > 1:
+        _plans = {}
+        for cam in all_cameras:
+            _plans.setdefault(tuple(int(x) for x in cam.resolution), []
+                              ).append(cam)
+        for (w_r, h_r), group in _plans.items():
+            rot, trans, fl, pp = stack_cameras(group)
+            dists = stack_distortions(group) if distorted else None
+            _plans[(w_r, h_r)] = distributed.plan_fuse(
+                renderer.vertices, renderer.faces, rot, trans, fl, pp,
+                height=h_r, width=w_r, clip_near=renderer.clip_near,
+                distortions=dists,
+            )
+    else:
+        renderer.prepare(all_cameras)
 
 # stable (per-process) predict_fn objects: fuse_views jit-caches on the
 # predict_fn's identity, so these must be created once, not per chunk
@@ -229,7 +244,9 @@ overflows = []
 
 
 def fuse_chunk(preds, cams, n_pad):
-    """ONE compiled render+fuse scan over a camera chunk. Ragged tails
+    """ONE compiled render+fuse scan over a camera chunk (incl. distorted
+    SIMPLE_RADIAL/RADIAL/OPENCV cameras — each view renders under its
+    virtual pinhole and resamples in the same program). Ragged tails
     are padded with repeated cameras + all-zero probability maps: zero
     probs fail the don't-care test (sum <= 0.5, ref: fusion/Mesh.h:98)
     so a pad view contributes exactly nothing to any aggregator, and the
@@ -237,6 +254,7 @@ def fuse_chunk(preds, cams, n_pad):
     if n_pad:
         cams = cams + [cams[-1]] * n_pad
     rot, trans, fl, pp = stack_cameras(cams)
+    dists = stack_distortions(cams) if distorted else None
     if isinstance(preds[0], probs_io.TopKProbs):
         zv = jnp.zeros_like(preds[0].values)
         zi = jnp.zeros_like(preds[0].indices)
@@ -250,14 +268,15 @@ def fuse_chunk(preds, cams, n_pad):
         probs_arg, predict_fn = jnp.stack(arrs), probs_io.densify
         hw = arrs[0].shape[:2]
     height, width = int(hw[0]), int(hw[1])
-    cap = renderer._dense_e_cap(height, width, rot, trans, fl, pp)
-    acc, overflow = distributed.fuse_views(
-        renderer.vertices, renderer.faces, rot, trans, fl, pp,
+    plan = _plans[(width, height)]
+    acc, overflow = distributed.fuse_views_planned(
+        plan, renderer.vertices, rot, trans, fl, pp,
         probs_arg, jnp.float32(aggregator.images_equal_weight), None,
+        distortions=dists,
         num_primitives=renderer.getPrimitivesNum(),
         aggregator=aggregator.aggregator, height=height, width=width,
         max_tris_per_tile=renderer.max_tris_per_tile,
-        clip_near=renderer.clip_near, dense_e_cap=cap,
+        clip_near=renderer.clip_near,
         predict_fn=predict_fn,
     )
     aggregator.merge(acc)

@@ -206,6 +206,102 @@ def test_colorize_cityscapes_mesh_chunked(scene, tmp_path, chunk):
     np.testing.assert_array_equal(cols[colored], expected[colored])
 
 
+def test_colorize_cityscapes_mesh_chunked_simple_radial(tmp_path):
+    """A SIMPLE_RADIAL workspace (COLMAP's DEFAULT camera model — the
+    real-workspace entry path) through the CHUNKED fused scan: round 4
+    hard-exited on --chunk > 1 with distorted cameras; the fused pipeline
+    now carries the virtual-pinhole + resample path, so the chunked demo
+    must reproduce the exact per-face palette colors end to end."""
+    root = tmp_path / "radial_scene"
+    W, H, C = 128, 96, 19
+    vertices, faces = testing.make_cube(4)
+    os.makedirs(root)
+    write_mesh(root / "mesh.ply", vertices, faces)
+    cams = testing.make_ring_cameras(num_views=3, width=W, height=H)
+
+    ws = root / "ws"
+    os.makedirs(ws)
+    cameras = {
+        1: cio.ColmapCamera(
+            1, "SIMPLE_RADIAL", W, H, np.array([0.9 * H, 0.9 * H]),
+            np.array([W / 2, H / 2]), np.array([0.08, 0, 0, 0]),
+        )
+    }
+    images = {}
+    for i, c in enumerate(cams, 1):
+        images[i] = cio.ColmapImage(
+            i, _rot_to_quat(np.asarray(c.rotation, np.float64)),
+            np.asarray(c.translation, np.float64), 1, f"v{i}.png",
+        )
+    cio.write_cameras_txt(ws / "cameras.txt", cameras)
+    cio.write_images_txt(ws / "images.txt", images)
+
+    mesh = semantic_meshes.data.Ply(str(root / "mesh.ply"))
+    renderer = semantic_meshes.render.triangles(mesh)
+    T = renderer.getPrimitivesNum()
+    tri_class = (np.arange(T) * 7) % C
+
+    import imageio.v2 as imageio
+
+    imgdir = root / "images"
+    probsdir = root / "probs"
+    os.makedirs(imgdir)
+    os.makedirs(probsdir)
+    workspace = semantic_meshes.data.Colmap(str(ws))
+    for i in range(1, 4):
+        cam = workspace.getCamera(f"v{i}.png")
+        assert np.any(np.asarray(cam.distortion))  # really distorted
+        idx, _ = renderer.render(cam)
+        idx_hw = np.asarray(idx).T
+        cov = idx_hw != 0xFFFFFFFF
+        probs = np.zeros((H, W, C), np.float32)
+        ys, xs = np.nonzero(cov)
+        probs[ys, xs, tri_class[idx_hw[cov].astype(np.int64)]] = 1.0
+        np.save(probsdir / f"v{i}.npy", probs)
+        img = np.zeros((H, W, 3), np.uint8)
+        img[cov] = 120
+        imageio.imwrite(imgdir / f"v{i}.png", img)
+
+    out = tmp_path / "colorized_radial.ply"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "colorize_cityscapes_mesh.py"),
+            "--colmap", str(ws),
+            "--input_ply", str(root / "mesh.ply"),
+            "--images", str(imgdir),
+            "--output_ply", str(out),
+            "--probs", str(probsdir),
+            "--chunk", "2",
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    CLASS_TO_COLOR = np.asarray(
+        [
+            (128, 64, 128), (244, 35, 232), (70, 70, 70), (102, 102, 156),
+            (190, 153, 153), (153, 153, 153), (250, 170, 30), (220, 220, 0),
+            (107, 142, 35), (152, 251, 152), (70, 130, 180), (220, 20, 60),
+            (255, 0, 0), (0, 0, 142), (0, 0, 70), (0, 60, 100), (0, 80, 100),
+            (0, 0, 230), (119, 11, 32),
+        ],
+        dtype=np.uint8,
+    )
+    e = read_ply(str(out))
+    cols = np.stack(
+        [e["face"].data["red"], e["face"].data["green"],
+         e["face"].data["blue"]], -1,
+    )
+    colored = cols.any(-1)
+    assert colored.sum() > len(cols) * 0.4
+    expected = CLASS_TO_COLOR[tri_class]
+    np.testing.assert_array_equal(cols[colored], expected[colored])
+
+
 def test_colorize_cityscapes_mesh_jax_sliding(scene, tmp_path):
     """--model jax-unet with --sliding/--multi_scale: the reference demo's
     tfcv.predict.sliding((713,713), 0.2) + multi_scale([0.5]) semantics
