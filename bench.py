@@ -1,16 +1,30 @@
 #!/usr/bin/env python3
 """Benchmark: rasterize + fuse throughput (MPix/s per chip).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints the headline JSON line {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N} IMMEDIATELY after the default-preset measurement, then
+re-prints it (same headline fields, detail grown by one sub-preset) after
+each sub-preset completes — so a driver that reads either the first or the
+last JSON line gets a valid record, and a timeout mid-sequence can only
+truncate the detail, never the headline. (Round 4's bench measured the
+default preset and then died serially measuring four sub-presets before
+printing anything; BENCH_r04 recorded null. Never again.)
+
+A global wall-clock budget (SM_BENCH_BUDGET_S / --budget, default 1500 s
+measured from process start) skips remaining sub-presets gracefully —
+skipped names are recorded in detail["skipped"]. Each sub-preset is also
+individually exception-isolated.
 
 Baseline: the rebuild north star from BASELINE.json — >= 10 MPix/s/chip
 rasterize+fuse on TPU v5e (the reference renders+fuses ~1 MPix in ~2s on an
 RTX 6000 host install, README.md:91). vs_baseline = value / 10.
 
-The measured pipeline is the fused device path: for each view, rasterize the
-mesh (tile-binned z-resolve) and aggregate per-pixel class probabilities into
-per-primitive distributions (segment reductions), all inside one jitted scan
-— no host round trips.
+The measured pipeline is the public fused device path
+(distributed.plan_fuse + fuse_views_planned / fuse_views_texels): plan once
+per scene (batched budget/routing probes, the uni-split-vs-compaction gate),
+then for each view rasterize the mesh and aggregate per-pixel class
+probabilities into per-primitive distributions inside one jitted scan — no
+host round trips.
 """
 
 import argparse
@@ -21,6 +35,8 @@ import sys
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
 
 # persistent XLA compile cache: through the tunneled compile service a
 # cold program costs 30-130 s; cached re-runs are ~1 s (verified, see
@@ -50,6 +66,14 @@ PRESETS = {
 # texels_per_pixel by preset (texels presets only)
 TPP = {"texels": 2.0, "texels01": 0.1}
 
+# sub-presets surfaced on the default run, in priority order (the budget
+# cuts from the tail) — the historically-weakest regimes first
+SUB_PRESETS = ("dense", "scannet", "texels", "texels01")
+
+
+def _elapsed():
+    return time.monotonic() - _T0
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -57,8 +81,12 @@ def main():
                         choices=list(PRESETS) + ["e2e"])
     parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--no-extra", action="store_true",
-                        help="skip the extra dense-preset sub-measurement "
-                             "on the default preset")
+                        help="skip the extra sub-preset measurements on "
+                             "the default preset")
+    parser.add_argument("--budget", type=float, default=float(
+        os.environ.get("SM_BENCH_BUDGET_S", "1500")),
+        help="global wall-clock budget in seconds (from process start); "
+             "remaining sub-presets are skipped, never the headline")
     args = parser.parse_args()
 
     if not _device_reachable():
@@ -75,34 +103,57 @@ def main():
         return bench_e2e(args)
 
     value, detail = measure_preset(args.preset, args.repeats)
-    if args.preset == "default" and not args.no_extra:
-        # also surface the historically-weakest presets (dense meshes,
-        # ScanNet frames, texel primitives) so the driver-recorded number
-        # can't hide them
-        sub_repeats = max(2, args.repeats // 2)
-        dense_value, dense_detail = measure_preset("dense", sub_repeats)
-        detail["dense_MPix_s"] = dense_value
-        detail["dense_seconds_per_batch"] = dense_detail[
-            "seconds_per_batch"]
-        detail["dense_overflow"] = dense_detail["overflow"]
-        for sub in ("scannet", "texels", "texels01"):
-            sub_value, sub_detail = measure_preset(sub, sub_repeats)
-            detail[f"{sub}_MPix_s"] = sub_value
-            detail[f"{sub}_overflow"] = sub_detail["overflow"]
-    print(
-        json.dumps(
-            {
-                "metric": "rasterize_fuse_throughput",
-                "value": value,
-                "unit": "MPix/s",
-                "vs_baseline": round(value / 10.0, 3),
-                "detail": detail,
-            }
+
+    def emit():
+        print(
+            json.dumps(
+                {
+                    "metric": "rasterize_fuse_throughput",
+                    "value": value,
+                    "unit": "MPix/s",
+                    "vs_baseline": round(value / 10.0, 3),
+                    "detail": detail,
+                }
+            ),
+            flush=True,
         )
-    )
+
+    if args.preset != "default" or args.no_extra:
+        emit()
+        return
+    # headline FIRST — sub-presets can only add detail after this point
+    emit()
+    detail["skipped"] = []
+    sub_repeats = max(2, args.repeats // 2)
+    for i, sub in enumerate(SUB_PRESETS):
+        # skip when the budget is spent; later sub-presets (texel setup +
+        # exact16 compiles) are the slower ones, so cutting the tail
+        # first loses the least
+        if _elapsed() > args.budget:
+            rest = list(SUB_PRESETS[i:])
+            detail["skipped"] += rest
+            print(f"# budget exhausted ({_elapsed():.0f}s > "
+                  f"{args.budget:.0f}s): skipping {rest}",
+                  file=sys.stderr, flush=True)
+            emit()  # final line records the skips
+            break
+        try:
+            sub_value, sub_detail = measure_preset(sub, sub_repeats)
+        except Exception as e:  # noqa: BLE001 — isolate sub-presets
+            detail["skipped"].append(sub)
+            print(f"# sub-preset {sub} failed: {e!r}",
+                  file=sys.stderr, flush=True)
+            emit()  # record the skip even when it is the last sub-preset
+            continue
+        detail[f"{sub}_MPix_s"] = sub_value
+        detail[f"{sub}_overflow"] = sub_detail["overflow"]
+        if sub == "dense":
+            detail["dense_seconds_per_batch"] = sub_detail[
+                "seconds_per_batch"]
+        emit()  # re-print with the grown detail (headline unchanged)
 
 
-def _device_reachable(timeout=240, attempts=3, retry_sleep=30):
+def _device_reachable(timeout=180, attempts=2, retry_sleep=20):
     """Probe the jax backend in a subprocess (mirrors this process's
     platform selection: SM_PLATFORM pin, else the environment default).
     A wedged axon tunnel hangs jax.devices() indefinitely; the subprocess
@@ -112,12 +163,13 @@ def _device_reachable(timeout=240, attempts=3, retry_sleep=30):
     pin it explicitly too: the probe compile must be a one-time cost, not
     a 30-130 s tunneled-compile tax per bench run.
 
-    Retries: a bench process that JUST exited can hold the tunneled
-    device through its teardown long enough that the next probe's
-    jax.devices() blocks past any single timeout (seen twice in
-    back-to-back queued bench runs); a truly wedged tunnel fails every
-    attempt, so retrying distinguishes "previous holder still exiting"
-    from "tunnel down" instead of mislabeling the former."""
+    Worst case is capped at attempts*timeout + retry_sleep (~6.3 min —
+    round 4's 3x240s+2x30s probe could burn 13.5 min of the driver's
+    budget before the bench even started). One retry is kept because a
+    bench process that JUST exited can hold the tunneled device through
+    its teardown long enough that the next probe blocks past a single
+    timeout (seen twice in back-to-back queued runs); a truly wedged
+    tunnel fails both attempts."""
     code = (
         "import os, jax\n"
         "p = os.environ.get('SM_PLATFORM')\n"
@@ -186,101 +238,37 @@ def measure_preset(preset, repeats):
         texel_params = (renderer.resolutions, renderer.first_texel_index)
         num_primitives = renderer.getPrimitivesNum()
 
+    # one plan per scene: batched budget/routing probes (one sync each,
+    # never per view), the SM_MICRO_MAX=auto routing pick, and the
+    # uni-split-vs-compaction gate — the same distributed.plan_fuse every
+    # consumer calls (SM_MICRO_SPLIT=0 opts the split out for A/Bs; the
+    # texel-id tables are per-face, so texel plans never split)
+    plan = distributed.plan_fuse(
+        vertices, faces, rot, trans, fl, pp, height=height, width=width,
+        allow_split=(texel_params is None
+                     and os.environ.get("SM_MICRO_SPLIT", "1") == "1"),
+    )
+    if plan.dense_e_cap is not None:
+        print(f"# plan: dense_e_cap={plan.dense_e_cap} "
+              f"split_k={plan.split_k} micro_max={plan.micro_max}",
+              file=sys.stderr, flush=True)
+
     dev_args = jax.device_put(
-        (vertices, faces, rot, trans, fl, pp, probs, np.float32(0.5))
+        (vertices, rot, trans, fl, pp, probs, np.float32(0.5))
     )
 
-    # adaptive dense candidate budget (same probe the renderers run
-    # automatically): right-sizes the packed-table gather, which otherwise
-    # pays per row of the safe 3-rows-per-triangle default budget
-    from semantic_meshes import rasterize as rast
-
-    dense_e_cap = None
-    if rast.uses_dense(None, len(faces)):
-        from semantic_meshes.rasterize import dense as _dense
-
-        if _dense.MICRO_AUTO:
-            # SM_MICRO_MAX=auto: pick the routing threshold per the cost
-            # model (same probe the renderers run), budget at that pick
-            curve = np.stack([
-                np.asarray(_dense.routing_stats(
-                    vertices, faces, rot[i], trans[i], fl[i], pp[i],
-                    height=height, width=width,
-                ))
-                for i in range(n_views)
-            ]).max(axis=0)
-            pairs, micro, m = _dense.pick_route(curve, len(faces))
-            dense_e_cap = (_dense.BUDGET_MARGIN * pairs,
-                           _dense.BUDGET_MARGIN * micro, m)
-            micro_cnt, mm = micro, m
-            print(f"# auto routing: micro_max={m} "
-                  f"(curve={curve.tolist()})", file=sys.stderr, flush=True)
-        else:
-            stats = np.stack([
-                np.asarray(rast.dense_candidate_stats(
-                    vertices, faces, rot[i], trans[i], fl[i], pp[i],
-                    height=height, width=width,
-                ))
-                for i in range(n_views)
-            ])
-            # (pair budget, micro budget); pairs 0 => every triangle is
-            # micro and the dense path skips binning entirely
-            dense_e_cap = (2 * int(stats[:, 0].max()),
-                           2 * int(stats[:, 1].max()))
-            micro_cnt, mm = int(stats[:, 1].max()), None
-
-        if (os.environ.get("SM_MICRO_SPLIT", "1") == "1"
-                and texel_params is None):
-            # uni-slot prefix (dense.rasterize micro_split): permute
-            # faces so triangles sub-pixel in EVERY view come first —
-            # they then cost 1 fragment slot instead of micro_max^2. The
-            # fused accumulator rows are in permuted-face space; the
-            # bench only measures throughput, a real consumer un-permutes
-            # once per scene. Applied only where the row-volume gate says
-            # it wins (split forfeits micro compaction — the v5e A/B/A:
-            # dense preset 22.66/24.13/22.66 MPix/s off/on/off, while an
-            # UNGATED split regressed scannet 27.55 -> 22.97 by paying
-            # mm^2*T uncompacted fragment rows). SM_MICRO_SPLIT=0 opts
-            # out entirely; the library pipeline with the same gate is
-            # distributed.fuse_views_split.
-            order, k = _dense.uni_order(
-                vertices, faces, rot, trans, fl, pp,
-                height=height, width=width,
-            )
-            if _dense.split_wins(k, len(faces), micro_cnt, mm):
-                faces = faces[order]
-                dev_args = jax.device_put(
-                    (vertices, faces, rot, trans, fl, pp, probs,
-                     np.float32(0.5))
-                )
-                pairs_s = max(int(np.asarray(_dense.candidate_count(
-                    vertices, faces, rot[i], trans[i], fl[i], pp[i],
-                    height=height, width=width, micro_split=k,
-                    micro_max=mm,
-                ))) for i in range(n_views))
-                dense_e_cap = (_dense.BUDGET_MARGIN * pairs_s, 0, mm, k)
-                print(f"# micro_split: k={k}/{len(faces)} uni rows, "
-                      f"pairs={pairs_s}", file=sys.stderr, flush=True)
-            else:
-                print(f"# micro_split: skipped (k={k}/{len(faces)} uni "
-                      f"rows, micro={micro_cnt} — compaction wins)",
-                      file=sys.stderr, flush=True)
-
     def run_async():
+        v, *rest = dev_args
         if texel_params is not None:
-            v, f, *rest = dev_args
             return distributed.fuse_views_texels(
-                v, f, texel_params[0], texel_params[1], *rest,
+                v, plan.faces, texel_params[0], texel_params[1], *rest,
                 num_primitives=num_primitives, aggregator="sum",
-                height=height, width=width, dense_e_cap=dense_e_cap,
+                height=height, width=width, dense_e_cap=plan.dense_e_cap,
             )
-        return distributed.fuse_views(
-            *dev_args,
-            num_primitives=num_primitives,
-            aggregator="sum",
-            height=height,
-            width=width,
-            dense_e_cap=dense_e_cap,
+        return distributed.fuse_views_planned(
+            plan, v, *rest,
+            num_primitives=num_primitives, aggregator="sum",
+            height=height, width=width,
         )
 
     # compile + warm; a tiny device->host readback guarantees execution
@@ -316,6 +304,8 @@ def measure_preset(preset, repeats):
         "resolution": [width, height],
         "classes": classes,
         "seconds_per_batch": round(dt, 5),
+        "split_k": int(plan.split_k),
+        "micro_max": plan.micro_max,
         # dropped candidate pairs across the batch; nonzero means the
         # measured number rendered LESS than the full mesh — never accept
         # a throughput with overflow > 0
@@ -405,7 +395,8 @@ def bench_e2e(args):
                     "batch_ms": [round(t * 1e3, 1) for t in times],
                 },
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -29,6 +29,72 @@ def test_graft_entry_traces_and_lowers():
     assert out_shape.shape == (300, 19)
 
 
+def _import_bench():
+    sys.path.insert(0, _REPO)
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    return bench
+
+
+def _run_bench_main(bench, monkeypatch, capsys, argv, measure):
+    monkeypatch.setattr(bench, "_device_reachable", lambda: True)
+    monkeypatch.setattr(bench, "measure_preset", measure)
+    monkeypatch.setattr(sys, "argv", ["bench.py"] + argv)
+    bench.main()
+    out = capsys.readouterr().out
+    return [json.loads(l) for l in out.splitlines() if l.strip()]
+
+
+def test_bench_emits_headline_first_then_incremental(monkeypatch, capsys):
+    """BENCH_r04 was null because the bench printed nothing until all five
+    presets finished and the driver's timeout hit mid-sequence. The
+    contract now: the headline JSON line is printed immediately after the
+    default preset, and each sub-preset RE-prints the merged line — a
+    reader of the first or the last JSON line always gets a valid record
+    with the same headline value."""
+    bench = _import_bench()
+
+    def fake_measure(preset, repeats):
+        if preset == "texels":
+            raise RuntimeError("boom")  # sub-presets are isolated
+        return 42.0, {"preset": preset, "overflow": 0,
+                      "seconds_per_batch": 0.1}
+
+    recs = _run_bench_main(
+        bench, monkeypatch, capsys,
+        ["--preset", "default", "--budget", "1e9"], fake_measure,
+    )
+    # headline + one re-print per sub-preset (incl. the failed one, so a
+    # trailing failure still lands in the record)
+    assert len(recs) == 5
+    assert all(r["value"] == 42.0 for r in recs)
+    assert all(r["metric"] == "rasterize_fuse_throughput" for r in recs)
+    assert "dense_MPix_s" not in recs[0]["detail"]  # headline is immediate
+    last = recs[-1]["detail"]
+    assert last["dense_MPix_s"] == 42.0
+    assert last["scannet_MPix_s"] == 42.0
+    assert last["texels01_MPix_s"] == 42.0
+    assert last["skipped"] == ["texels"]
+
+
+def test_bench_budget_skips_sub_presets(monkeypatch, capsys):
+    bench = _import_bench()
+    recs = _run_bench_main(
+        bench, monkeypatch, capsys,
+        ["--preset", "default", "--budget", "0"],
+        lambda preset, repeats: (
+            7.0, {"preset": preset, "overflow": 0,
+                  "seconds_per_batch": 0.1}),
+    )
+    # the headline survives any budget; a final line records the skips
+    assert len(recs) == 2
+    assert recs[0]["value"] == 7.0
+    assert "skipped" not in recs[0]["detail"]  # headline was immediate
+    assert recs[-1]["detail"]["skipped"] == list(bench.SUB_PRESETS)
+
+
 def test_bench_small_preset_prints_one_json_line():
     env = dict(os.environ)
     env["SM_PLATFORM"] = "cpu"  # never touch the (possibly absent) TPU
