@@ -88,32 +88,47 @@ def same_parametrization(p1, p2):
     return a == b
 
 
+def merge_equal_parametrizations(runs):
+    """Fold result files that share a parametrization (they cover
+    different offset/num scene windows of the same experiment) into one
+    run each: confusion matrices sum, scene counts add, and any cached
+    scalar metrics are dropped so they get recomputed from the merged
+    CMs. Two files covering the SAME scene window would double-count —
+    that aborts (every merged window's offset is tracked, so a duplicate
+    is caught even when it collides with an already-merged file rather
+    than the group's first one)."""
+    merged = []
+    for run in runs:
+        target = next(
+            (m for m in merged if same_parametrization(m, run)), None
+        )
+        if target is None:
+            run["_offsets"] = {run["params"]["offset"]}
+            merged.append(run)
+            continue
+        if run["params"]["offset"] in target["_offsets"]:
+            print("Same offset in:")
+            print(target["path"], target["params"])
+            print(run["path"], run["params"])
+            sys.exit(-1)
+        target["_offsets"].add(run["params"]["offset"])
+        print(f"Merging {run['path']} into {target['path']}")
+        for group in ("image_fused", "image_network"):
+            tm = target["metrics"][group]
+            tm["ConfusionMatrix"] = (
+                tm["ConfusionMatrix"]
+                + run["metrics"][group]["ConfusionMatrix"]
+            )
+            for stale in ("accuracy", "Accuracy", "mean_iou", "MeanIoU"):
+                tm.pop(stale, None)
+        target["params"]["num"] += run["params"]["num"]
+    for m in merged:
+        del m["_offsets"]
+    return merged
+
+
 # merge runs of equal parametrization (ref lines 57-88)
-i1 = 0
-while i1 < len(params):
-    i2 = i1 + 1
-    while i2 < len(params):
-        if same_parametrization(params[i1], params[i2]):
-            if params[i1]["params"]["offset"] == params[i2]["params"]["offset"]:
-                print("Same offset in:")
-                print(params[i1]["path"], params[i1]["params"])
-                print(params[i2]["path"], params[i2]["params"])
-                sys.exit(-1)
-            print(f"Merging {params[i2]['path']} into {params[i1]['path']}")
-            m1, m2 = params[i1]["metrics"], params[i2]["metrics"]
-            for group in ("image_fused", "image_network"):
-                m1[group]["ConfusionMatrix"] = (
-                    m1[group]["ConfusionMatrix"] + m2[group]["ConfusionMatrix"]
-                )
-                m1[group].pop("accuracy", None)
-                m1[group].pop("Accuracy", None)
-                m1[group].pop("mean_iou", None)
-                m1[group].pop("MeanIoU", None)
-            params[i1]["params"]["num"] += params[i2]["params"]["num"]
-            del params[i2]
-        else:
-            i2 += 1
-    i1 += 1
+params = merge_equal_parametrizations(params)
 
 # drop incomplete scannet runs (ref lines 90-96)
 params = [

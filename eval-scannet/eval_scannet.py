@@ -323,6 +323,9 @@ def _save_manifest(scenes_done, current_scene, frames_done):
             network_cm=np.asarray(image_metrics_network[0].full_matrix),
             fused_cm=np.asarray(image_metrics_fused[0].full_matrix),
         )
+        f.flush()
+        os.fsync(f.fileno())  # fsync before rename: survive power loss,
+        # not just SIGKILL (same rationale as checkpoint.save_aggregator)
     os.replace(tmp, _manifest_path)
 
 

@@ -28,10 +28,14 @@ parser.add_argument("--arch", type=str, default="unet",
 parser.add_argument("--params", type=str, default=None,
                     help="flax msgpack checkpoint")
 parser.add_argument("--dtype", type=str, default="float16",
+                    choices=["float32", "float16", "uint8"],
                     help="storage dtype for the .npy maps; uint8 stores "
                     "rint(p*255) (<=1/510 abs error per class) at half "
                     "the bytes of float16 — the fusion loaders dequantize "
-                    "on device")
+                    "on device. Restricted to the dtypes probs_io's "
+                    "loaders understand: any other integer dtype would "
+                    "store quantized maps the loaders read back as raw "
+                    "0..max 'probabilities' (ADVICE r4)")
 parser.add_argument("--topk", type=int, default=None,
                     help="store only the K most probable classes per pixel "
                     "as a compressed .npz {values, indices} instead of the "

@@ -40,9 +40,12 @@ def save_aggregator(path, aggregator: MeshAggregator, views_done: int = 0,
         views_done=int(views_done),
         extra=extra or {},
     )
-    # Crash-safe: write to a sibling temp file and os.replace — a SIGKILL
-    # mid-write must never leave a truncated file at `path` (a resume
-    # would die on it; caught by the sigkill test in test_eval_scannet.py).
+    # Crash-safe: write to a sibling temp file, flush+fsync, and
+    # os.replace — a SIGKILL mid-write must never leave a truncated file
+    # at `path` (a resume would die on it; caught by the sigkill test in
+    # test_eval_scannet.py), and the fsync extends the guarantee to power
+    # loss / OS crash, where an unsynced rename can publish an empty or
+    # truncated file (ADVICE r4: a permanently wedged checkpoint dir).
     # Also write through a file handle: np.savez_compressed(path, ...)
     # silently appends ".npz" to extensionless paths, breaking load(path).
     tmp = str(path) + ".tmp"
@@ -52,6 +55,8 @@ def save_aggregator(path, aggregator: MeshAggregator, views_done: int = 0,
             state=np.asarray(aggregator.state),
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         )
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 

@@ -15,9 +15,21 @@ decoders. Fusion math stays float32 on device in every case.
   top-k  <base>.npz  {values (H, W, K) f16/u8 descending, indices
          (H, W, K) uint8, classes ()} — written by
          scripts/precompute_probs.py --topk K. Dropped mass per pixel is
-         bounded by K * p_(K+1) <= (1 - sum(values)); the don't-care
-         rule (sum(probs) <= 0.5, ref: fusion/Mesh.h:98) keeps working
-         because the retained sum only shrinks.
+         bounded by K * p_(K+1) <= (1 - sum(values)).
+
+         Densify spreads the residual mass (1 - sum(values)) uniformly
+         over the dropped classes instead of writing exact zeros: with
+         aggregator="mul" a zero is log-space -inf (fusion.py), so a
+         class outside the top-K in even ONE view would be permanently
+         vetoed — the uniform floor (1-s)/(C-K) upper-bounds every
+         dropped probability (values are the LARGEST K, so each dropped
+         p <= s/K and also <= the residual mean only in aggregate; the
+         floor keeps mul fusion finite with error bounded by the same
+         dropped-mass bound). The spread applies ONLY where the
+         retained sum exceeds the don't-care threshold (sum > 0.5,
+         ref: fusion/Mesh.h:98): don't-care pixels — including the
+         all-zero padding views of the chunked demo — keep their
+         shrunken sum and stay skipped.
 
 `load(base)` reads either file and starts the async upload;
 `densify(loaded)` turns it into the dense float32 (H, W, C) map on
@@ -105,7 +117,22 @@ def _densify_topk(t: tuple, classes: int) -> jax.Array:
     onehot = (
         indices[..., None] == jnp.arange(classes, dtype=jnp.int32)
     )
-    return jnp.sum(vals[..., None] * onehot, axis=-2)
+    dense = jnp.sum(vals[..., None] * onehot, axis=-2)
+    k = values.shape[-1]
+    if k >= classes:
+        return dense
+    # residual spread (see module docstring): dropped classes get the
+    # uniform floor (1-s)/(C-K) — never exact zero, which aggregator=
+    # "mul" would turn into a permanent per-class veto (log-space -inf,
+    # fusion.py) — but ONLY where the pixel passes the don't-care test
+    # (retained sum > 0.5); don't-care pixels (e.g. all-zero padding
+    # views) keep their zeros and stay skipped. The max(residual, 0)
+    # guards u8-quantization sums slightly above 1.
+    s = jnp.sum(vals, axis=-1, keepdims=True)
+    floor = jnp.maximum(1.0 - s, 0.0) * np.float32(1.0 / (classes - k))
+    # max, not where-on-retained: a RETAINED class stored as 0 (one-hot
+    # maps keep zero-valued ranks) would otherwise still veto under mul
+    return jnp.where(s <= 0.5, dense, jnp.maximum(dense, floor))
 
 
 class TopKDensify:

@@ -66,25 +66,94 @@ class TestDensify:
         np.testing.assert_allclose(out, probs, atol=1 / 510 + 1e-6)
 
     def test_topk_drops_only_the_tail(self):
-        """K < classes: kept classes match the original, dropped classes
-        are exactly the smallest probabilities (now zero)."""
+        """K < classes: kept classes match the original; dropped classes
+        get the uniform residual floor (1-s)/(C-K) — NOT exact zero,
+        which aggregator='mul' would turn into a permanent veto
+        (ADVICE r4: a class outside the top-K in one view must not be
+        -inf'd out of the whole fusion)."""
         probs = _softmax_maps()
         k = 4
+        c = probs.shape[-1]
         vals, idx = _topk_arrays(probs, k)
         import jax
 
         t = probs_io.TopKProbs(
             jax.device_put(vals.astype(np.float16)),
-            jax.device_put(idx), probs.shape[-1],
+            jax.device_put(idx), c,
         )
         out = np.asarray(probs_io.densify(t))
         oracle = np.zeros_like(probs)
         np.put_along_axis(oracle, idx.astype(np.int64), vals, axis=-1)
-        np.testing.assert_allclose(out, oracle, atol=2 ** -11)
-        # per-pixel retained mass is the max possible for k entries
-        kept = out.sum(-1)
-        best = np.sort(probs, axis=-1)[..., -k:].sum(-1)
-        np.testing.assert_allclose(kept, best, atol=k * 2 ** -11)
+        s = oracle.sum(-1, keepdims=True)
+        floor = np.maximum(1.0 - s, 0.0) / (c - k)
+        oracle = np.where(s <= 0.5, oracle, np.maximum(oracle, floor))
+        np.testing.assert_allclose(out, oracle, atol=2 ** -10)
+        # every pixel's map still sums to ~1 (retained + spread residual)
+        np.testing.assert_allclose(out.sum(-1), 1.0, atol=k * 2 ** -10)
+
+    def test_topk_dont_care_pixels_stay_zero(self):
+        """All-zero value rows (the chunked demo's padding views, and any
+        pixel whose retained mass fails sum > 0.5) must densify to sums
+        <= 0.5 so the fusion don't-care rule (ref: fusion/Mesh.h:98)
+        still skips them — the residual spread must NOT resurrect them."""
+        import jax
+
+        c, k = 9, 3
+        vals = np.zeros((4, 5, k), np.float16)
+        vals[0, 0] = [0.4, 0.05, 0.0]  # sum 0.45 <= 0.5: don't-care
+        idx = np.tile(np.arange(k, dtype=np.uint8), (4, 5, 1))
+        t = probs_io.TopKProbs(
+            jax.device_put(vals), jax.device_put(idx), c
+        )
+        out = np.asarray(probs_io.densify(t))
+        assert (out.sum(-1) <= 0.5).all()
+        np.testing.assert_allclose(out[0, 0, :k], [0.4, 0.05, 0.0],
+                                   atol=2 ** -11)
+        assert (out[1:] == 0).all()
+
+    def test_topk_mul_fusion_does_not_veto_dropped_classes(self):
+        """aggregator='mul' with top-k maps: a class dropped from one
+        view's top-K must survive fusion when other views support it.
+        With exact zeros (the pre-round-5 behavior) the log-space
+        accumulator adds w * NEG_LARGE once and the class can never
+        win; with the residual floor the fused argmax matches dense mul
+        fusion on strongly-supported primitives."""
+        import jax
+
+        from semantic_meshes import fusion
+
+        c, k = 10, 3
+        rng = np.random.default_rng(11)
+        # view 1: class 7 dominant; view 2: class 7 NOT in top-3 but the
+        # pixel is confident elsewhere (class 7 keeps small mass)
+        p1 = np.full((4, 4, c), 0.02, np.float32)
+        p1[..., 7] = 1.0 - 0.02 * (c - 1)
+        p2 = rng.uniform(0.01, 0.02, (4, 4, c)).astype(np.float32)
+        p2[..., 0] = 0.5
+        p2[..., 1] = 0.3
+        p2 /= p2.sum(-1, keepdims=True)
+        prim = np.zeros((4, 4), np.uint32)  # all pixels -> primitive 0
+
+        def fuse2(maps):
+            agg = fusion.MeshAggregator(
+                primitives=1, classes=c, aggregator="mul"
+            )
+            for m in maps:
+                agg.add(jax.numpy.asarray(prim.T),
+                        jax.numpy.transpose(jax.numpy.asarray(m), (1, 0, 2)))
+            return np.asarray(agg.get())
+
+        dense = fuse2([p1, p2])
+        tks = []
+        for m in (p1, p2):
+            vals, idx = _topk_arrays(m, k)
+            tks.append(np.asarray(probs_io.densify(probs_io.TopKProbs(
+                jax.device_put(vals.astype(np.float16)),
+                jax.device_put(idx), c,
+            ))))
+        assert (tks[1][..., 7] > 0).all()  # the floor, not a veto zero
+        sparse = fuse2(tks)
+        assert dense[0].argmax() == sparse[0].argmax() == 7
 
 
 class TestLoad:
