@@ -984,6 +984,17 @@ def _undistort_grid(fl, pp, dist, *, height, width):
             axis_scale(n[..., 1], fl[1], pp[1], jnp.float32(height)),
         ),
     )
+    # Zero-lens cameras (pinhole views mixed into a distorted batch, and
+    # the contract that the distorted path with k = 0 reproduces the
+    # pinhole render BIT-identically) must not depend on float identities:
+    # TPU f32 division is not correctly rounded, so Newton returns nd +-
+    # 1 ulp and the divide-multiply round trip in axis_scale yields
+    # s = 1 - 2 ulp (measured on v5e — the virtual render then rasterizes
+    # under a focal one ulp off and edge pixels flip). Select the exact
+    # identity grid structurally instead.
+    is_zero = jnp.all(dist == 0.0)
+    n = jnp.where(is_zero, nd, n)
+    s = jnp.where(is_zero, jnp.float32(1.0), s)
     return n, s
 
 
