@@ -14,6 +14,9 @@ pretrained tfcv PSPNet; this port accepts any of:
 import argparse
 import os
 import sys
+import time
+
+_PROCESS_T0 = time.time()
 
 import numpy as np
 
@@ -102,6 +105,8 @@ from tqdm import tqdm  # noqa: E402
 from semantic_meshes.profiling import PhaseTimers  # noqa: E402
 
 timers = PhaseTimers()
+# everything before this line: python + numpy/jax/flax imports, argparse
+timers.record("process start (imports)", time.time() - _PROCESS_T0)
 
 with timers.phase("device acquire"):
     # First device op + real readback: the per-process backend/device
@@ -170,7 +175,12 @@ def build_predictor():
 
 
 print("Loading segmentation predictor...")
-predict = build_predictor()
+with timers.phase("build predictor"):
+    # one-time: model construction + parameter init (the jax-unet init is
+    # a compiled device program — 30-130 s through a tunneled compile
+    # service on a cold cache; untimed, this silently inflated any
+    # "steady-state" rate derived from the total wall clock)
+    predict = build_predictor()
 
 print("Creating mesh...")
 with timers.phase("setup (mesh+renderer+colmap)"):
@@ -346,7 +356,8 @@ primitive_colors = np.where(
 )
 
 print("Saving colorized mesh...")
-mesh.save(args.output_ply, primitive_colors)
+with timers.phase("colorize+save ply"):
+    mesh.save(args.output_ply, primitive_colors)
 if args.timings:
     print(timers.report())
 if args.timings_json:

@@ -110,11 +110,16 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
                           height, width, max_tris_per_tile=256,
                           prim_transform=None, axis_name=None, y_offset=None,
                           face_vertices=None, clip_near=False,
-                          dense_e_cap=None, resample_grid=None):
+                          dense_e_cap=None, resample_grid=None,
+                          tri_ids=None):
     """One fused render+aggregate step (stays entirely in HBM).
 
     camera_arrays: (rotation, translation, focal_lengths, principal_point).
     probs: (H, W, C) — note (H, W) layout here, not the public API's (W, H).
+    tri_ids: optional (T,) int32 ids to emit per face row (rasterizer-level
+    remap — free on the dense path, see dense.rasterize; per-pixel gather
+    fallback elsewhere).
+
     prim_transform: optional fn(tri_index, z, camera_arrays) -> primitive
     ids (the texel-shader / cross-chip winner-merge hook — z lets a
     'faces'-sharded caller merge block winners by depth); default uses
@@ -143,7 +148,7 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
         height=height, width=width, max_tris_per_tile=max_tris_per_tile,
         y_offset=0 if y_offset is None else y_offset,
         face_vertices=face_vertices, clip_near=clip_near,
-        dense_e_cap=dense_e_cap,
+        dense_e_cap=dense_e_cap, tri_ids=tri_ids,
     )
     if prim_transform is None:
         prim = jnp.where(tri >= 0, tri, num_primitives).astype(jnp.int32)
@@ -206,10 +211,13 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     (render_and_accumulate resample_grid), so distorted scenes keep the
     one-program pipeline. Equals the per-view render() -> add() path.
 
-    prim_remap: optional (T,) int32 triangle-id map applied per pixel
-    before accumulation (prim = prim_remap[tri]) — how a uni-split plan
-    (plan_fuse) returns its accumulator in original face order for the
-    cost of one coherent (H, W) gather per view; see FusePlan.
+    prim_remap: optional (T,) int32 map from face row to the primitive id
+    to emit — how a uni-split plan (plan_fuse) returns its accumulator in
+    original face order. Threaded into the rasterizer as `tri_ids`: ids
+    ride the dense path's fragment-sort payload and packed candidate
+    table, so the remap costs NOTHING per pixel (the earlier per-pixel
+    gather variant measured ~5.7 ms/view at 1024x768 on v5e and ate the
+    split's win); see FusePlan.
 
     predict_fn: optional traceable `(H, W, ...) image -> (H, W, C) probs`
     segmentation model. When given, `probs` carries the raw images and
@@ -236,13 +244,6 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
                 fl, pp, dist, height=height, width=width
             )
             fl = fl * s
-        prim_transform = None
-        if prim_remap is not None:
-            def prim_transform(tri, _z, _cams):
-                return jnp.where(
-                    tri >= 0, prim_remap[jnp.maximum(tri, 0)],
-                    num_primitives,
-                ).astype(jnp.int32)
         delta, ov_view = render_and_accumulate(
             vertices, faces, (rot, trans, fl, pp), pr, wt,
             images_equal_weight,
@@ -250,7 +251,7 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
             height=height, width=width, max_tris_per_tile=max_tris_per_tile,
             face_vertices=face_vertices, clip_near=clip_near,
             dense_e_cap=dense_e_cap, resample_grid=grid,
-            prim_transform=prim_transform,
+            tri_ids=prim_remap,
         )
         return (acc + delta, ov + ov_view), None
 
@@ -272,14 +273,17 @@ class FusePlan:
     original face ids (`remap[i] = perm[i]`, i.e. faces[remap] row i is
     the triangle the rasterizer calls i).
 
-    The remap is applied PER PIXEL inside the scan (fuse_views
-    prim_remap): rendered index images are spatially coherent, so the
-    (H, W) id gather rides the coherent-gather fast path (~2 ms/view,
-    CLAUDE.md) and the accumulator lands in ORIGINAL face order with no
-    post-hoc work. The alternative — un-permuting the (P, C) accumulator
-    with a row gather — pays the measured strided/random row-gather rate
-    (~0.7 us/row on v5e: ~340 ms at 500k faces, dwarfing the split's
-    win), so it is deliberately not offered.
+    The remap rides the rasterizer itself (fuse_views prim_remap ->
+    dense.rasterize tri_ids): original ids are substituted where ids are
+    BORN — the fragment-sort payload and the packed candidate table — so
+    the accumulator lands in ORIGINAL face order at zero marginal cost,
+    and z-ties break by lowest ORIGINAL id exactly like the unpermuted
+    path. Two measured alternatives are deliberately not offered: a
+    per-pixel (H, W) id gather inside the scan cost ~5.7 ms/view at
+    1024x768 on v5e (the round-5 A/B: split 20.6 vs nosplit 22.7 MPix/s —
+    it single-handedly ate the split's win), and un-permuting the (P, C)
+    accumulator post-hoc pays the random row-gather rate (~340 ms at 500k
+    faces).
 
     Probing, routing and the split-vs-compaction choice are per-scene
     host decisions with device syncs; the fused scan itself is pure

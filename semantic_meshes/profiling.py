@@ -39,6 +39,13 @@ class PhaseTimers:
                 self.counts[name] += 1
                 self.durations[name].append(dt)
 
+    def record(self, name, seconds):
+        """Record an already-measured duration (e.g. process start /
+        import time stamped before the timers object could exist)."""
+        self.totals[name] += float(seconds)
+        self.counts[name] += 1
+        self.durations[name].append(float(seconds))
+
     def median(self, name):
         """Median call duration in seconds (0.0 if the phase never ran).
 

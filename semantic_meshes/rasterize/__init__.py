@@ -14,6 +14,7 @@ backend="xla"|"pallas"|"dense" or the SM_RASTERIZER env var.
 import os
 
 import jax
+import jax.numpy as jnp
 
 from . import xla  # noqa: F401
 
@@ -47,6 +48,12 @@ def get(backend=None, num_tris=None):
 def rasterize(vertices, faces, *args, backend=None, **kwargs):
     mod = get(backend, num_tris=faces.shape[0])
     dense_e_cap = kwargs.pop("dense_e_cap", None)
+    tri_ids = kwargs.pop("tri_ids", None)
+    if tri_ids is not None and mod.__name__.endswith("dense"):
+        # zero-cost on the dense path: ids ride the fragment-sort payload
+        # and the packed candidate table (dense.rasterize tri_ids)
+        kwargs["tri_ids"] = tri_ids
+        tri_ids = None
     if mod is not xla:
         # xla-only tuning knob; pallas paths have their own caps
         if mod.__name__.endswith("dense"):
@@ -69,7 +76,18 @@ def rasterize(vertices, faces, *args, backend=None, **kwargs):
                         kwargs["micro_max"] = int(dense_e_cap[2])
                 else:
                     kwargs["e_cap_rows"] = int(dense_e_cap)
-    return mod.rasterize(vertices, faces, *args, **kwargs)
+    out = mod.rasterize(vertices, faces, *args, **kwargs)
+    if tri_ids is not None:
+        # non-dense backends: remap rendered ids per pixel (coherent
+        # gather — rendered index images are spatially coherent)
+        idx, z, overflow = out
+        idx = jnp.where(
+            idx >= 0,
+            jnp.asarray(tri_ids, jnp.int32)[jnp.maximum(idx, 0)],
+            idx,
+        )
+        out = (idx, z, overflow)
+    return out
 
 
 def uses_dense(backend=None, num_tris=None):

@@ -635,6 +635,7 @@ def rasterize(
     micro_cap_rows=None,
     micro_max=None,
     micro_split=None,
+    tri_ids=None,
 ):
     """Dense-mesh drop-in for rasterize.xla.rasterize (no per-tile cap).
 
@@ -671,8 +672,22 @@ def rasterize(
     (82% of its 500k triangles are sub-pixel): rows = T + (mm^2-1)*(T-k)
     + HW instead of mm^2*T + HW. Mutually exclusive with micro_cap_rows
     (it targets the micro-dominated regime where compaction is a no-op).
-    Rounding k DOWN (e.g. to a size bucket) is always safe."""
+    Rounding k DOWN (e.g. to a size bucket) is always safe.
+
+    tri_ids: optional (T,) int32 — the ids to EMIT for each face row
+    (default: the row index). A uni-split caller passes the original face
+    ids of its permuted faces, so the rendered image is in ORIGINAL face
+    order at zero marginal cost: ids already ride the fragment-sort
+    payload and the packed candidate table (and the z-resolve tie-break
+    then picks the lowest ORIGINAL id, matching the unpermuted path
+    exactly). Unsupported with clip_near (rows are clip pieces)."""
     _check_micro_max(micro_max)
+    if tri_ids is not None and clip_near:
+        raise ValueError(
+            "tri_ids is unsupported with clip_near: setup rows are clip "
+            "pieces, not faces (and micro_split already excludes "
+            "clip_near)"
+        )
     if micro_split is not None and micro_cap_rows is not None:
         raise ValueError(
             "micro_split and micro_cap_rows are mutually exclusive: the "
@@ -697,14 +712,15 @@ def rasterize(
         micro budget below T is given)."""
         if micro_cap_rows is not None and int(micro_cap_rows) < T:
             cap = min(_cdiv(max(int(micro_cap_rows), 8), 8) * 8, T)
-            sub, tri_ids, valid, dropped = _compact_micro(setup, micro, cap)
+            sub, take, valid, dropped = _compact_micro(setup, micro, cap)
             z, i = _rasterize_micro(
-                sub, valid, height, width, y_offset, tri_ids=tri_ids,
+                sub, valid, height, width, y_offset,
+                tri_ids=take if tri_ids is None else tri_ids[take],
                 micro_max=micro_max,
             )
             return z, i, dropped
         z, i = _rasterize_micro(setup, micro, height, width, y_offset,
-                                micro_max=micro_max,
+                                tri_ids=tri_ids, micro_max=micro_max,
                                 micro_split=micro_split)
         return z, i, jnp.int32(0)
 
@@ -737,7 +753,9 @@ def rasterize(
     overflow = overflow + micro_dropped
 
     # packed parameter table: PACK candidates per 128-lane row (HBM)
-    table = _gather_candidate_tables(setup, tri_sorted[None, :])[0]
+    table = _gather_candidate_tables(
+        setup, tri_sorted[None, :], tri_ids=tri_ids
+    )[0]
     table = table.reshape(-1, PACK * _N_PARAMS)
 
     kernel = _make_dense_kernel(nbx, B, n_global)

@@ -51,11 +51,18 @@ _N_PARAMS = 16
 _ID_BIAS = 1 << 23  # python int: a jnp scalar would be captured by pallas
 
 
-def _gather_candidate_tables(setup, cand):
+def _gather_candidate_tables(setup, cand, tri_ids=None):
     """(B, N) candidate ids -> params (B, N, 16) f32 + ids (B, N) i32.
 
     Invalid triangles (sign 0) and the sentinel id T get c_i = -1, so the
     pre-signed inside test w_i = a_i*px + b_i*py + c_i >= 0 always fails.
+
+    tri_ids: optional (T,) int32 ids the kernel should EMIT for each setup
+    row (default: the row index). A uni-split plan passes the original
+    face ids here, so the rendered image lands in original face order for
+    free — the id rides the packed-table gather that happens anyway
+    (plan_fuse; the measured per-pixel remap alternative cost ~5.7 ms per
+    786k-pixel view and ate the split's win).
     """
     T = setup["denom"].shape[0]
 
@@ -67,7 +74,8 @@ def _gather_candidate_tables(setup, cand):
         cols.append(jnp.where(bad, zero, setup["a"][:, e] * sgn))
         cols.append(jnp.where(bad, zero, setup["b"][:, e] * sgn))
         cols.append(jnp.where(bad, -1.0, setup["c"][:, e] * sgn))
-    tri_ids = jnp.arange(T, dtype=jnp.int32)
+    if tri_ids is None:
+        tri_ids = jnp.arange(T, dtype=jnp.int32)
     cols.append(
         jax.lax.bitcast_convert_type(tri_ids + _ID_BIAS, jnp.float32)
     )

@@ -548,6 +548,54 @@ class TestUniSlotPrefix:
         np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
         assert int(ov) == 0
 
+    def test_tri_ids_remap_identity_on_mixed_scene(self):
+        """rasterize(faces[perm], tri_ids=perm) must reproduce
+        rasterize(faces) bit-for-bit on a scene that routes rows to BOTH
+        the micro fragment path and the streaming kernel — the id
+        substitution rides the fragment-sort payload and the packed
+        candidate table (the zero-cost remap a uni-split FusePlan uses to
+        return its accumulator in original face order; the per-pixel
+        gather it replaced cost ~5.7 ms/view on v5e and ate the split's
+        measured win)."""
+        import jax.numpy as jnp
+
+        cv, cf = testing.make_cube(24)  # sub-pixel at 128x96 -> micro
+        big_v = np.array(
+            [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+        ) * 0.9
+        big_f = np.array([[0, 1, 2], [0, 2, 3]], np.int32) + len(cv)
+        v = np.concatenate([cv, big_v]).astype(np.float32)
+        f = np.concatenate([cf, big_f]).astype(np.int32)
+        cam = testing.make_ring_cameras(num_views=1, width=128, height=96)[0]
+        args = (
+            np.asarray(cam.rotation, np.float32),
+            np.asarray(cam.translation, np.float32),
+            np.asarray(cam.focal_lengths, np.float32),
+            np.asarray(cam.principal_point, np.float32),
+        )
+        micro = np.asarray(dense.uni_eligible(
+            v, f, *args, height=96, width=128
+        ))
+        assert micro.any() and (~micro).any(), "need micro AND kernel rows"
+        i0, z0, ov0 = dense.rasterize(v, f, *args, height=96, width=128)
+        perm = np.random.default_rng(0).permutation(len(f)).astype(np.int32)
+        i1, z1, ov1 = dense.rasterize(
+            v, f[perm], *args, height=96, width=128,
+            tri_ids=jnp.asarray(perm),
+        )
+        np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        assert int(ov0) == int(ov1) == 0
+
+    def test_tri_ids_clip_near_raises(self):
+        v, f = testing.make_cube(4)
+        args = _simple_cam(64, 48)
+        with pytest.raises(ValueError, match="clip_near"):
+            dense.rasterize(
+                v, f, *args, height=48, width=64, clip_near=True,
+                tri_ids=np.arange(len(f), dtype=np.int32),
+            )
+
 
 class TestAutoRouting:
     def test_pick_micro_max_cost_model(self):
