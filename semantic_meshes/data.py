@@ -39,7 +39,10 @@ class Camera:
     focal_lengths: jax.Array
     principal_point: jax.Array
     resolution: tuple = field(metadata=dict(static=True), default=(0, 0))
-    distortion: jax.Array = None  # (4,) (k1, k2, p1, p2); zeros = pinhole
+    # (4,) (k1, k2, p1, p2) classic wire (zeros = pinhole), or the (9,)
+    # extended wire (8 param slots + model selector) for FULL_OPENCV /
+    # fisheye / FOV lenses — see geometry.py's LENS_* comment
+    distortion: jax.Array = None
 
     def __init__(self, rotation, translation, resolution=None, focal_lengths=None,
                  principal_point=None, distortion=None):
@@ -62,12 +65,16 @@ class Camera:
             dist = np.zeros(4, np.float32)
         else:
             dist = np.asarray(distortion, np.float32).reshape(-1)
-            if dist.size > 4:
+            if dist.size > 9:
                 raise ValueError(
-                    f"distortion must be at most 4 params (k1, k2, p1, p2), "
-                    f"got {dist.size}"
+                    "distortion must be at most 4 params (k1, k2, p1, p2) "
+                    "or the 9-wide extended lens wire (see geometry.LENS_*),"
+                    f" got {dist.size}"
                 )
-            dist = np.pad(dist, (0, 4 - dist.size))
+            # <=4 pads to the classic wire; 5..9 pads to the extended wire
+            # (slots beyond p2 are the rational k3..k6, selector 0 = radtan)
+            width = 4 if dist.size <= 4 else 9
+            dist = np.pad(dist, (0, width - dist.size))
         object.__setattr__(self, "distortion", dist)
         if self.rotation.shape != (3, 3):
             raise ValueError(f"rotation must be (3, 3), got {self.rotation.shape}")
@@ -127,12 +134,17 @@ def stack_cameras(cameras):
 
 
 def stack_distortions(cameras):
-    """(N, 4) stacked (k1, k2, p1, p2) per camera (zeros for pinhole)."""
-    return np.stack([
+    """(N, 4) stacked (k1, k2, p1, p2) per camera (zeros for pinhole) —
+    or (N, 9) on the extended wire when any camera carries an extended
+    lens (classic vectors zero-pad losslessly: selector 0 with k3..k6 = 0
+    is the same radial-tangential model)."""
+    dists = [
         np.zeros(4, np.float32) if c.distortion is None
-        else np.asarray(c.distortion, np.float32)
+        else np.asarray(c.distortion, np.float32).reshape(-1)
         for c in cameras
-    ])
+    ]
+    width = max(d.size for d in dists)
+    return np.stack([np.pad(d, (0, width - d.size)) for d in dists])
 
 
 class Ply:

@@ -204,7 +204,7 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     budgets across all views (0 in a correctly-budgeted run — check it,
     dropped pairs mean missing geometry in the fusion).
 
-    distortions: optional (N, 4) lens parameters (data.Camera.distortion
+    distortions: optional (N, 4|9) lens parameters (data.Camera.distortion
     — SIMPLE_RADIAL/RADIAL/OPENCV, COLMAP's default real-workspace
     models). Each view then renders under its virtual pinhole and
     resamples onto the distorted pixels inside the same scan body
@@ -315,7 +315,7 @@ def plan_fuse(vertices, faces, rotations, translations, focal_lengths,
     all-micro dense preset but -17% on the scannet preset where it
     forfeits compaction).
 
-    distortions: (N, 4) lens parameters (or None) — probes then run under
+    distortions: (N, 4|9) lens parameters (or None) — probes then run under
     each view's virtual-pinhole focal (render._distortion_scales), the
     focal the distorted render actually rasterizes with.
 
@@ -457,7 +457,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
     """Batched texel-mode pipeline: like fuse_views, but primitives are the
     sub-triangle texels of a TexelsRenderer (pass its reordered `faces`,
     `resolutions` and `first_texel_index`). Returns (accumulator (P, C),
-    overflow int32) like fuse_views. distortions: optional (N, 4) lens
+    overflow int32) like fuse_views. distortions: optional (N, 4|9) lens
     parameters — texels shade in virtual-pinhole space, then the texel
     image resamples onto the distorted pixels (see fuse_views). predict_fn:
     see fuse_views — runs the segmentation forward inside the scan (probs
@@ -571,7 +571,7 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     (ref: include/semantic_meshes/fusion/Mesh.h:66,103).
 
     with_distortion: when True the returned function takes a trailing
-    (N, 4) lens-parameter array sharded P('views') (after weights when
+    (N, 4|9) lens-parameter array sharded P('views') (after weights when
     both are set); each chip renders its views under their virtual
     pinholes and resamples onto the distorted pixels (see fuse_views).
     Incompatible with a 'pixels' axis > 1: the undistortion resample

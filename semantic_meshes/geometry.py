@@ -93,7 +93,8 @@ def pinhole_project(focal_lengths, principal_point, points_cam):
 
 
 # --------------------------------------------------------------------------
-# Lens distortion (COLMAP SIMPLE_RADIAL / RADIAL / OPENCV family)
+# Lens distortion (COLMAP SIMPLE_RADIAL / RADIAL / OPENCV family, plus the
+# extended FULL_OPENCV / fisheye / FOV wire)
 # --------------------------------------------------------------------------
 #
 # The reference's Camera union covers only SIMPLE_PINHOLE and PINHOLE
@@ -103,13 +104,125 @@ def pinhole_project(focal_lengths, principal_point, points_cam):
 # (k1, k2, p1, p2) on normalized camera coordinates — the OPENCV model's
 # distortion — with SIMPLE_RADIAL = (k1, 0, 0, 0) and RADIAL = (k1, k2, 0, 0),
 # matching COLMAP's camera_models.h Distortion() definitions.
+#
+# EXTENDED WIRE (..., 9): 8 parameter slots + a model-selector column, so a
+# single traced array carries every COLMAP lens family through the same
+# jitted pipelines (per-view selection is a branchless jnp.where — the three
+# candidate maps are a few elementwise ops each, negligible next to the
+# render). The classic (..., 4) wire keeps its dedicated code path so
+# existing programs stay bit-identical. Slot meaning by selector:
+#
+#   LENS_RADTAN (0): (k1, k2, p1, p2, k3, k4, k5, k6) — rational radial
+#       (1 + k1 r2 + k2 r4 + k3 r6) / (1 + k4 r2 + k5 r4 + k6 r6) plus the
+#       OpenCV tangential terms (FULL_OPENCV; k3..k6 = 0 gives OPENCV, so a
+#       zero-padded classic vector means the same model).
+#   LENS_FISHEYE (1): (k1, k2, k3, k4, 0, 0, 0, 0) — equidistant fisheye,
+#       theta_d = theta (1 + k1 th2 + k2 th4 + k3 th6 + k4 th8) with
+#       theta = atan(r) (OPENCV_FISHEYE; SIMPLE_RADIAL_FISHEYE /
+#       RADIAL_FISHEYE truncate the polynomial). NOTE zero ks is NOT the
+#       identity — equidistant projection itself bends rays.
+#   LENS_FOV (2): (omega, 0, ...) — Devernay-Faugeras FOV model,
+#       r_d = atan(2 r tan(omega/2)) / omega.
+
+LENS_RADTAN = 0.0
+LENS_FISHEYE = 1.0
+LENS_FOV = 2.0
+LENS_EXTENDED_DIM = 9
+
+
+def _distort_extended(xy, dist):
+    """Forward distortion for the extended (..., 9) lens wire."""
+    xy = jnp.asarray(xy)
+    dist = jnp.asarray(dist)
+    x, y = xy[..., 0], xy[..., 1]
+    s = [dist[..., i] for i in range(8)]
+    sel = dist[..., 8]
+    x2, y2, xyp = x * x, y * y, x * y
+    r2 = x2 + y2
+
+    # radial-tangential, rational polynomial (FULL_OPENCV)
+    k1, k2, p1, p2, k3, k4, k5, k6 = s
+    num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    den = 1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+    rad = num / jnp.where(den == 0.0, 1.0, den)
+    xt = x * rad + 2.0 * p1 * xyp + p2 * (r2 + 2.0 * x2)
+    yt = y * rad + p1 * (r2 + 2.0 * y2) + 2.0 * p2 * xyp
+
+    # equidistant fisheye (OPENCV_FISHEYE family): slots 0..3 are k1..k4
+    fk1, fk2, fk3, fk4 = s[0], s[1], s[2], s[3]
+    r = jnp.sqrt(r2)
+    theta = jnp.arctan(r)
+    t2 = theta * theta
+    theta_d = theta * (
+        1.0 + t2 * (fk1 + t2 * (fk2 + t2 * (fk3 + t2 * fk4)))
+    )
+    safe_r = jnp.maximum(r, 1e-8)
+    # r -> 0: theta ~ r and t2 -> 0, so the scale limit is exactly 1
+    fish = jnp.where(r < 1e-8, 1.0, theta_d / safe_r)
+
+    # FOV model: slot 0 is omega
+    w = s[0]
+    tw = jnp.tan(0.5 * w)
+    safe_w = jnp.where(jnp.abs(w) < 1e-6, 1.0, w)
+    fov_gen = jnp.arctan(2.0 * safe_r * tw) / (safe_r * safe_w)
+    fov = jnp.where(r < 1e-8, 2.0 * tw / safe_w, fov_gen)
+    fov = jnp.where(jnp.abs(w) < 1e-6, 1.0, fov)
+
+    scale = jnp.where(sel == LENS_FISHEYE, fish,
+                      jnp.where(sel == LENS_FOV, fov, 1.0))
+    out_scaled = xy * scale[..., None]
+    out_radtan = jnp.stack([xt, yt], axis=-1)
+    return jnp.where((sel == LENS_RADTAN)[..., None], out_radtan, out_scaled)
+
+
+def _undistort_extended(xy_distorted, dist, iters: int = 30):
+    """Newton inversion of _distort_extended.
+
+    The 2x2 Jacobian columns come from two jax.jvp evaluations of the
+    forward map — exact for every lens family without per-model analytic
+    derivatives, and still straight-line code under jit. Iterates are
+    clamped to a generous ball so a pixel outside the invertible domain
+    (render._undistort_grid clamps those afterwards) cannot drag the
+    fori_loop through inf/nan."""
+    xy_distorted = jnp.asarray(xy_distorted, jnp.float32)
+    dist = jnp.asarray(dist, jnp.float32)
+
+    def fwd(xy):
+        return _distort_extended(xy, dist)
+
+    ex = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0], jnp.float32), xy_distorted.shape
+    )
+    ey = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0], jnp.float32), xy_distorted.shape
+    )
+
+    def step(_, xy):
+        fxy, jx = jax.jvp(fwd, (xy,), (ex,))
+        _, jy = jax.jvp(fwd, (xy,), (ey,))
+        a, c = jx[..., 0], jx[..., 1]
+        b, d = jy[..., 0], jy[..., 1]
+        rx = fxy[..., 0] - xy_distorted[..., 0]
+        ry = fxy[..., 1] - xy_distorted[..., 1]
+        det = a * d - b * c
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        nx = xy[..., 0] - (d * rx - b * ry) * inv_det
+        ny = xy[..., 1] - (a * ry - c * rx) * inv_det
+        new = jnp.stack([nx, ny], axis=-1)
+        nrm = jnp.sqrt(jnp.sum(new * new, axis=-1, keepdims=True))
+        return new * jnp.minimum(1.0, 100.0 / jnp.maximum(nrm, 1e-8))
+
+    return jax.lax.fori_loop(0, iters, step, xy_distorted)
 
 
 def distort_normalized(xy, dist):
     """Forward lens distortion on normalized camera coords (x/z, y/z).
 
-    xy: (..., 2); dist: (..., 4) = (k1, k2, p1, p2), broadcastable against
-    xy's batch shape. Returns distorted normalized coords (..., 2):
+    xy: (..., 2); dist: (..., 4) = (k1, k2, p1, p2) or the extended
+    (..., 9) wire (see the LENS_* module comment), broadcastable against
+    xy's batch shape. The classic 4-wide path is kept verbatim (existing
+    programs stay bit-identical). Returns distorted normalized coords
+    (..., 2); for the 4-wide wire:
 
         r2 = x^2 + y^2;  radial = k1 r2 + k2 r2^2
         x' = x (1 + radial) + 2 p1 x y + p2 (r2 + 2 x^2)
@@ -117,6 +230,8 @@ def distort_normalized(xy, dist):
     """
     xy = jnp.asarray(xy)
     dist = jnp.asarray(dist)
+    if dist.shape[-1] == LENS_EXTENDED_DIM:
+        return _distort_extended(xy, dist)
     x, y = xy[..., 0], xy[..., 1]
     k1, k2, p1, p2 = (dist[..., i] for i in range(4))
     x2, y2, xyp = x * x, y * y, x * y
@@ -134,9 +249,13 @@ def undistort_normalized(xy_distorted, dist, iters: int = 20):
     the residual, fixed iteration count so it jits to straight-line code;
     20 iterations converge to f32 roundoff for any physically plausible
     k1/k2/p1/p2). Elementwise over (..., 2) points, vmap/grid friendly.
+    The extended (..., 9) wire routes to the jvp-Jacobian Newton
+    (_undistort_extended); the classic path below is kept verbatim.
     """
     xy_distorted = jnp.asarray(xy_distorted, jnp.float32)
     dist = jnp.asarray(dist, jnp.float32)
+    if dist.shape[-1] == LENS_EXTENDED_DIM:
+        return _undistort_extended(xy_distorted, dist, iters=max(iters, 30))
     k1, k2, p1, p2 = (dist[..., i] for i in range(4))
 
     def step(_, xy):
@@ -174,8 +293,13 @@ def max_monotonic_radius(dist):
     ignored for this bound (they do not affect the radial fold and are
     small for real lenses). Branchless over a traced (..., 4) dist; used
     by render._undistort_grid to cap diverged pixels (ADVICE r4: one bad
-    corner must not shrink the virtual focal for the whole frame)."""
+    corner must not shrink the virtual focal for the whole frame).
+
+    The extended (..., 9) wire uses a numeric monotone-prefix scan of the
+    forward radial response instead (works for every lens family)."""
     dist = jnp.asarray(dist, jnp.float32)
+    if dist.shape[-1] == LENS_EXTENDED_DIM:
+        return _max_monotonic_radius_extended(dist)
     k1, k2 = dist[..., 0], dist[..., 1]
     disc = 9.0 * k1 * k1 - 20.0 * k2
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -195,6 +319,34 @@ def max_monotonic_radius(dist):
         pos_or_inf(-1.0 / denom_l, lin_ok),
     )
     return jnp.sqrt(x_min)
+
+
+def _max_monotonic_radius_extended(dist, samples: int = 512):
+    """Numeric monotone-prefix fold radius for the extended (..., 9) wire.
+
+    Samples the forward radial response r_d(r) on the x-axis at
+    r = tan(theta), theta uniform up to ~88.8 deg (undistorted radii past
+    that are outside any real camera's field of view), and returns the
+    largest sampled radius whose prefix is strictly increasing — or +inf
+    when the response is monotone over the whole probed range. Tangential
+    terms (radtan slots 2, 3) are zeroed to match the classic path's
+    radial-only bound; for fisheye those slots hold k3/k4 and are kept.
+    Branchless and vmappable over leading dist dims."""
+    dist = jnp.asarray(dist, jnp.float32)
+    sel = dist[..., 8]
+    keep = jnp.where((sel == LENS_RADTAN)[..., None], 0.0, 1.0)
+    d2 = jnp.concatenate(
+        [dist[..., :2], dist[..., 2:4] * keep, dist[..., 4:]], axis=-1
+    )
+    theta = jnp.linspace(1e-3, 1.55, samples)
+    r = jnp.tan(theta)
+    pts = jnp.stack([r, jnp.zeros_like(r)], axis=-1)  # (samples, 2)
+    rd = _distort_extended(pts, d2[..., None, :])[..., 0]
+    inc = (rd[..., 1:] > rd[..., :-1]).astype(jnp.float32)
+    good = jnp.cumprod(inc, axis=-1)  # 1 while the prefix is monotone
+    count = jnp.sum(good, axis=-1).astype(jnp.int32)
+    r_last_good = jnp.take(r, count)
+    return jnp.where(count == samples - 1, jnp.inf, r_last_good)
 
 
 def look_at(eye, target, up):

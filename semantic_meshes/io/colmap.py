@@ -44,8 +44,10 @@ class ColmapCamera:
     height: int
     focal_lengths: np.ndarray  # (2,) f64 — (fx, fy); SIMPLE_PINHOLE duplicates f
     principal_point: np.ndarray  # (2,) f64
-    # canonical (k1, k2, p1, p2) lens distortion on normalized coords
-    # (zeros for the pinhole models); see geometry.distort_normalized
+    # lens distortion on normalized coords: canonical (k1, k2, p1, p2) for
+    # the classic models (zeros for pinhole), or the extended 9-wide wire
+    # (8 param slots + model selector) for FULL_OPENCV / fisheye / FOV;
+    # see geometry.distort_normalized and the geometry.LENS_* comment
     distortion: np.ndarray = None
 
     def __post_init__(self):
@@ -79,11 +81,17 @@ def _intrinsics_from_params(model_name, params):
     param vector. The reference rejects everything but the two pinhole
     models (its Camera union, ref: include/semantic_meshes/render/Camera.h:9-12)
     and tells users to undistort the workspace first; COLMAP's *default*
-    output model is SIMPLE_RADIAL, so the radial/OpenCV family is supported
-    here natively (distortion = canonical (k1, k2, p1, p2), consumed by
-    geometry.distort_normalized / the renderers' resampling layer). The
-    fisheye/FOV models use a different projection family and still raise.
+    output model is SIMPLE_RADIAL, so the whole radial/OpenCV/fisheye/FOV
+    family is supported here natively. The classic models return the
+    canonical (k1, k2, p1, p2) wire; FULL_OPENCV and the fisheye/FOV models
+    return the extended 9-wide wire (8 param slots + model selector — see
+    geometry.py LENS_* comment), both consumed by
+    geometry.distort_normalized / the renderers' resampling layer.
+    THIN_PRISM_FISHEYE (thin-prism terms on top of the fisheye map) is the
+    one COLMAP model that still raises.
     """
+    from ..geometry import LENS_FISHEYE, LENS_FOV
+
     zero = np.zeros(4)
     if model_name == "SIMPLE_PINHOLE":
         f, cx, cy = params[:3]
@@ -101,10 +109,32 @@ def _intrinsics_from_params(model_name, params):
         fx, fy, cx, cy, k1, k2, p1, p2 = params[:8]
         return (np.array([fx, fy]), np.array([cx, cy]),
                 np.array([k1, k2, p1, p2]))
+    if model_name == "FULL_OPENCV":
+        fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, k5, k6 = params[:12]
+        return (np.array([fx, fy]), np.array([cx, cy]),
+                np.array([k1, k2, p1, p2, k3, k4, k5, k6, 0.0]))
+    if model_name == "OPENCV_FISHEYE":
+        fx, fy, cx, cy, k1, k2, k3, k4 = params[:8]
+        return (np.array([fx, fy]), np.array([cx, cy]),
+                np.array([k1, k2, k3, k4, 0, 0, 0, 0, LENS_FISHEYE]))
+    if model_name == "SIMPLE_RADIAL_FISHEYE":
+        f, cx, cy, k = params[:4]
+        return (np.array([f, f]), np.array([cx, cy]),
+                np.array([k, 0, 0, 0, 0, 0, 0, 0, LENS_FISHEYE]))
+    if model_name == "RADIAL_FISHEYE":
+        f, cx, cy, k1, k2 = params[:5]
+        return (np.array([f, f]), np.array([cx, cy]),
+                np.array([k1, k2, 0, 0, 0, 0, 0, 0, LENS_FISHEYE]))
+    if model_name == "FOV":
+        fx, fy, cx, cy, omega = params[:5]
+        return (np.array([fx, fy]), np.array([cx, cy]),
+                np.array([omega, 0, 0, 0, 0, 0, 0, 0, LENS_FOV]))
     raise ColmapError(
         f"unsupported COLMAP camera model {model_name}; supported: "
-        "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV "
-        "(undistort fisheye workspaces first)"
+        "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV, "
+        "FULL_OPENCV, OPENCV_FISHEYE, SIMPLE_RADIAL_FISHEYE, "
+        "RADIAL_FISHEYE, FOV (THIN_PRISM_FISHEYE workspaces must be "
+        "undistorted externally)"
     )
 
 
@@ -290,7 +320,10 @@ def write_cameras_txt(path, cameras):
         f.write("# Camera list with one line of data per camera:\n")
         f.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
         for cam in cameras.values():
-            k1, k2, p1, p2 = np.asarray(cam.distortion, dtype=float)
+            d = np.zeros(9)
+            dc = np.asarray(cam.distortion, dtype=float).reshape(-1)
+            d[: dc.size] = dc
+            k1, k2, p1, p2 = d[:4]
             if cam.model == "SIMPLE_PINHOLE":
                 params = [cam.focal_lengths[0], *cam.principal_point]
             elif cam.model == "SIMPLE_RADIAL":
@@ -300,6 +333,16 @@ def write_cameras_txt(path, cameras):
             elif cam.model == "OPENCV":
                 params = [*cam.focal_lengths, *cam.principal_point,
                           k1, k2, p1, p2]
+            elif cam.model == "FULL_OPENCV":
+                params = [*cam.focal_lengths, *cam.principal_point, *d[:8]]
+            elif cam.model == "OPENCV_FISHEYE":
+                params = [*cam.focal_lengths, *cam.principal_point, *d[:4]]
+            elif cam.model == "SIMPLE_RADIAL_FISHEYE":
+                params = [cam.focal_lengths[0], *cam.principal_point, k1]
+            elif cam.model == "RADIAL_FISHEYE":
+                params = [cam.focal_lengths[0], *cam.principal_point, k1, k2]
+            elif cam.model == "FOV":
+                params = [*cam.focal_lengths, *cam.principal_point, d[0]]
             else:
                 params = [*cam.focal_lengths, *cam.principal_point]
             f.write(

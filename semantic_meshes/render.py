@@ -343,7 +343,9 @@ class TrianglesRenderer:
         if dist is not None and np.any(np.asarray(dist)):
             dist = jnp.asarray(dist, jnp.float32)
             if dist.ndim == 1:
-                dist = jnp.broadcast_to(dist, (rot.shape[0], 4))
+                dist = jnp.broadcast_to(
+                    dist, (rot.shape[0], dist.shape[0])
+                )
             s = _distortion_scales(fl, pp, dist, height=height, width=width)
             fl = fl * s[:, None]
         from .rasterize import dense as _dense

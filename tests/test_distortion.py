@@ -211,9 +211,12 @@ class TestColmapIO:
                 back[cid].focal_lengths, cam.focal_lengths
             )
 
-    def test_fisheye_still_rejected(self, tmp_path):
+    def test_thin_prism_rejected(self, tmp_path):
+        # the fisheye/FOV families parse onto the extended wire now
+        # (tests/test_lens_models.py); THIN_PRISM_FISHEYE is the one
+        # COLMAP model that still raises
         p = tmp_path / "cameras.bin"
-        self._write_bin(p, 8, np.zeros(4))  # SIMPLE_RADIAL_FISHEYE
+        self._write_bin(p, 10, np.zeros(12))
         with pytest.raises(colmap_io.ColmapError, match="unsupported"):
             colmap_io.read_cameras_bin(str(p))
 
@@ -230,7 +233,7 @@ class TestCameraPytree:
         np.testing.assert_allclose(cam2.distortion, [0.1, 0, 0, 0])
         with pytest.raises(ValueError, match="distortion"):
             Camera(np.eye(3), np.zeros(3), (64, 48), [40, 40], [32, 24],
-                   distortion=np.zeros(5))
+                   distortion=np.zeros(10))
 
     def test_pytree_roundtrip_keeps_distortion(self):
         import jax

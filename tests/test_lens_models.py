@@ -1,0 +1,529 @@
+"""Extended COLMAP lens-model family (FULL_OPENCV / fisheye / FOV).
+
+The reference supports only the two pinhole models
+(ref: include/semantic_meshes/render/Camera.h:9-12); round 4 added the
+classic radial/OpenCV family on a (4,) wire. This covers the REST of
+COLMAP's camera zoo on the extended 9-wide wire (8 param slots + model
+selector, geometry.py LENS_*): FULL_OPENCV's rational polynomial, the
+equidistant fisheye family (OPENCV_FISHEYE / SIMPLE_RADIAL_FISHEYE /
+RADIAL_FISHEYE), and the Devernay-Faugeras FOV model — every COLMAP model
+except THIN_PRISM_FISHEYE. Oracles are independent numpy transcriptions of
+COLMAP's camera_models.h equations; inversion is tested as a roundtrip
+(the jax path inverts by jvp-Jacobian Newton, a different algorithm).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from semantic_meshes import geometry
+from semantic_meshes import render as render_mod
+from semantic_meshes.data import Camera, stack_cameras, stack_distortions
+from semantic_meshes.io import colmap as colmap_io
+
+
+# --------------------------------------------------------------------------
+# independent numpy oracles (COLMAP src/base/camera_models.h Distortion())
+# --------------------------------------------------------------------------
+
+
+def oracle_full_opencv(k, xy):
+    x, y = xy[..., 0], xy[..., 1]
+    k1, k2, p1, p2, k3, k4, k5, k6 = k
+    r2 = x * x + y * y
+    rad = (1 + k1 * r2 + k2 * r2**2 + k3 * r2**3) / (
+        1 + k4 * r2 + k5 * r2**2 + k6 * r2**3
+    )
+    ox = x * rad + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    oy = y * rad + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return np.stack([ox, oy], axis=-1)
+
+
+def oracle_fisheye(ks, xy):
+    x, y = xy[..., 0], xy[..., 1]
+    r = np.sqrt(x * x + y * y)
+    th = np.arctan(r)
+    poly = 1.0
+    for i, ki in enumerate(ks):
+        poly = poly + ki * th ** (2 * (i + 1))
+    thd = th * poly
+    scale = np.where(r > 1e-12, thd / np.maximum(r, 1e-12), 1.0)
+    return xy * scale[..., None]
+
+
+def oracle_fov(omega, xy):
+    x, y = xy[..., 0], xy[..., 1]
+    r = np.sqrt(x * x + y * y)
+    factor = np.arctan(2 * r * np.tan(omega / 2)) / np.maximum(
+        r * omega, 1e-12
+    )
+    factor = np.where(r > 1e-12, factor, 2 * np.tan(omega / 2) / omega)
+    return xy * factor[..., None]
+
+
+def wire_full_opencv(k8):
+    return np.concatenate([np.asarray(k8, np.float32), [0.0]]).astype(
+        np.float32
+    )
+
+
+def wire_fisheye(ks):
+    d = np.zeros(9, np.float32)
+    d[: len(ks)] = ks
+    d[8] = geometry.LENS_FISHEYE
+    return d
+
+
+def wire_fov(omega):
+    d = np.zeros(9, np.float32)
+    d[0] = omega
+    d[8] = geometry.LENS_FOV
+    return d
+
+
+FULL_K = np.array(
+    [-0.08, 0.015, 0.004, -0.003, 0.002, 0.01, -0.004, 0.001]
+)
+FISH_K4 = np.array([0.03, -0.011, 0.002, -0.0005])
+
+
+class TestExtendedDistortionMath:
+    def _points(self, seed=0, n=257, lim=0.6):
+        rng = np.random.default_rng(seed)
+        return rng.uniform(-lim, lim, size=(n, 2)).astype(np.float32)
+
+    def test_classic_pad_is_same_model(self):
+        """A classic (k1, k2, p1, p2) vector zero-padded onto the extended
+        wire must reproduce the classic path (selector 0, k3..k6 = 0 IS
+        the OPENCV model) — the invariant stack_distortions relies on when
+        it pads a mixed camera batch."""
+        xy = self._points()
+        d4 = np.array([-0.08, 0.015, 0.004, -0.003], np.float32)
+        d9 = np.pad(d4, (0, 5))
+        a = np.asarray(geometry.distort_normalized(xy, d4))
+        b = np.asarray(geometry.distort_normalized(xy, d9))
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+    def test_full_opencv_matches_oracle(self):
+        xy = self._points(1)
+        got = np.asarray(
+            geometry.distort_normalized(xy, wire_full_opencv(FULL_K))
+        )
+        want = oracle_full_opencv(FULL_K, xy.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "ks",
+        [FISH_K4, FISH_K4[:2], FISH_K4[:1], np.zeros(4)],
+        ids=["opencv_fisheye", "radial_fisheye", "simple_radial_fisheye",
+             "zero_k"],
+    )
+    def test_fisheye_matches_oracle(self, ks):
+        xy = self._points(2)
+        got = np.asarray(geometry.distort_normalized(xy, wire_fisheye(ks)))
+        want = oracle_fisheye(ks, xy.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_fisheye_zero_k_is_not_identity(self):
+        """Equidistant projection bends rays even with zero polynomial
+        coefficients (theta = atan r != r) — the zero-lens fast paths
+        must NOT treat a zero-k fisheye as pinhole. The selector column
+        keeps the wire nonzero, which is what _has_distortion and the
+        structural identity-grid check key on."""
+        xy = self._points(3)
+        d = wire_fisheye(np.zeros(4))
+        assert np.any(d)  # nonzero wire despite zero ks
+        got = np.asarray(geometry.distort_normalized(xy, d))
+        r = np.sqrt((xy**2).sum(-1))
+        assert np.abs(got - xy).max() > 1e-3
+        want = xy * (np.arctan(r) / np.maximum(r, 1e-12))[:, None]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    @pytest.mark.parametrize("omega", [0.3, 0.9, 1.4])
+    def test_fov_matches_oracle(self, omega):
+        xy = self._points(4)
+        got = np.asarray(geometry.distort_normalized(xy, wire_fov(omega)))
+        want = oracle_fov(omega, xy.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_fov_tiny_omega_is_identity_limit(self):
+        xy = self._points(5)
+        got = np.asarray(geometry.distort_normalized(xy, wire_fov(0.0)))
+        np.testing.assert_allclose(got, xy, atol=1e-7)
+
+    @pytest.mark.parametrize(
+        "dist",
+        [wire_full_opencv(FULL_K), wire_fisheye(FISH_K4), wire_fov(0.9),
+         wire_fisheye(np.zeros(4))],
+        ids=["full_opencv", "fisheye", "fov", "fisheye_zero_k"],
+    )
+    def test_undistort_inverts_forward(self, dist):
+        xy = self._points(6, n=301, lim=0.5)
+        xy_d = np.asarray(geometry.distort_normalized(xy, dist))
+        back = np.asarray(geometry.undistort_normalized(xy_d, dist))
+        np.testing.assert_allclose(back, xy, atol=3e-5)
+
+    def test_undistort_wide_fisheye_rays(self):
+        """Fisheye inversion where undistorted radii far exceed distorted
+        ones (the tan blow-up regime Newton has to climb)."""
+        r = np.linspace(0.1, 3.5, 40)  # up to ~74 deg incident angle
+        xy = np.stack([r / np.sqrt(2), r / np.sqrt(2)], -1).astype(
+            np.float32
+        )
+        d = wire_fisheye(FISH_K4 * 0.5)
+        xy_d = np.asarray(geometry.distort_normalized(xy, d))
+        back = np.asarray(geometry.undistort_normalized(xy_d, d))
+        np.testing.assert_allclose(back, xy, rtol=1e-4, atol=1e-4)
+
+    def test_extended_monotonic_radius_matches_classic(self):
+        """The numeric monotone-prefix fold must agree with the classic
+        closed form on a padded classic lens (within one sample step)."""
+        d4 = np.array([-0.12, 0, 0, 0], np.float32)
+        want = float(geometry.max_monotonic_radius(d4))
+        got = float(geometry.max_monotonic_radius(np.pad(d4, (0, 5))))
+        np.testing.assert_allclose(got, want, rtol=2e-2)
+
+    def test_extended_monotonic_radius_fisheye(self):
+        # monotone-everywhere lens: +inf
+        assert float(
+            geometry.max_monotonic_radius(wire_fisheye(np.zeros(4)))
+        ) == float("inf")
+        # strongly negative k1 folds theta_d; the returned radius must
+        # bracket the true maximum of the forward response
+        d = wire_fisheye([-0.3, 0, 0, 0])
+        r_fold = float(geometry.max_monotonic_radius(d))
+        assert np.isfinite(r_fold) and r_fold > 0
+        rr = np.linspace(1e-3, r_fold * 0.98, 256)
+        pts = np.stack([rr, np.zeros_like(rr)], -1).astype(np.float32)
+        rd = np.asarray(geometry.distort_normalized(pts, d))[:, 0]
+        assert (np.diff(rd) > 0).all()  # monotone inside the bound
+        beyond = np.asarray(
+            geometry.distort_normalized(
+                np.array([[r_fold * 1.3, 0.0]], np.float32), d
+            )
+        )[0, 0]
+        assert beyond < rd[-1] * 1.02  # response has stopped growing
+
+
+class TestColmapExtendedModels:
+    def _write_bin(self, path, model_id, raw_params):
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ii", 7, model_id))
+            f.write(struct.pack("<QQ", 64, 48))
+            f.write(np.asarray(raw_params, "<f8").tobytes())
+
+    @pytest.mark.parametrize(
+        "model,mid,raw,want_wire",
+        [
+            (
+                "FULL_OPENCV", 6,
+                np.concatenate([[40.0, 42.0, 32.0, 24.0], FULL_K]),
+                wire_full_opencv(FULL_K),
+            ),
+            (
+                "OPENCV_FISHEYE", 5,
+                np.concatenate([[40.0, 42.0, 32.0, 24.0], FISH_K4]),
+                wire_fisheye(FISH_K4),
+            ),
+            (
+                "SIMPLE_RADIAL_FISHEYE", 8,
+                np.array([40.0, 32.0, 24.0, 0.03]),
+                wire_fisheye([0.03]),
+            ),
+            (
+                "RADIAL_FISHEYE", 9,
+                np.array([40.0, 32.0, 24.0, 0.03, -0.011]),
+                wire_fisheye([0.03, -0.011]),
+            ),
+            (
+                "FOV", 7,
+                np.array([40.0, 42.0, 32.0, 24.0, 0.9]),
+                wire_fov(0.9),
+            ),
+        ],
+    )
+    def test_bin_parse(self, tmp_path, model, mid, raw, want_wire):
+        p = tmp_path / "cameras.bin"
+        self._write_bin(p, mid, raw)
+        cam = colmap_io.read_cameras_bin(str(p))[7]
+        assert cam.model == model
+        np.testing.assert_allclose(cam.distortion, want_wire, atol=1e-7)
+        if model in ("FULL_OPENCV", "OPENCV_FISHEYE", "FOV"):
+            np.testing.assert_allclose(cam.focal_lengths, raw[:2])
+            np.testing.assert_allclose(cam.principal_point, raw[2:4])
+        else:
+            np.testing.assert_allclose(cam.focal_lengths, [raw[0], raw[0]])
+            np.testing.assert_allclose(cam.principal_point, raw[1:3])
+
+    def test_txt_roundtrip_extended_models(self, tmp_path):
+        cams = {
+            1: colmap_io.ColmapCamera(
+                1, "FULL_OPENCV", 64, 48, np.array([40.0, 42.0]),
+                np.array([32.0, 24.0]), wire_full_opencv(FULL_K),
+            ),
+            2: colmap_io.ColmapCamera(
+                2, "OPENCV_FISHEYE", 64, 48, np.array([40.0, 42.0]),
+                np.array([32.0, 24.0]), wire_fisheye(FISH_K4),
+            ),
+            3: colmap_io.ColmapCamera(
+                3, "SIMPLE_RADIAL_FISHEYE", 64, 48, np.array([40.0, 40.0]),
+                np.array([32.0, 24.0]), wire_fisheye([0.03]),
+            ),
+            4: colmap_io.ColmapCamera(
+                4, "RADIAL_FISHEYE", 64, 48, np.array([40.0, 40.0]),
+                np.array([32.0, 24.0]), wire_fisheye([0.03, -0.011]),
+            ),
+            5: colmap_io.ColmapCamera(
+                5, "FOV", 64, 48, np.array([40.0, 42.0]),
+                np.array([32.0, 24.0]), wire_fov(0.9),
+            ),
+        }
+        p = tmp_path / "cameras.txt"
+        colmap_io.write_cameras_txt(str(p), cams)
+        back = colmap_io.read_cameras_txt(str(p))
+        for cid, cam in cams.items():
+            assert back[cid].model == cam.model
+            np.testing.assert_allclose(
+                back[cid].distortion, cam.distortion, atol=1e-7
+            )
+            np.testing.assert_allclose(
+                back[cid].focal_lengths, cam.focal_lengths
+            )
+
+    def test_thin_prism_still_rejected(self, tmp_path):
+        p = tmp_path / "cameras.bin"
+        self._write_bin(p, 10, np.zeros(12))  # THIN_PRISM_FISHEYE
+        with pytest.raises(colmap_io.ColmapError, match="unsupported"):
+            colmap_io.read_cameras_bin(str(p))
+
+
+class TestCameraWire:
+    def test_ctor_accepts_extended_wire(self):
+        cam = Camera(
+            np.eye(3), np.zeros(3), (64, 48), [40, 40], [32, 24],
+            distortion=wire_fisheye(FISH_K4),
+        )
+        assert cam.distortion.shape == (9,)
+        with pytest.raises(ValueError, match="distortion"):
+            Camera(np.eye(3), np.zeros(3), (64, 48), [40, 40], [32, 24],
+                   distortion=np.zeros(10))
+
+    def test_ctor_pads_5_to_extended_radtan(self):
+        """5..8 params pad onto the extended wire with selector 0 — the
+        slots beyond p2 are the rational k3..k6."""
+        cam = Camera(
+            np.eye(3), np.zeros(3), (64, 48), [40, 40], [32, 24],
+            distortion=[0.1, -0.02, 0.003, 0.001, 0.0005],
+        )
+        np.testing.assert_allclose(
+            cam.distortion, [0.1, -0.02, 0.003, 0.001, 0.0005, 0, 0, 0, 0]
+        )
+
+    def test_stack_distortions_pads_mixed_batch(self):
+        cams = [
+            Camera(np.eye(3), np.zeros(3), (64, 48), [40, 40], [32, 24],
+                   distortion=[0.1]),
+            Camera(np.eye(3), np.zeros(3), (64, 48), [40, 40], [32, 24],
+                   distortion=wire_fisheye(FISH_K4)),
+            Camera(np.eye(3), np.zeros(3), (64, 48), [40, 40], [32, 24]),
+        ]
+        d = stack_distortions(cams)
+        assert d.shape == (3, 9)
+        np.testing.assert_allclose(d[0], [0.1, 0, 0, 0, 0, 0, 0, 0, 0])
+        np.testing.assert_allclose(d[1], wire_fisheye(FISH_K4))
+        assert not np.any(d[2])
+
+    def test_stack_distortions_classic_batch_stays_4(self):
+        """An all-classic batch keeps the (N, 4) wire so existing compiled
+        programs (jit keys include the dist shape) are untouched."""
+        cams = [
+            Camera(np.eye(3), np.zeros(3), (64, 48), [40, 40], [32, 24],
+                   distortion=[0.1]),
+            Camera(np.eye(3), np.zeros(3), (64, 48), [40, 40], [32, 24]),
+        ]
+        assert stack_distortions(cams).shape == (2, 4)
+
+
+# --------------------------------------------------------------------------
+# rendering + fusion with extended lenses
+# --------------------------------------------------------------------------
+
+
+class _Mesh:
+    def __init__(self, vertices, faces):
+        self.vertices = np.asarray(vertices, np.float32)
+        self.faces = np.asarray(faces, np.int32)
+
+
+def scene():
+    vertices = np.array(
+        [
+            [-2.0, -2.0, 4.0], [2.5, -2.0, 4.0], [0.0, 2.5, 4.0],
+            [-1.0, -1.5, 3.0], [1.5, -0.5, 3.0], [-0.5, 1.5, 3.0],
+        ],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    return _Mesh(vertices, faces)
+
+
+def make_camera(distortion=None, width=96, height=72, f=60.0):
+    return Camera(
+        np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+        (width, height), [f, f], [width / 2, height / 2],
+        distortion=distortion,
+    )
+
+
+class TestExtendedLensRender:
+    def test_fisheye_render_matches_normalized_space_oracle(self):
+        """Fisheye render == brute-force z-buffer at each distorted
+        pixel's oracle-undistorted ray (bisection inversion, independent
+        of the jax Newton), up to nearest-resample edge quantization."""
+        mesh = scene()
+        r = render_mod.triangles(mesh)
+        cam = make_camera(distortion=wire_fisheye(FISH_K4))
+        idx, dep = r.render(cam)
+        idx = np.asarray(idx).T  # (H, W)
+        dep = np.asarray(dep).T
+
+        h, w = cam.height, cam.width
+        ys, xs = np.mgrid[0:h, 0:w]
+        nd = np.stack(
+            [
+                (xs + 0.5 - cam.principal_point[0]) / cam.focal_lengths[0],
+                (ys + 0.5 - cam.principal_point[1]) / cam.focal_lengths[1],
+            ],
+            axis=-1,
+        ).astype(np.float64)
+
+        # oracle inversion: bisection on the monotone radial response
+        rd = np.sqrt((nd**2).sum(-1))
+        lo = np.zeros_like(rd)
+        hi = np.full_like(rd, 20.0)
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            th = np.arctan(mid)
+            poly = 1 + FISH_K4[0] * th**2 + FISH_K4[1] * th**4 \
+                + FISH_K4[2] * th**6 + FISH_K4[3] * th**8
+            val = th * poly
+            take = val < rd
+            lo = np.where(take, mid, lo)
+            hi = np.where(take, hi, mid)
+        r_u = 0.5 * (lo + hi)
+        n = nd * (r_u / np.maximum(rd, 1e-12))[..., None]
+
+        verts = mesh.vertices
+        best_z = np.full((h, w), np.inf)
+        best_i = np.full((h, w), -1)
+        for t, f in enumerate(mesh.faces):
+            tri = verts[f]
+            pn = tri[:, :2] / tri[:, 2:3]
+            bary = np.asarray(
+                geometry.barycentric_2d(n, pn[0], pn[1], pn[2])
+            )
+            inside = np.all(bary >= 0, axis=-1)
+            inv_z = bary @ (1.0 / tri[:, 2])
+            zz = 1.0 / inv_z
+            ok = inside & (inv_z > 0) & (zz < best_z)
+            best_z = np.where(ok, zz, best_z)
+            best_i = np.where(ok, t, best_i)
+
+        got = np.where(idx == 0xFFFFFFFF, -1, idx.astype(np.int64))
+        mismatch = got != best_i
+        assert mismatch.mean() < 0.02, (
+            f"{mismatch.sum()} of {mismatch.size} pixels disagree"
+        )
+        both = (got >= 0) & (best_i >= 0) & ~mismatch
+        np.testing.assert_allclose(dep[both], best_z[both], rtol=5e-3)
+
+    def test_render_many_mixed_wire_batch(self):
+        """A camera batch mixing fisheye, FOV, classic radial and pinhole
+        rides the (N, 9) wire and must match per-view renders."""
+        mesh = scene()
+        r = render_mod.triangles(mesh)
+        cams = [
+            make_camera(distortion=wire_fisheye(FISH_K4 * 0.5)),
+            make_camera(distortion=wire_fov(0.7)),
+            make_camera(distortion=[0.12]),
+            make_camera(),
+        ]
+        idxs, deps = r.render_many(cams)
+        for i, cam in enumerate(cams):
+            idx1, dep1 = r.render(cam)
+            np.testing.assert_array_equal(
+                np.asarray(idxs[i]), np.asarray(idx1)
+            )
+            np.testing.assert_allclose(
+                np.asarray(deps[i]), np.asarray(dep1), rtol=1e-6
+            )
+
+    def test_fuse_views_extended_equals_per_view(self):
+        from semantic_meshes import distributed, testing
+        from semantic_meshes.fusion import MeshAggregator
+
+        mesh = scene()
+        r = render_mod.triangles(mesh)
+        cams = [
+            make_camera(distortion=wire_fisheye(FISH_K4)),
+            make_camera(distortion=wire_fov(0.8)),
+            make_camera(distortion=[0.1]),
+            make_camera(),
+        ]
+        P, C = r.getPrimitivesNum(), 4
+        W, H = cams[0].resolution
+        rng = np.random.default_rng(11)
+        probs = np.stack(
+            [testing.random_probs(rng, H, W, C, dont_care_frac=0.1)
+             for _ in cams]
+        )
+        agg = MeshAggregator(
+            primitives=P, classes=C, aggregator="sum",
+            images_equal_weight=0.5,
+        )
+        for cam, pr in zip(cams, probs):
+            idx, _ = r.render(cam)
+            agg.add(idx, pr.transpose(1, 0, 2))
+        want = np.asarray(agg.state)
+        rot, trans, fl, pp = stack_cameras(cams)
+        acc, overflow = distributed.fuse_views(
+            mesh.vertices, mesh.faces, rot, trans, fl, pp, probs,
+            np.float32(0.5), distortions=stack_distortions(cams),
+            num_primitives=P, aggregator="sum", height=H, width=W,
+        )
+        assert int(overflow) == 0
+        np.testing.assert_allclose(
+            np.asarray(acc), want, rtol=2e-5, atol=1e-5
+        )
+
+    def test_colmap_fisheye_workspace_end_to_end(self, tmp_path):
+        """A synthetic OPENCV_FISHEYE COLMAP workspace loads and drives
+        render — the real-workspace entry path for fisheye captures."""
+        from semantic_meshes.data import Colmap, Ply
+        from semantic_meshes.io import ply as ply_io
+
+        mesh = scene()
+        ply_io.write_mesh(
+            str(tmp_path / "mesh.ply"), mesh.vertices, mesh.faces,
+            np.zeros((2, 3), np.uint8),
+        )
+        with open(tmp_path / "cameras.txt", "w") as f:
+            f.write("# cameras\n")
+            f.write(
+                "1 OPENCV_FISHEYE 96 72 60.0 60.0 48.0 36.0 "
+                "0.03 -0.011 0.002 -0.0005\n"
+            )
+        with open(tmp_path / "images.txt", "w") as f:
+            f.write("1 1 0 0 0 0 0 0 1 view0.png\n\n")
+        workspace = Colmap(str(tmp_path))
+        cam = workspace.getCamera(0)
+        assert cam.distortion.shape == (9,)
+        assert cam.distortion[8] == geometry.LENS_FISHEYE
+        r = render_mod.triangles(Ply(str(tmp_path / "mesh.ply")))
+        idx, dep = r.render(cam)
+        arr = np.asarray(idx)
+        fg = arr != 0xFFFFFFFF
+        assert fg.mean() > 0.2
+        assert arr[fg].max() < r.getPrimitivesNum()
