@@ -194,6 +194,12 @@ class Colmap:
     def getImageNum(self):
         return len(self._images)
 
+    def getImageName(self, index):
+        """Image filename at the name-sorted index (TPU-build extension —
+        the reference keeps names internal; scripts that iterate views by
+        index need them back, e.g. scripts/render_annotations.py)."""
+        return self._images[int(index)].name
+
     def getImageIndex(self, path):
         filename = os.path.basename(str(path).rstrip("/"))
         if filename not in self._name_to_index:

@@ -720,8 +720,10 @@ class TexelsRenderer:
         return self._primitive_num
 
     # identical attribute contract (vertices/faces/face_vertices/backend/
-    # clip_near/dense_cap_policy) -> share the adaptive-budget helper
+    # clip_near/dense_cap_policy) -> share the adaptive-budget helper and
+    # the whole-set budget probe (kills mid-loop recompiles, round 4)
     _dense_e_cap = TrianglesRenderer._dense_e_cap
+    prepare = TrianglesRenderer.prepare
 
     def render(self, camera: Camera):
         height, width = _camera_hw(camera)

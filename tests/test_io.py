@@ -179,13 +179,14 @@ class TestColmap:
     def test_unsupported_model_raises(self, tmp_path):
         import struct
 
-        # SIMPLE_RADIAL/RADIAL/OPENCV parse natively now
-        # (tests/test_distortion.py); the fisheye family still raises
+        # the radial/OpenCV family (test_distortion.py) and the extended
+        # fisheye/FOV family (test_lens_models.py) parse natively now;
+        # THIN_PRISM_FISHEYE is the one COLMAP model that still raises
         with open(tmp_path / "cameras.bin", "wb") as f:
             f.write(struct.pack("<Q", 1))
-            f.write(struct.pack("<ii", 1, 9))  # RADIAL_FISHEYE
+            f.write(struct.pack("<ii", 1, 10))  # THIN_PRISM_FISHEYE
             f.write(struct.pack("<QQ", 10, 10))
-            f.write(np.zeros(5, "<f8").tobytes())
+            f.write(np.zeros(12, "<f8").tobytes())
         with pytest.raises(colmap_io.ColmapError):
             colmap_io.read_cameras(str(tmp_path))
 

@@ -424,3 +424,145 @@ def test_colorize_cityscapes_mesh_tfcv_stub(scene, tmp_path):
     )
     assert len(cols) == len(tri_class)
     assert cols.any()  # the stub predictor colored visible faces
+
+
+def test_render_annotations_consistent_views(scene, tmp_path):
+    """render_annotations.py: fuse label masks, re-render per-view
+    annotation images (the paper's consistent-2D-annotations output mode,
+    ref: eval-scannet/eval_scannet.py:300-316). Asserts (a) each rendered
+    label equals the triangle's known class at every covered pixel in
+    EVERY view — multi-view consistency by construction — and (b) the
+    --fused_npz reuse path reproduces the images without masks."""
+    root, tri_class = scene
+    import imageio.v2 as imageio
+
+    import semantic_meshes
+
+    # label masks straight from the known per-triangle classes
+    masks = tmp_path / "masks"
+    os.makedirs(masks)
+    mesh = semantic_meshes.data.Ply(str(root / "mesh.ply"))
+    workspace = semantic_meshes.data.Colmap(str(root / "ws"))
+    renderer = semantic_meshes.render.triangles(mesh)
+    covs = {}
+    for i in range(1, 4):
+        idx, _ = renderer.render(workspace.getCamera(f"v{i}.png"))
+        idx_hw = np.asarray(idx).T
+        cov = idx_hw != 0xFFFFFFFF
+        cls = np.zeros(idx_hw.shape, np.uint8)
+        cls[cov] = tri_class[idx_hw[cov].astype(np.int64)]
+        covs[i] = (cov, cls)
+        imageio.imwrite(masks / f"v{i}.png", cls)
+
+    out = tmp_path / "ann"
+    fused_npz = tmp_path / "fused.npz"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "scripts", "render_annotations.py"),
+        "--colmap", str(root / "ws"),
+        "--input_ply", str(root / "mesh.ply"),
+        "--classes", "19",
+        "--masks", str(masks),
+        "--output_dir", str(out),
+        "--save_fused", str(fused_npz),
+    ]
+    proc = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    from semantic_meshes.utils import class_palette
+
+    palette = class_palette(19)
+    for i in range(1, 4):
+        cov, cls = covs[i]
+        labels = imageio.imread(out / "labels" / f"v{i}.png")
+        color = imageio.imread(out / "color" / f"v{i}.png")
+        # every view's covered pixels carry the fused (= true) class
+        np.testing.assert_array_equal(labels[cov], cls[cov])
+        assert (labels[~cov] == 255).all()
+        np.testing.assert_array_equal(color[cov], palette[cls[cov]])
+        assert not color[~cov].any()
+
+    # reuse path: same images from the saved fused distributions, no masks
+    out2 = tmp_path / "ann2"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "render_annotations.py"),
+            "--colmap", str(root / "ws"),
+            "--input_ply", str(root / "mesh.ply"),
+            "--classes", "19",
+            "--fused_npz", str(fused_npz),
+            "--output_dir", str(out2),
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    for i in range(1, 4):
+        a = imageio.imread(out / "labels" / f"v{i}.png")
+        b = imageio.imread(out2 / "labels" / f"v{i}.png")
+        np.testing.assert_array_equal(a, b)
+
+
+def test_render_annotations_texels_mode(scene, tmp_path):
+    """Texel-mode annotation re-render: the script's --texels_per_pixel leg
+    (plus TexelsRenderer.prepare) runs end-to-end and covered pixels carry
+    the fused class."""
+    root, tri_class = scene
+    import imageio.v2 as imageio
+
+    import semantic_meshes
+
+    masks = tmp_path / "masks"
+    os.makedirs(masks)
+    mesh = semantic_meshes.data.Ply(str(root / "mesh.ply"))
+    workspace = semantic_meshes.data.Colmap(str(root / "ws"))
+    renderer = semantic_meshes.render.triangles(mesh)
+    for i in range(1, 4):
+        idx, _ = renderer.render(workspace.getCamera(f"v{i}.png"))
+        idx_hw = np.asarray(idx).T
+        cov = idx_hw != 0xFFFFFFFF
+        cls = np.zeros(idx_hw.shape, np.uint8)
+        cls[cov] = tri_class[idx_hw[cov].astype(np.int64)]
+        imageio.imwrite(masks / f"v{i}.png", cls)
+
+    out = tmp_path / "ann_tex"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "render_annotations.py"),
+            "--colmap", str(root / "ws"),
+            "--input_ply", str(root / "mesh.ply"),
+            "--classes", "19",
+            "--masks", str(masks),
+            "--output_dir", str(out),
+            "--texels_per_pixel", "0.05",
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    hits = total = 0
+    for i in range(1, 4):
+        idx, _ = renderer.render(workspace.getCamera(f"v{i}.png"))
+        idx_hw = np.asarray(idx).T
+        cov = idx_hw != 0xFFFFFFFF
+        want = np.zeros(idx_hw.shape, np.uint8)
+        want[cov] = tri_class[idx_hw[cov].astype(np.int64)]
+        labels = imageio.imread(out / "labels" / f"v{i}.png")
+        # texel boundaries quantize slightly differently than triangle
+        # ids; demand agreement on the overwhelming majority of covered
+        # pixels and background everywhere else
+        lab_cov = labels != 255
+        hits += (labels[cov & lab_cov] == want[cov & lab_cov]).sum()
+        total += (cov & lab_cov).sum()
+        assert (cov & lab_cov).sum() > 0.9 * cov.sum()
+    assert hits / total > 0.99, hits / total
