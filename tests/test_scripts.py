@@ -206,12 +206,23 @@ def test_colorize_cityscapes_mesh_chunked(scene, tmp_path, chunk):
     np.testing.assert_array_equal(cols[colored], expected[colored])
 
 
-def test_colorize_cityscapes_mesh_chunked_simple_radial(tmp_path):
-    """A SIMPLE_RADIAL workspace (COLMAP's DEFAULT camera model — the
-    real-workspace entry path) through the CHUNKED fused scan: round 4
-    hard-exited on --chunk > 1 with distorted cameras; the fused pipeline
-    now carries the virtual-pinhole + resample path, so the chunked demo
-    must reproduce the exact per-face palette colors end to end."""
+@pytest.mark.parametrize(
+    "cam_model,dist_wire",
+    [
+        ("SIMPLE_RADIAL", np.array([0.08, 0, 0, 0])),
+        ("OPENCV_FISHEYE",
+         np.array([0.03, -0.011, 0.002, -0.0005, 0, 0, 0, 0, 1.0])),
+    ],
+    ids=["simple_radial", "opencv_fisheye"],
+)
+def test_colorize_cityscapes_mesh_chunked_distorted(tmp_path, cam_model,
+                                                    dist_wire):
+    """A distorted workspace (SIMPLE_RADIAL = COLMAP's DEFAULT model;
+    OPENCV_FISHEYE = the extended 9-wide lens wire) through the CHUNKED
+    fused scan: round 4 hard-exited on --chunk > 1 with distorted cameras;
+    the fused pipeline now carries the virtual-pinhole + resample path, so
+    the chunked demo must reproduce the exact per-face palette colors end
+    to end."""
     root = tmp_path / "radial_scene"
     W, H, C = 128, 96, 19
     vertices, faces = testing.make_cube(4)
@@ -223,8 +234,8 @@ def test_colorize_cityscapes_mesh_chunked_simple_radial(tmp_path):
     os.makedirs(ws)
     cameras = {
         1: cio.ColmapCamera(
-            1, "SIMPLE_RADIAL", W, H, np.array([0.9 * H, 0.9 * H]),
-            np.array([W / 2, H / 2]), np.array([0.08, 0, 0, 0]),
+            1, cam_model, W, H, np.array([0.9 * H, 0.9 * H]),
+            np.array([W / 2, H / 2]), dist_wire,
         )
     }
     images = {}
