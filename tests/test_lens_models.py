@@ -527,3 +527,34 @@ class TestExtendedLensRender:
         fg = arr != 0xFFFFFFFF
         assert fg.mean() > 0.2
         assert arr[fg].max() < r.getPrimitivesNum()
+
+
+class TestLensWireRobustness:
+    def test_undistort_grid_finite_for_random_wires(self):
+        """Property: for random parameter draws across every selector —
+        including nonsensical magnitudes a corrupt workspace could carry —
+        _undistort_grid must return finite ray coords and a scale in
+        (0, 1]: the Newton clamp + monotone-radius cap keep one bad lens
+        from poisoning a whole batch render with nan/inf."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(42)
+        fl = jnp.asarray([60.0, 60.0])
+        pp = jnp.asarray([48.0, 36.0])
+        for trial in range(24):
+            d = np.zeros(9, np.float32)
+            sel = trial % 3
+            if sel == 0:
+                d[:8] = rng.uniform(-0.5, 0.5, 8)
+            elif sel == 1:
+                d[:4] = rng.uniform(-0.5, 0.5, 4)
+                d[8] = geometry.LENS_FISHEYE
+            else:
+                d[0] = rng.uniform(0.01, 1.5)
+                d[8] = geometry.LENS_FOV
+            n, s = render_mod._undistort_grid(
+                fl, pp, jnp.asarray(d), height=72, width=96
+            )
+            n, s = np.asarray(n), float(s)
+            assert np.isfinite(n).all(), (trial, d)
+            assert 0.0 < s <= 1.0, (trial, d, s)
