@@ -558,3 +558,39 @@ class TestLensWireRobustness:
             n, s = np.asarray(n), float(s)
             assert np.isfinite(n).all(), (trial, d)
             assert 0.0 < s <= 1.0, (trial, d, s)
+
+
+def test_fuse_views_texels_extended_equals_per_view():
+    """Texel-mode one-program fusion on the extended wire (fisheye + FOV
+    mixed with classic + pinhole) == per-view render + add."""
+    from semantic_meshes import distributed, testing
+    from semantic_meshes.fusion import MeshAggregator
+
+    mesh = scene()
+    cams = [
+        make_camera(distortion=wire_fisheye(FISH_K4)),
+        make_camera(distortion=wire_fov(0.8)),
+        make_camera(distortion=[0.1]),
+        make_camera(),
+    ]
+    r = render_mod.texels(mesh, cams, texels_per_pixel=0.05)
+    P, C = r.getPrimitivesNum(), 3
+    W, H = cams[0].resolution
+    rng = np.random.default_rng(13)
+    probs = np.stack([testing.random_probs(rng, H, W, C) for _ in cams])
+    agg = MeshAggregator(
+        primitives=P, classes=C, aggregator="sum", images_equal_weight=0.5,
+    )
+    for cam, pr in zip(cams, probs):
+        idx, _ = r.render(cam)
+        agg.add(idx, pr.transpose(1, 0, 2))
+    want = np.asarray(agg.state)
+    rot, trans, fl, pp = stack_cameras(cams)
+    acc, overflow = distributed.fuse_views_texels(
+        r.vertices, r.faces, r.resolutions, r.first_texel_index,
+        rot, trans, fl, pp, probs, np.float32(0.5),
+        distortions=stack_distortions(cams),
+        num_primitives=P, aggregator="sum", height=H, width=W,
+    )
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(acc), want, rtol=2e-5, atol=1e-5)
