@@ -159,7 +159,12 @@ def render_and_accumulate(vertices, faces, camera_arrays, probs, weights,
         py = fl[1] * resample_grid[..., 1] + pp[1]
         ix = jnp.clip(px.astype(jnp.int32), 0, width - 1)
         iy = jnp.clip(py.astype(jnp.int32), 0, height - 1)
-        prim = prim[iy, ix]
+        # flat-linearized gather: 1.54x faster than the 2D advanced-index
+        # form on v5e at 1024x768 (6.9 vs 10.7 ms/view standalone; same
+        # elements, one fused index computation — docs/PERFORMANCE.md
+        # "Distorted-camera overhead")
+        lin = (iy * width + ix).reshape(-1)
+        prim = prim.reshape(-1)[lin].reshape(iy.shape)
     delta = view_accumulate(
         prim, probs, weights, images_equal_weight,
         num_primitives, aggregator, axis_name=axis_name,
@@ -181,11 +186,35 @@ def _scan_classes(probs, predict_fn):
     return out.shape[-1]
 
 
+def lens_shared(focal_lengths, principal_points, distortions):
+    """Host-side check: True when every view carries identical
+    (focal_lengths, principal_point, distortion) — the single-physical-
+    camera case (a COLMAP workspace normally maps all images to one
+    camera_id). The fused pipelines then hoist the undistortion grid out
+    of the per-view scan (`shared_lens=True`): the grid costs ~1 ms/view
+    (classic wire) to ~7 ms/view (extended wire, jvp Newton) at 1024x768
+    on v5e, and recomputing an identical grid N times is pure waste.
+
+    Reads VALUES of input arrays only (host numpy callers pay nothing;
+    device arrays pay one tiny readback of already-materialized inputs,
+    which does not serialize against queued computation). Call once per
+    scene — plan_fuse does and stores it on the FusePlan."""
+    if distortions is None:
+        return False
+    fl = np.asarray(focal_lengths)
+    pp = np.asarray(principal_points)
+    d = np.asarray(distortions)
+    return bool(
+        (fl == fl[:1]).all() and (pp == pp[:1]).all() and (d == d[:1]).all()
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_primitives", "aggregator", "height", "width",
-        "max_tris_per_tile", "clip_near", "dense_e_cap", "predict_fn"
+        "max_tris_per_tile", "clip_near", "dense_e_cap", "predict_fn",
+        "shared_lens",
     ),
 )
 def fuse_views(vertices, faces, rotations, translations, focal_lengths,
@@ -193,7 +222,7 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
                distortions=None, prim_remap=None, *,
                num_primitives, aggregator, height, width,
                max_tris_per_tile=256, clip_near=False, dense_e_cap=None,
-               predict_fn=None):
+               predict_fn=None, shared_lens=False):
     """Single-chip batched pipeline: scan render+fuse over N views.
 
     rotations (N,3,3), translations (N,3), focal_lengths/principal_points
@@ -226,10 +255,26 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
     dispatch per batch (the reference pays a host round trip per image
     per stage, ref: eval-scannet/eval_scannet.py:203-238). Must be a
     stable callable (it is part of the jit cache key).
+
+    shared_lens (static): set True when every view has identical
+    (focal_lengths, principal_point, distortion) — see `lens_shared` —
+    to compute the undistortion grid ONCE before the scan instead of per
+    view. Output is bit-identical (same grid values either way).
     """
     face_vertices = jnp.asarray(vertices, jnp.float32)[
         jnp.asarray(faces, jnp.int32)
     ]  # one gather for all views
+
+    hoisted = None
+    if shared_lens and distortions is not None:
+        from .render import _undistort_grid
+
+        hoisted = _undistort_grid(
+            jnp.asarray(focal_lengths, jnp.float32)[0],
+            jnp.asarray(principal_points, jnp.float32)[0],
+            jnp.asarray(distortions, jnp.float32)[0],
+            height=height, width=width,
+        )
 
     def step(carry, view):
         acc, ov = carry
@@ -238,11 +283,14 @@ def fuse_views(vertices, faces, rotations, translations, focal_lengths,
             pr = predict_fn(pr)
         grid = None
         if dist is not None:
-            from .render import _undistort_grid
+            if hoisted is not None:
+                grid, s = hoisted
+            else:
+                from .render import _undistort_grid
 
-            grid, s = _undistort_grid(
-                fl, pp, dist, height=height, width=width
-            )
+                grid, s = _undistort_grid(
+                    fl, pp, dist, height=height, width=width
+                )
             fl = fl * s
         delta, ov_view = render_and_accumulate(
             vertices, faces, (rot, trans, fl, pp), pr, wt,
@@ -291,15 +339,19 @@ class FusePlan:
     repeat `fuse_views_planned` without re-paying the probes (bench.py,
     the chunked demo, and any steady-state serving loop)."""
 
-    __slots__ = ("faces", "dense_e_cap", "remap", "micro_max", "split_k")
+    __slots__ = ("faces", "dense_e_cap", "remap", "micro_max", "split_k",
+                 "lens_shared")
 
     def __init__(self, faces, dense_e_cap, remap=None, micro_max=None,
-                 split_k=0):
+                 split_k=0, lens_shared=False):
         self.faces = faces
         self.dense_e_cap = dense_e_cap
         self.remap = remap  # (T,) int32 permuted id -> original id
         self.micro_max = micro_max  # routing threshold probed (or None)
         self.split_k = split_k  # uni-prefix length (0 = no split)
+        # all views share one physical camera -> the fused scan hoists the
+        # undistortion grid (fuse_views shared_lens)
+        self.lens_shared = lens_shared
 
 
 def plan_fuse(vertices, faces, rotations, translations, focal_lengths,
@@ -325,8 +377,9 @@ def plan_fuse(vertices, faces, rotations, translations, focal_lengths,
     Non-dense backends get a no-op plan (no probes, no budget)."""
     faces_np = np.asarray(faces, np.int32)
     n_rows = faces_np.shape[0] * (2 if clip_near else 1)
+    shared = lens_shared(focal_lengths, principal_points, distortions)
     if not rast.uses_dense(backend, faces_np.shape[0]):
-        return FusePlan(jnp.asarray(faces_np), None)
+        return FusePlan(jnp.asarray(faces_np), None, lens_shared=shared)
 
     from . import render as _render
     from .rasterize import dense as _dense
@@ -374,13 +427,13 @@ def plan_fuse(vertices, faces, rotations, translations, focal_lengths,
                 faces_p,
                 (_dense.BUDGET_MARGIN * pairs_s, 0, micro_max, int(k)),
                 remap=jnp.asarray(perm.astype(np.int32)),
-                micro_max=micro_max, split_k=int(k),
+                micro_max=micro_max, split_k=int(k), lens_shared=shared,
             )
     return FusePlan(
         jnp.asarray(faces_np),
         (_dense.BUDGET_MARGIN * pairs, _dense.BUDGET_MARGIN * micro,
          micro_max),
-        micro_max=micro_max,
+        micro_max=micro_max, lens_shared=shared,
     )
 
 
@@ -393,6 +446,8 @@ def fuse_views_planned(plan, vertices, rotations, translations,
     probes). The accumulator comes out in ORIGINAL face order even when
     the plan split (per-pixel id remap inside the scan — see FusePlan).
     Equals fuse_views(faces) exactly; see plan_fuse."""
+    if kwargs.get("distortions") is not None:
+        kwargs.setdefault("shared_lens", plan.lens_shared)
     return fuse_views(
         vertices, plan.faces, rotations, translations, focal_lengths,
         principal_points, probs, images_equal_weight, weights,
@@ -453,7 +508,7 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
                       weights=None, distortions=None, *,
                       num_primitives, aggregator, height, width,
                       max_tris_per_tile=256, clip_near=False,
-                      dense_e_cap=None, predict_fn=None):
+                      dense_e_cap=None, predict_fn=None, shared_lens=False):
     """Batched texel-mode pipeline: like fuse_views, but primitives are the
     sub-triangle texels of a TexelsRenderer (pass its reordered `faces`,
     `resolutions` and `first_texel_index`). Returns (accumulator (P, C),
@@ -461,7 +516,9 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
     parameters — texels shade in virtual-pinhole space, then the texel
     image resamples onto the distorted pixels (see fuse_views). predict_fn:
     see fuse_views — runs the segmentation forward inside the scan (probs
-    then carries raw images)."""
+    then carries raw images). shared_lens (static): hoist the undistortion
+    grid out of the scan when all views share intrinsics (see fuse_views /
+    lens_shared)."""
 
     def prim_transform_factory(rot, trans, fl, pp):
         def prim_transform(tri, _z, camera_arrays):
@@ -478,6 +535,17 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
         jnp.asarray(faces, jnp.int32)
     ]
 
+    hoisted = None
+    if shared_lens and distortions is not None:
+        from .render import _undistort_grid
+
+        hoisted = _undistort_grid(
+            jnp.asarray(focal_lengths, jnp.float32)[0],
+            jnp.asarray(principal_points, jnp.float32)[0],
+            jnp.asarray(distortions, jnp.float32)[0],
+            height=height, width=width,
+        )
+
     def step(carry, view):
         acc, ov = carry
         rot, trans, fl, pp, pr, wt, dist = view
@@ -485,11 +553,14 @@ def fuse_views_texels(vertices, faces, resolutions, first_texel_index,
             pr = predict_fn(pr)
         grid = None
         if dist is not None:
-            from .render import _undistort_grid
+            if hoisted is not None:
+                grid, s = hoisted
+            else:
+                from .render import _undistort_grid
 
-            grid, s = _undistort_grid(
-                fl, pp, dist, height=height, width=width
-            )
+                grid, s = _undistort_grid(
+                    fl, pp, dist, height=height, width=width
+                )
             fl = fl * s  # texel shading + resample both use the virtual fl
         delta, ov_view = render_and_accumulate(
             vertices, faces, (rot, trans, fl, pp), pr, wt,
@@ -517,7 +588,8 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
                       width, max_tris_per_tile=256,
                       shard_primitives=False, texel_params=None,
                       clip_near=False, dense_e_cap=None,
-                      with_weights=False, with_distortion=False):
+                      with_weights=False, with_distortion=False,
+                      shared_lens=False):
     """Build a pjit-able multi-chip fuse step over `mesh`.
 
     Mesh axes used (any subset may have size 1):
@@ -576,7 +648,10 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
     pinholes and resamples onto the distorted pixels (see fuse_views).
     Incompatible with a 'pixels' axis > 1: the undistortion resample
     gathers across row bands, which a row-sharded rasterization cannot
-    serve without materializing the full image per chip.
+    serve without materializing the full image per chip. shared_lens:
+    build-time promise that every view shares (fl, pp, dist) — the
+    undistortion grid is then computed once per chip instead of per view
+    (see `lens_shared`).
 
     Requires: N % mesh.shape['views'] == 0, H % mesh.shape['pixels'] == 0,
     and P % n_chips == 0 (n_chips = the product of ALL mesh axis sizes,
@@ -701,19 +776,31 @@ def make_sharded_fuse(mesh: Mesh, *, num_primitives, aggregator, height,
 
             return prim_transform
 
+        hoisted = None
+        if shared_lens and with_distortion:
+            from .render import _undistort_grid
+
+            hoisted = _undistort_grid(
+                focal_lengths[0], principal_points[0], distortions[0],
+                height=local_h, width=width,
+            )
+
         def step(carry, view):
             acc, ov = carry
             rot, trans, fl, pp, pr, wt, dist = view
             grid = None
             if dist is not None:
-                from .render import _undistort_grid
-
                 # n_pixels == 1 here (checked at build): local_h is the
                 # full height and row0 is 0, so the grid/render/resample
                 # all see whole images
-                grid, s = _undistort_grid(
-                    fl, pp, dist, height=local_h, width=width
-                )
+                if hoisted is not None:
+                    grid, s = hoisted
+                else:
+                    from .render import _undistort_grid
+
+                    grid, s = _undistort_grid(
+                        fl, pp, dist, height=local_h, width=width
+                    )
                 fl = fl * s
             delta, ov_view = render_and_accumulate(
                 vertices, faces, (rot, trans, fl, pp), pr, wt,

@@ -594,3 +594,118 @@ def test_fuse_views_texels_extended_equals_per_view():
     )
     assert int(overflow) == 0
     np.testing.assert_allclose(np.asarray(acc), want, rtol=2e-5, atol=1e-5)
+
+
+class TestSharedLensHoist:
+    """shared_lens=True hoists the undistortion grid out of the per-view
+    scan (all views share one physical camera — the normal COLMAP case).
+    The grid values are identical either way, so outputs must be
+    BIT-identical; plan_fuse detects the condition host-side."""
+
+    def _setup(self, wire):
+        from semantic_meshes import testing
+
+        mesh = scene()
+        cams = [make_camera(distortion=wire) for _ in range(4)]
+        rng = np.random.default_rng(21)
+        W, H = cams[0].resolution
+        probs = np.stack([testing.random_probs(rng, H, W, 3) for _ in cams])
+        return mesh, cams, probs
+
+    @pytest.mark.parametrize(
+        "wire", [np.array([0.1, -0.02, 0, 0], np.float32),
+                 wire_fisheye(FISH_K4)],
+        ids=["classic", "fisheye"],
+    )
+    def test_fuse_views_shared_equals_per_view_grid(self, wire):
+        from semantic_meshes import distributed
+
+        mesh, cams, probs = self._setup(wire)
+        rot, trans, fl, pp = stack_cameras(cams)
+        dists = stack_distortions(cams)
+        W, H = cams[0].resolution
+        kw = dict(num_primitives=len(mesh.faces), aggregator="sum",
+                  height=H, width=W)
+        assert distributed.lens_shared(fl, pp, dists)
+        a, ov_a = distributed.fuse_views(
+            mesh.vertices, mesh.faces, rot, trans, fl, pp, probs,
+            np.float32(0.5), distortions=dists, shared_lens=True, **kw,
+        )
+        b, ov_b = distributed.fuse_views(
+            mesh.vertices, mesh.faces, rot, trans, fl, pp, probs,
+            np.float32(0.5), distortions=dists, **kw,
+        )
+        assert int(ov_a) == int(ov_b) == 0
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_lens_shared_detection(self):
+        from semantic_meshes import distributed
+
+        mesh, cams, probs = self._setup(wire_fisheye(FISH_K4))
+        rot, trans, fl, pp = stack_cameras(cams)
+        dists = stack_distortions(cams)
+        assert distributed.lens_shared(fl, pp, dists)
+        assert not distributed.lens_shared(fl, pp, None)
+        mixed = dists.copy()
+        mixed[1, 0] += 0.01
+        assert not distributed.lens_shared(fl, pp, mixed)
+        fl2 = fl.copy()
+        fl2[2, 0] += 1.0
+        assert not distributed.lens_shared(fl2, pp, dists)
+
+    def test_plan_fuse_carries_lens_shared(self):
+        from semantic_meshes import distributed
+
+        mesh, cams, probs = self._setup(wire_fisheye(FISH_K4))
+        rot, trans, fl, pp = stack_cameras(cams)
+        dists = stack_distortions(cams)
+        W, H = cams[0].resolution
+        plan = distributed.plan_fuse(
+            mesh.vertices, mesh.faces, rot, trans, fl, pp,
+            height=H, width=W, distortions=dists,
+        )
+        assert plan.lens_shared
+        acc, ov = distributed.fuse_views_planned(
+            plan, mesh.vertices, rot, trans, fl, pp, probs,
+            np.float32(0.5), distortions=dists,
+            num_primitives=len(mesh.faces), aggregator="sum",
+            height=H, width=W,
+        )
+        ref, _ = distributed.fuse_views(
+            mesh.vertices, mesh.faces, rot, trans, fl, pp, probs,
+            np.float32(0.5), distortions=dists,
+            num_primitives=len(mesh.faces), aggregator="sum",
+            height=H, width=W,
+        )
+        assert int(ov) == 0
+        np.testing.assert_array_equal(np.asarray(acc), np.asarray(ref))
+
+    def test_sharded_shared_lens_matches_single_chip(self):
+        import jax
+        from jax.sharding import Mesh as DevMesh
+
+        from semantic_meshes import distributed
+
+        devices = np.array(jax.devices())
+        if devices.size < 4:
+            pytest.skip("needs 4 devices (virtual cpu mesh)")
+        dev_mesh = DevMesh(devices[:4].reshape(4, 1), ("views", "pixels"))
+        mesh, cams, probs = self._setup(wire_fisheye(FISH_K4))
+        rot, trans, fl, pp = stack_cameras(cams)
+        dists = stack_distortions(cams)
+        W, H = cams[0].resolution
+        kw = dict(num_primitives=len(mesh.faces), aggregator="sum",
+                  height=H, width=W)
+        ref = np.asarray(distributed.fuse_views(
+            mesh.vertices, mesh.faces, rot, trans, fl, pp, probs,
+            np.float32(0.5), distortions=dists, **kw,
+        )[0])
+        fuse = distributed.make_sharded_fuse(
+            dev_mesh, with_distortion=True, shared_lens=True, **kw
+        )
+        with dev_mesh:
+            got = np.asarray(
+                fuse(mesh.vertices, mesh.faces, rot, trans, fl, pp,
+                     probs, np.float32(0.5), dists)[0]
+            )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
