@@ -79,17 +79,10 @@ for mask_file in tqdm(mask_files):
 
     if args.remap:
         assert mask.ndim in (2, 3)
-        channels = mask.shape[2] if mask.ndim == 3 else 1
-        assert channels in (1, 3)
-        shape = mask.shape[:2]
-        flat = mask.reshape(-1, channels)
-        unique_colors, inv = np.unique(flat, axis=0, return_inverse=True)
-        for c in map(tuple, unique_colors.tolist()):
-            color_to_class.setdefault(c, len(color_to_class))
-        unique_classes = np.array(
-            [color_to_class[tuple(c.tolist())] for c in unique_colors]
-        )
-        mask = unique_classes[inv].reshape(shape)
+        assert (mask.shape[2] if mask.ndim == 3 else 1) in (1, 3)
+        from semantic_meshes.utils import remap_mask_colors
+
+        mask = remap_mask_colors(mask, color_to_class)
 
     assert mask.ndim == 2
     assert np.all(0 <= mask) and np.all(mask < args.classes)
@@ -102,11 +95,9 @@ for mask_file in tqdm(mask_files):
     aggregator.add(primitive_indices, probs.transpose(1, 0, 2))
 
 if args.remap:
-    class_to_color = np.zeros((args.classes, 3), np.uint8)
-    for color, class_index in color_to_class.items():
-        class_to_color[class_index] = (
-            color if len(color) == 3 else (color[0],) * 3
-        )
+    from semantic_meshes.utils import palette_from_color_map
+
+    class_to_color = palette_from_color_map(color_to_class, args.classes)
     print(
         f"Remapped {len(color_to_class)} distinct mask colors: "
         f"{[class_to_color[c].tolist() for c in sorted(color_to_class.values())]}"
@@ -122,6 +113,12 @@ primitive_annotations = np.asarray(aggregator.get())
 dont_care_threshold = 0.9
 without_annotations = (
     primitive_annotations.sum(-1) < dont_care_threshold
+)
+# the mul aggregator's never-touched rows normalize to a uniform
+# distribution (sum exactly 1), which would slip past the threshold and
+# paint unseen faces class 0; the raw accumulator is zero iff untouched
+without_annotations |= ~np.any(
+    np.asarray(aggregator.state) != 0.0, axis=1
 )
 
 classes = primitive_annotations.argmax(-1)

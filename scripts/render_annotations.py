@@ -73,7 +73,9 @@ args = parser.parse_args()
 import imageio.v2 as imageio  # noqa: E402
 from tqdm import tqdm  # noqa: E402
 
-from semantic_meshes.utils import class_palette  # noqa: E402
+from semantic_meshes.utils import (  # noqa: E402
+    class_palette, palette_from_color_map, remap_mask_colors,
+)
 
 print("Loading mesh + COLMAP workspace")
 mesh = semantic_meshes.data.Ply(args.input_ply)
@@ -99,14 +101,7 @@ color_to_class = {}
 def _mask_to_probs(path):
     m = imageio.imread(path)
     if args.remap:
-        channels = m.shape[2] if m.ndim == 3 else 1
-        flat = m.reshape(-1, channels)
-        unique_colors, inv = np.unique(flat, axis=0, return_inverse=True)
-        for c in map(tuple, unique_colors.tolist()):
-            color_to_class.setdefault(c, len(color_to_class))
-        cls = np.array(
-            [color_to_class[tuple(c.tolist())] for c in unique_colors]
-        )[inv].reshape(m.shape[:2])
+        cls = remap_mask_colors(m, color_to_class)
     else:
         cls = m if m.ndim == 2 else m[..., 0]
     if cls.max() >= args.classes:
@@ -131,29 +126,45 @@ else:
         primitives=P, classes=args.classes, aggregator=args.aggregator,
         images_equal_weight=args.images_equal_weight,
     )
-    mask_files = {
-        os.path.splitext(f)[0]: os.path.join(args.masks, f)
-        for f in os.listdir(args.masks)
-        if f.lower().endswith((".png", ".jpg", ".jpeg", ".tiff", ".bmp"))
-    }
-    print(f"Fusing {len(mask_files)} masks ({args.aggregator})")
+    # masks are matched by workspace-relative stem (COLMAP image names may
+    # be nested, e.g. 'cam0/000123.jpg'), with the flat basename as a
+    # fallback for flat mask directories
+    mask_files = {}
+    for dirpath, _dirs, files in os.walk(args.masks):
+        for fn in files:
+            if not fn.lower().endswith(
+                (".png", ".jpg", ".jpeg", ".tiff", ".bmp")
+            ):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, args.masks)
+            mask_files[os.path.splitext(rel)[0]] = full
+            mask_files.setdefault(os.path.splitext(fn)[0], full)
+    print(f"Fusing masks for {len(view_names)} views ({args.aggregator})")
     for name in tqdm(view_names):
         stem = os.path.splitext(name)[0]
+        if stem not in mask_files:
+            stem = os.path.splitext(os.path.basename(name))[0]
         if stem not in mask_files:
             continue
         probs = _mask_to_probs(mask_files[stem])
         idx, _ = renderer.render(workspace.getCamera(name))
         aggregator.add(idx, probs.transpose(1, 0, 2))
     fused = np.asarray(aggregator.get())  # (P, C), L1-normalized
+    # never-observed primitives must stay don't-care: the mul
+    # aggregator's untouched (all-zero log-space) rows normalize to a
+    # UNIFORM distribution with sum 1 > any threshold, which would label
+    # them class 0. The raw accumulator is exactly zero iff untouched —
+    # zero those fused rows (also fixes the --save_fused reuse path).
+    observed = np.any(np.asarray(aggregator.state) != 0.0, axis=1)
+    fused = np.where(observed[:, None], fused, 0.0)
 
 if args.save_fused:
     np.savez_compressed(args.save_fused, fused=fused)
     print(f"Wrote fused distributions to {args.save_fused}")
 
 if args.remap and color_to_class:
-    palette = np.zeros((args.classes, 3), np.uint8)
-    for color, ci in color_to_class.items():
-        palette[ci] = color if len(color) == 3 else (color[0],) * 3
+    palette = palette_from_color_map(color_to_class, args.classes)
 else:
     palette = class_palette(args.classes)
 
@@ -177,10 +188,11 @@ for name in tqdm(view_names):
         labeled[..., None], palette[cls], np.uint8(0)
     )
     stem = os.path.splitext(name)[0]
-    imageio.imwrite(
-        os.path.join(args.output_dir, "labels", stem + ".png"), labels
-    )
-    imageio.imwrite(
-        os.path.join(args.output_dir, "color", stem + ".png"), color
-    )
+    lab_path = os.path.join(args.output_dir, "labels", stem + ".png")
+    col_path = os.path.join(args.output_dir, "color", stem + ".png")
+    # nested COLMAP image names ('cam0/000123.jpg') keep their structure
+    os.makedirs(os.path.dirname(lab_path), exist_ok=True)
+    os.makedirs(os.path.dirname(col_path), exist_ok=True)
+    imageio.imwrite(lab_path, labels)
+    imageio.imwrite(col_path, color)
 print(f"Wrote {args.output_dir}/labels and {args.output_dir}/color")

@@ -201,7 +201,13 @@ class Colmap:
         return self._images[int(index)].name
 
     def getImageIndex(self, path):
-        filename = os.path.basename(str(path).rstrip("/"))
+        # exact image name first: COLMAP names are workspace-relative
+        # paths and may be nested ('cam0/000123.jpg' in multi-camera
+        # rigs), where basenaming would miss — or worse, collide
+        name = str(path).rstrip("/")
+        if name in self._name_to_index:
+            return self._name_to_index[name]
+        filename = os.path.basename(name)
         if filename not in self._name_to_index:
             raise KeyError(
                 f"Image with name {filename} not found in colmap workspace"

@@ -446,8 +446,16 @@ def fuse_views_planned(plan, vertices, rotations, translations,
     probes). The accumulator comes out in ORIGINAL face order even when
     the plan split (per-pixel id remap inside the scan — see FusePlan).
     Equals fuse_views(faces) exactly; see plan_fuse."""
-    if kwargs.get("distortions") is not None:
-        kwargs.setdefault("shared_lens", plan.lens_shared)
+    dists = kwargs.get("distortions")
+    if dists is not None and plan.lens_shared:
+        # re-verify against the ACTUAL batch: plans are documented as
+        # reusable across fusions, and hoisting view 0's grid over a
+        # later batch with mixed lenses would corrupt results silently —
+        # the host-side compare is one tiny input read per call
+        kwargs.setdefault(
+            "shared_lens",
+            lens_shared(focal_lengths, principal_points, dists),
+        )
     return fuse_views(
         vertices, plan.faces, rotations, translations, focal_lengths,
         principal_points, probs, images_equal_weight, weights,

@@ -321,6 +321,33 @@ def max_monotonic_radius(dist):
     return jnp.sqrt(x_min)
 
 
+def _radial_response(dist, samples: int = 512):
+    """Sampled forward radial response of an extended-wire lens.
+
+    Returns (r, rd, good): undistorted radii r = tan(theta) on a uniform
+    theta grid (virtual rays out to ~88.8 deg), the distorted radius
+    rd(r) each maps to (tangential terms zeroed for the radtan family —
+    the radial bound, matching the classic path), and the strictly-
+    increasing (invertible) prefix mask. Shared by the numeric fold
+    radius and render._undistort_grid's per-pixel inverse. dist: (9,)
+    single lens (no leading batch dims)."""
+    dist = jnp.asarray(dist, jnp.float32)
+    sel = dist[..., 8]
+    keep = jnp.where((sel == LENS_RADTAN)[..., None], 0.0, 1.0)
+    d2 = jnp.concatenate(
+        [dist[..., :2], dist[..., 2:4] * keep, dist[..., 4:]], axis=-1
+    )
+    theta = jnp.linspace(1e-3, 1.55, samples)
+    r = jnp.tan(theta)
+    pts = jnp.stack([r, jnp.zeros_like(r)], axis=-1)
+    rd = _distort_extended(pts, d2[..., None, :])[..., 0]
+    inc = (rd[..., 1:] > rd[..., :-1]).astype(jnp.float32)
+    good = jnp.concatenate(
+        [jnp.ones_like(inc[..., :1]), jnp.cumprod(inc, axis=-1)], axis=-1
+    ) > 0
+    return r, rd, good
+
+
 def _max_monotonic_radius_extended(dist, samples: int = 512):
     """Numeric monotone-prefix fold radius for the extended (..., 9) wire.
 

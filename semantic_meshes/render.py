@@ -955,25 +955,56 @@ def _undistort_grid(fl, pp, dist, *, height, width):
         [(xx - pp[0]) / fl[0], (yy - pp[1]) / fl[1]], axis=-1
     )
     n = geometry.undistort_normalized(nd, dist)
-    # Robustness clamp: outside the lens's invertible domain (barrel
-    # distortion past the fold radius, where the radial polynomial's
-    # derivative crosses zero) Newton can wander; bound the undistorted
-    # radius to the closed-form monotonic range — the largest radius the
-    # lens can actually have produced — with 3x the largest distorted
-    # corner radius as a fallback for lenses that are monotonic
-    # everywhere (there the undistorted radius is finite anyway). The
-    # virtual focal scale below takes a min over EVERY pixel, so without
-    # this one diverged corner would undersample the whole frame
-    # (ADVICE r4).
     r_d = jnp.sqrt(nd[..., 0] ** 2 + nd[..., 1] ** 2)
-    r_cap = jnp.minimum(
-        geometry.max_monotonic_radius(dist), 3.0 * jnp.max(r_d)
-    )
     r_n = jnp.sqrt(n[..., 0] ** 2 + n[..., 1] ** 2)
-    n = n * jnp.minimum(1.0, r_cap / jnp.maximum(r_n, 1e-20))[..., None]
+    valid = None
+    if dist.shape[-1] == geometry.LENS_EXTENDED_DIM:
+        # EXACT per-pixel clamp for the extended wire: the classic 3x-
+        # corner heuristic below assumes undistorted ~ distorted radius,
+        # which the fisheye/FOV families violate badly (an equidistant
+        # fisheye's corner ray is tan(theta) ~ 9.2 at a 170-deg diagonal
+        # vs 3 * r_d ~ 4.4 — the heuristic silently clamped periphery
+        # rays onto interior pixels). Invert the sampled monotone radial
+        # response per pixel instead: each pixel's radius is capped at
+        # the response's inverse of its own r_d (one sample up, so
+        # quantization never under-caps), which is a no-op for converged
+        # Newton pixels and exact for diverged ones. Pixels whose r_d
+        # exceeds the lens's producible response (beyond the model's
+        # image circle — normal at the corners of wide fisheye frames)
+        # have NO ray: they are excluded from the focal-scale min below
+        # and land outside the virtual frame, where the resample clips
+        # to the border (background in practice).
+        rr, rd_s, good = geometry._radial_response(dist)
+        rd_sorted = jnp.where(good, rd_s, jnp.inf)
+        rd_prod_max = jnp.max(jnp.where(good, rd_s, -jnp.inf)) * 0.999
+        valid = r_d <= rd_prod_max
+        i = jnp.searchsorted(rd_sorted, jnp.minimum(r_d, rd_prod_max))
+        r_cap_pix = jnp.take(rr, jnp.minimum(i, rr.shape[0] - 1))
+        n = n * jnp.minimum(
+            1.0, r_cap_pix / jnp.maximum(r_n, 1e-20)
+        )[..., None]
+    else:
+        # Classic-wire robustness clamp: outside the lens's invertible
+        # domain (barrel distortion past the fold radius, where the
+        # radial polynomial's derivative crosses zero) Newton can wander;
+        # bound the undistorted radius to the closed-form monotonic range
+        # — the largest radius the lens can actually have produced — with
+        # 3x the largest distorted corner radius as a fallback for lenses
+        # that are monotonic everywhere (there the undistorted radius is
+        # finite anyway, and comparable to r_d for the radial family).
+        # The virtual focal scale below takes a min over EVERY pixel, so
+        # without this one diverged corner would undersample the whole
+        # frame (ADVICE r4).
+        r_cap = jnp.minimum(
+            geometry.max_monotonic_radius(dist), 3.0 * jnp.max(r_d)
+        )
+        n = n * jnp.minimum(1.0, r_cap / jnp.maximum(r_n, 1e-20))[..., None]
 
     def axis_scale(nv, f, c, size):
         # largest s with 0.5 <= s*f*nv + c <= size - 0.5 for every pixel
+        # (no-ray pixels masked to nv = 0 contribute inf, i.e. nothing)
+        if valid is not None:
+            nv = jnp.where(valid, nv, 0.0)
         s = jnp.where(
             nv > 0,
             (size - 0.5 - c) / (f * nv),

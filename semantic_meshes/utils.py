@@ -43,3 +43,35 @@ def class_palette(classes_num, seed=0):
         ).astype(np.uint8)
     except ImportError:
         return distinct_colors(classes_num, seed)
+
+
+def remap_mask_colors(mask, color_to_class):
+    """Map a color (or grayscale) mask image to class indices, assigning
+    each distinct color a class id on first sight (the reference
+    colorize_mesh remap semantics, ref:
+    python/scripts/colorize_mesh.py:44-56). `color_to_class` is the
+    persistent dict carried across masks; returns an (H, W) int class map.
+    Shared by scripts/colorize_mesh.py and scripts/render_annotations.py.
+    """
+    mask = np.asarray(mask)
+    channels = mask.shape[2] if mask.ndim == 3 else 1
+    shape = mask.shape[:2]
+    flat = mask.reshape(-1, channels)
+    unique_colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    for c in map(tuple, unique_colors.tolist()):
+        color_to_class.setdefault(c, len(color_to_class))
+    unique_classes = np.array(
+        [color_to_class[tuple(c.tolist())] for c in unique_colors]
+    )
+    return unique_classes[inv].reshape(shape)
+
+
+def palette_from_color_map(color_to_class, classes_num):
+    """Rebuild the (classes, 3) uint8 palette from a first-sight
+    color->class map (grayscale colors broadcast to gray RGB)."""
+    palette = np.zeros((classes_num, 3), np.uint8)
+    for color, class_index in color_to_class.items():
+        palette[class_index] = (
+            color if len(color) == 3 else (color[0],) * 3
+        )
+    return palette

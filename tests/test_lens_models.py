@@ -709,3 +709,50 @@ class TestSharedLensHoist:
                      probs, np.float32(0.5), dists)[0]
             )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+class TestWideLensGrid:
+    """The extended wire's per-pixel exact clamp (code-review round-5
+    finding): wide fisheye/FOV undistorted radii are tan-like and blow
+    past the classic 3x-corner heuristic — every VALID pixel's grid ray
+    must forward-distort back onto its own pixel center, and no-ray
+    pixels (beyond the lens's producible response) must not shrink the
+    virtual focal for everyone else."""
+
+    def test_170deg_fisheye_grid_inverts_exactly(self):
+        import jax.numpy as jnp
+
+        W, H = 96, 72
+        f = 41.0  # corner r_d = 60/41 ~ 1.46 -> true radius tan(1.46) ~ 9.0
+        dist = wire_fisheye(np.zeros(4))
+        fl = jnp.asarray([f, f]); pp = jnp.asarray([W / 2, H / 2])
+        n, s = render_mod._undistort_grid(fl, pp, jnp.asarray(dist),
+                                          height=H, width=W)
+        n = np.asarray(n)
+        ys, xs = np.mgrid[0:H, 0:W]
+        nd = np.stack([(xs + 0.5 - W / 2) / f, (ys + 0.5 - H / 2) / f], -1)
+        r_d = np.sqrt((nd**2).sum(-1))
+        # corner rays really are in the blow-up regime the old 3x cap bit
+        assert np.tan(r_d.max()) > 3.0 * r_d.max()
+        back = np.asarray(geometry.distort_normalized(n, dist))
+        err = np.abs(back - nd).max()
+        assert err < 5e-3, err  # every ray inverts (sampled-inverse step)
+        # the virtual pinhole really contains the corner ray
+        assert float(s) * f * np.tan(r_d.max()) <= np.hypot(W, H) / 2 + 1
+
+    def test_no_ray_corners_do_not_shrink_focal(self):
+        import jax.numpy as jnp
+
+        W, H = 96, 72
+        f = 25.0  # corner r_d = 60/25 = 2.4 > the zero-k fisheye's max
+        dist = wire_fisheye(np.zeros(4))  # producible response < 1.55
+        fl = jnp.asarray([f, f]); pp = jnp.asarray([W / 2, H / 2])
+        n, s = render_mod._undistort_grid(fl, pp, jnp.asarray(dist),
+                                          height=H, width=W)
+        assert np.isfinite(np.asarray(n)).all()
+        # s is set by the valid pixels (theta < ~1.55 rays), not the
+        # impossible corners: the largest valid ray has radius
+        # ~tan(1.55 * 0.999); containment needs roughly f*s*r <= W/2
+        r_max_valid = np.tan(1.55 * 0.999)
+        s_expect = (W / 2) / (f * r_max_valid)
+        assert float(s) > 0.5 * s_expect, (float(s), s_expect)

@@ -577,3 +577,77 @@ def test_render_annotations_texels_mode(scene, tmp_path):
         total += (cov & lab_cov).sum()
         assert (cov & lab_cov).sum() > 0.9 * cov.sum()
     assert hits / total > 0.99, hits / total
+
+
+def test_render_annotations_mul_and_nested_names(scene, tmp_path):
+    """Code-review round-5 regressions: (a) --aggregator mul must keep
+    never-observed primitives don't-care (its untouched log-space rows
+    normalize to uniform, which used to slip past the threshold as class
+    0); (b) COLMAP workspaces with NESTED image names ('cam0/v1.png')
+    must fuse and write nested outputs instead of crashing."""
+    root, tri_class = scene
+    import imageio.v2 as imageio
+
+    import semantic_meshes
+
+    # nested-name workspace over the same mesh/poses
+    ws2 = tmp_path / "ws_nested"
+    os.makedirs(ws2)
+    src = semantic_meshes.io.colmap
+    cams_src = src.read_cameras(str(root / "ws"))
+    imgs_src = src.read_images(str(root / "ws"))
+    for im in imgs_src.values():
+        im.name = "cam0/" + im.name
+    src.write_cameras_txt(ws2 / "cameras.txt", cams_src)
+    src.write_images_txt(ws2 / "images.txt", imgs_src)
+
+    mesh = semantic_meshes.data.Ply(str(root / "mesh.ply"))
+    workspace = semantic_meshes.data.Colmap(str(ws2))
+    renderer = semantic_meshes.render.triangles(mesh)
+    masks = tmp_path / "masks" / "cam0"
+    os.makedirs(masks)
+    observed = np.zeros(renderer.getPrimitivesNum(), bool)
+    for i in range(1, 4):
+        idx, _ = renderer.render(workspace.getCamera(f"cam0/v{i}.png"))
+        idx_hw = np.asarray(idx).T
+        cov = idx_hw != 0xFFFFFFFF
+        observed[idx_hw[cov].astype(np.int64)] = True
+        cls = np.zeros(idx_hw.shape, np.uint8)
+        cls[cov] = tri_class[idx_hw[cov].astype(np.int64)]
+        imageio.imwrite(masks / f"v{i}.png", cls)
+    assert not observed.all()  # the cube's far faces are never seen
+
+    out = tmp_path / "ann_mul"
+    fused_npz = tmp_path / "fused_mul.npz"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SM_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "render_annotations.py"),
+            "--colmap", str(ws2),
+            "--input_ply", str(root / "mesh.ply"),
+            "--classes", "19",
+            "--masks", str(tmp_path / "masks"),
+            "--output_dir", str(out),
+            "--aggregator", "mul",
+            "--save_fused", str(fused_npz),
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    # (a) unobserved primitives stay zero in the saved distributions
+    fused = np.load(fused_npz)["fused"]
+    assert not fused[~observed].any()
+    assert fused[observed].sum(-1).min() > 0.5
+    # (b) nested outputs exist and covered pixels carry the right class
+    for i in range(1, 4):
+        labels = imageio.imread(out / "labels" / "cam0" / f"v{i}.png")
+        idx, _ = renderer.render(workspace.getCamera(f"cam0/v{i}.png"))
+        idx_hw = np.asarray(idx).T
+        cov = idx_hw != 0xFFFFFFFF
+        want = tri_class[idx_hw[cov].astype(np.int64)]
+        np.testing.assert_array_equal(labels[cov], want)
+        assert (labels[~cov] == 255).all()
