@@ -123,10 +123,17 @@ def pinhole_project(focal_lengths, principal_point, points_cam):
 #       identity — equidistant projection itself bends rays.
 #   LENS_FOV (2): (omega, 0, ...) — Devernay-Faugeras FOV model,
 #       r_d = atan(2 r tan(omega/2)) / omega.
+#   LENS_THIN_PRISM (3): (k1, k2, p1, p2, k3, k4, sx1, sy1) — COLMAP's
+#       THIN_PRISM_FISHEYE: equidistant projection (u, v) -> atan(r)/r *
+#       (u, v) first, then a 4-term radial polynomial + OpenCV tangential
+#       + thin-prism (sx1 r2, sy1 r2) terms on the projected coords.
+#       Zero params is NOT the identity (the equidistant step bends rays,
+#       like LENS_FISHEYE).
 
 LENS_RADTAN = 0.0
 LENS_FISHEYE = 1.0
 LENS_FOV = 2.0
+LENS_THIN_PRISM = 3.0
 LENS_EXTENDED_DIM = 9
 
 
@@ -168,11 +175,29 @@ def _distort_extended(xy, dist):
     fov = jnp.where(r < 1e-8, 2.0 * tw / safe_w, fov_gen)
     fov = jnp.where(jnp.abs(w) < 1e-6, 1.0, fov)
 
+    # thin-prism fisheye (THIN_PRISM_FISHEYE): equidistant projection,
+    # then radial (slots 0, 1, 4, 5) + tangential (2, 3) + thin prism
+    # (6, 7) on the projected coords — COLMAP camera_models.h order
+    # (k1, k2, p1, p2, k3, k4, sx1, sy1)
+    eq = jnp.where(r < 1e-8, 1.0, theta / safe_r)
+    uu, vv = x * eq, y * eq
+    u2, v2, uv = uu * uu, vv * vv, uu * vv
+    q2 = u2 + v2
+    tk1, tk2, tp1, tp2 = s[0], s[1], s[2], s[3]
+    tk3, tk4, sx1, sy1 = s[4], s[5], s[6], s[7]
+    t_rad = q2 * (tk1 + q2 * (tk2 + q2 * (tk3 + q2 * tk4)))
+    du = uu * t_rad + 2.0 * tp1 * uv + tp2 * (q2 + 2.0 * u2) + sx1 * q2
+    dv = vv * t_rad + tp1 * (q2 + 2.0 * v2) + 2.0 * tp2 * uv + sy1 * q2
+    out_tpf = jnp.stack([uu + du, vv + dv], axis=-1)
+
     scale = jnp.where(sel == LENS_FISHEYE, fish,
                       jnp.where(sel == LENS_FOV, fov, 1.0))
     out_scaled = xy * scale[..., None]
     out_radtan = jnp.stack([xt, yt], axis=-1)
-    return jnp.where((sel == LENS_RADTAN)[..., None], out_radtan, out_scaled)
+    return jnp.where(
+        (sel == LENS_RADTAN)[..., None], out_radtan,
+        jnp.where((sel == LENS_THIN_PRISM)[..., None], out_tpf, out_scaled),
+    )
 
 
 def _undistort_extended(xy_distorted, dist, iters: int = 30):
@@ -321,22 +346,39 @@ def max_monotonic_radius(dist):
     return jnp.sqrt(x_min)
 
 
+def _radial_only_wire(dist):
+    """Zero an extended wire's non-radial terms for the radial-response
+    bound: tangential p1/p2 live in slots 2, 3 for the radtan AND
+    thin-prism families (for fisheye those slots hold k3/k4 and are
+    kept), and the thin-prism sx1/sy1 (slots 6, 7) shift even on-axis
+    samples, so they are zeroed too."""
+    dist = jnp.asarray(dist, jnp.float32)
+    sel = dist[..., 8]
+    tang = ((sel == LENS_RADTAN) | (sel == LENS_THIN_PRISM))[..., None]
+    prism = (sel == LENS_THIN_PRISM)[..., None]
+    return jnp.concatenate(
+        [
+            dist[..., :2],
+            jnp.where(tang, 0.0, dist[..., 2:4]),
+            dist[..., 4:6],
+            jnp.where(prism, 0.0, dist[..., 6:8]),
+            dist[..., 8:],
+        ],
+        axis=-1,
+    )
+
+
 def _radial_response(dist, samples: int = 512):
     """Sampled forward radial response of an extended-wire lens.
 
     Returns (r, rd, good): undistorted radii r = tan(theta) on a uniform
     theta grid (virtual rays out to ~88.8 deg), the distorted radius
-    rd(r) each maps to (tangential terms zeroed for the radtan family —
-    the radial bound, matching the classic path), and the strictly-
-    increasing (invertible) prefix mask. Shared by the numeric fold
-    radius and render._undistort_grid's per-pixel inverse. dist: (9,)
-    single lens (no leading batch dims)."""
-    dist = jnp.asarray(dist, jnp.float32)
-    sel = dist[..., 8]
-    keep = jnp.where((sel == LENS_RADTAN)[..., None], 0.0, 1.0)
-    d2 = jnp.concatenate(
-        [dist[..., :2], dist[..., 2:4] * keep, dist[..., 4:]], axis=-1
-    )
+    rd(r) each maps to (tangential/thin-prism terms zeroed — the radial
+    bound, matching the classic path), and the strictly-increasing
+    (invertible) prefix mask. Shared by the numeric fold radius and
+    render._undistort_grid's per-pixel inverse. dist: (9,) single lens
+    (no leading batch dims)."""
+    d2 = _radial_only_wire(dist)
     theta = jnp.linspace(1e-3, 1.55, samples)
     r = jnp.tan(theta)
     pts = jnp.stack([r, jnp.zeros_like(r)], axis=-1)
@@ -355,16 +397,11 @@ def _max_monotonic_radius_extended(dist, samples: int = 512):
     r = tan(theta), theta uniform up to ~88.8 deg (undistorted radii past
     that are outside any real camera's field of view), and returns the
     largest sampled radius whose prefix is strictly increasing — or +inf
-    when the response is monotone over the whole probed range. Tangential
-    terms (radtan slots 2, 3) are zeroed to match the classic path's
-    radial-only bound; for fisheye those slots hold k3/k4 and are kept.
-    Branchless and vmappable over leading dist dims."""
-    dist = jnp.asarray(dist, jnp.float32)
-    sel = dist[..., 8]
-    keep = jnp.where((sel == LENS_RADTAN)[..., None], 0.0, 1.0)
-    d2 = jnp.concatenate(
-        [dist[..., :2], dist[..., 2:4] * keep, dist[..., 4:]], axis=-1
-    )
+    when the response is monotone over the whole probed range.
+    Tangential/thin-prism terms are zeroed (_radial_only_wire) to match
+    the classic path's radial-only bound. Branchless and vmappable over
+    leading dist dims."""
+    d2 = _radial_only_wire(dist)
     theta = jnp.linspace(1e-3, 1.55, samples)
     r = jnp.tan(theta)
     pts = jnp.stack([r, jnp.zeros_like(r)], axis=-1)  # (samples, 2)

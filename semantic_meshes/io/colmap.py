@@ -46,8 +46,9 @@ class ColmapCamera:
     principal_point: np.ndarray  # (2,) f64
     # lens distortion on normalized coords: canonical (k1, k2, p1, p2) for
     # the classic models (zeros for pinhole), or the extended 9-wide wire
-    # (8 param slots + model selector) for FULL_OPENCV / fisheye / FOV;
-    # see geometry.distort_normalized and the geometry.LENS_* comment
+    # (8 param slots + model selector) for FULL_OPENCV / fisheye / FOV /
+    # THIN_PRISM_FISHEYE; see geometry.distort_normalized and the
+    # geometry.LENS_* comment
     distortion: np.ndarray = None
 
     def __post_init__(self):
@@ -86,11 +87,11 @@ def _intrinsics_from_params(model_name, params):
     canonical (k1, k2, p1, p2) wire; FULL_OPENCV and the fisheye/FOV models
     return the extended 9-wide wire (8 param slots + model selector — see
     geometry.py LENS_* comment), both consumed by
-    geometry.distort_normalized / the renderers' resampling layer.
-    THIN_PRISM_FISHEYE (thin-prism terms on top of the fisheye map) is the
-    one COLMAP model that still raises.
+    geometry.distort_normalized / the renderers' resampling layer. This
+    covers COLMAP's entire camera-model zoo (camera_models.h), including
+    THIN_PRISM_FISHEYE.
     """
-    from ..geometry import LENS_FISHEYE, LENS_FOV
+    from ..geometry import LENS_FISHEYE, LENS_FOV, LENS_THIN_PRISM
 
     zero = np.zeros(4)
     if model_name == "SIMPLE_PINHOLE":
@@ -129,12 +130,16 @@ def _intrinsics_from_params(model_name, params):
         fx, fy, cx, cy, omega = params[:5]
         return (np.array([fx, fy]), np.array([cx, cy]),
                 np.array([omega, 0, 0, 0, 0, 0, 0, 0, LENS_FOV]))
+    if model_name == "THIN_PRISM_FISHEYE":
+        fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, sx1, sy1 = params[:12]
+        return (np.array([fx, fy]), np.array([cx, cy]),
+                np.array([k1, k2, p1, p2, k3, k4, sx1, sy1,
+                          LENS_THIN_PRISM]))
     raise ColmapError(
         f"unsupported COLMAP camera model {model_name}; supported: "
         "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV, "
         "FULL_OPENCV, OPENCV_FISHEYE, SIMPLE_RADIAL_FISHEYE, "
-        "RADIAL_FISHEYE, FOV (THIN_PRISM_FISHEYE workspaces must be "
-        "undistorted externally)"
+        "RADIAL_FISHEYE, FOV, THIN_PRISM_FISHEYE"
     )
 
 
@@ -333,7 +338,7 @@ def write_cameras_txt(path, cameras):
             elif cam.model == "OPENCV":
                 params = [*cam.focal_lengths, *cam.principal_point,
                           k1, k2, p1, p2]
-            elif cam.model == "FULL_OPENCV":
+            elif cam.model in ("FULL_OPENCV", "THIN_PRISM_FISHEYE"):
                 params = [*cam.focal_lengths, *cam.principal_point, *d[:8]]
             elif cam.model == "OPENCV_FISHEYE":
                 params = [*cam.focal_lengths, *cam.principal_point, *d[:4]]

@@ -211,14 +211,18 @@ class TestColmapIO:
                 back[cid].focal_lengths, cam.focal_lengths
             )
 
-    def test_thin_prism_rejected(self, tmp_path):
-        # the fisheye/FOV families parse onto the extended wire now
-        # (tests/test_lens_models.py); THIN_PRISM_FISHEYE is the one
-        # COLMAP model that still raises
+    def test_thin_prism_parses_on_extended_wire(self, tmp_path):
+        # every COLMAP model parses now; THIN_PRISM_FISHEYE (the last to
+        # land) rides the extended wire with selector LENS_THIN_PRISM
+        # (full coverage in tests/test_lens_models.py)
+        from semantic_meshes.geometry import LENS_THIN_PRISM
+
         p = tmp_path / "cameras.bin"
         self._write_bin(p, 10, np.zeros(12))
-        with pytest.raises(colmap_io.ColmapError, match="unsupported"):
-            colmap_io.read_cameras_bin(str(p))
+        cam = next(iter(colmap_io.read_cameras_bin(str(p)).values()))
+        assert cam.model == "THIN_PRISM_FISHEYE"
+        assert cam.distortion.shape == (9,)
+        assert cam.distortion[8] == LENS_THIN_PRISM
 
 
 class TestCameraPytree:

@@ -6,8 +6,9 @@ classic radial/OpenCV family on a (4,) wire. This covers the REST of
 COLMAP's camera zoo on the extended 9-wide wire (8 param slots + model
 selector, geometry.py LENS_*): FULL_OPENCV's rational polynomial, the
 equidistant fisheye family (OPENCV_FISHEYE / SIMPLE_RADIAL_FISHEYE /
-RADIAL_FISHEYE), and the Devernay-Faugeras FOV model — every COLMAP model
-except THIN_PRISM_FISHEYE. Oracles are independent numpy transcriptions of
+RADIAL_FISHEYE), the Devernay-Faugeras FOV model, and THIN_PRISM_FISHEYE
+(equidistant projection + radial/tangential/thin-prism terms) — COLMAP's
+entire camera zoo. Oracles are independent numpy transcriptions of
 COLMAP's camera_models.h equations; inversion is tested as a roundtrip
 (the jax path inverts by jvp-Jacobian Newton, a different algorithm).
 """
@@ -82,10 +83,36 @@ def wire_fov(omega):
     return d
 
 
+def oracle_thin_prism_fisheye(k8, xy):
+    """COLMAP ThinPrismFisheyeCameraModel: equidistant projection, then
+    Distortion() with params (k1, k2, p1, p2, k3, k4, sx1, sy1)."""
+    k1, k2, p1, p2, k3, k4, sx1, sy1 = k8
+    x, y = xy[..., 0], xy[..., 1]
+    r = np.sqrt(x * x + y * y)
+    th = np.arctan(r)
+    eq = np.where(r > 1e-12, th / np.maximum(r, 1e-12), 1.0)
+    u, v = x * eq, y * eq
+    u2, v2, uv = u * u, v * v, u * v
+    r2 = u2 + v2
+    radial = k1 * r2 + k2 * r2**2 + k3 * r2**3 + k4 * r2**4
+    du = u * radial + 2 * p1 * uv + p2 * (r2 + 2 * u2) + sx1 * r2
+    dv = v * radial + p1 * (r2 + 2 * v2) + 2 * p2 * uv + sy1 * r2
+    return np.stack([u + du, v + dv], axis=-1)
+
+
+def wire_thin_prism(k8):
+    return np.concatenate(
+        [np.asarray(k8, np.float32), [geometry.LENS_THIN_PRISM]]
+    ).astype(np.float32)
+
+
 FULL_K = np.array(
     [-0.08, 0.015, 0.004, -0.003, 0.002, 0.01, -0.004, 0.001]
 )
 FISH_K4 = np.array([0.03, -0.011, 0.002, -0.0005])
+TPF_K8 = np.array(
+    [0.03, -0.011, 0.002, -0.0015, 0.0008, -0.0002, 0.001, -0.0007]
+)
 
 
 class TestExtendedDistortionMath:
@@ -140,6 +167,33 @@ class TestExtendedDistortionMath:
         want = xy * (np.arctan(r) / np.maximum(r, 1e-12))[:, None]
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    @pytest.mark.parametrize(
+        "k8",
+        [TPF_K8, np.zeros(8)],
+        ids=["thin_prism", "zero_params"],
+    )
+    def test_thin_prism_fisheye_matches_oracle(self, k8):
+        xy = self._points(7)
+        got = np.asarray(
+            geometry.distort_normalized(xy, wire_thin_prism(k8))
+        )
+        want = oracle_thin_prism_fisheye(k8, xy.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_thin_prism_zero_params_equals_equidistant(self):
+        """With all eight params zero, THIN_PRISM_FISHEYE reduces to the
+        bare equidistant projection — i.e. exactly the zero-k fisheye.
+        Like LENS_FISHEYE, this is NOT the identity; the selector keeps
+        the wire nonzero for the structural zero-lens checks."""
+        xy = self._points(8)
+        d = wire_thin_prism(np.zeros(8))
+        assert np.any(d)
+        got = np.asarray(geometry.distort_normalized(xy, d))
+        fish = np.asarray(
+            geometry.distort_normalized(xy, wire_fisheye(np.zeros(4)))
+        )
+        np.testing.assert_allclose(got, fish, atol=1e-6)
+
     @pytest.mark.parametrize("omega", [0.3, 0.9, 1.4])
     def test_fov_matches_oracle(self, omega):
         xy = self._points(4)
@@ -155,8 +209,9 @@ class TestExtendedDistortionMath:
     @pytest.mark.parametrize(
         "dist",
         [wire_full_opencv(FULL_K), wire_fisheye(FISH_K4), wire_fov(0.9),
-         wire_fisheye(np.zeros(4))],
-        ids=["full_opencv", "fisheye", "fov", "fisheye_zero_k"],
+         wire_fisheye(np.zeros(4)), wire_thin_prism(TPF_K8)],
+        ids=["full_opencv", "fisheye", "fov", "fisheye_zero_k",
+             "thin_prism"],
     )
     def test_undistort_inverts_forward(self, dist):
         xy = self._points(6, n=301, lim=0.5)
@@ -242,6 +297,11 @@ class TestColmapExtendedModels:
                 np.array([40.0, 42.0, 32.0, 24.0, 0.9]),
                 wire_fov(0.9),
             ),
+            (
+                "THIN_PRISM_FISHEYE", 10,
+                np.concatenate([[40.0, 42.0, 32.0, 24.0], TPF_K8]),
+                wire_thin_prism(TPF_K8),
+            ),
         ],
     )
     def test_bin_parse(self, tmp_path, model, mid, raw, want_wire):
@@ -250,7 +310,8 @@ class TestColmapExtendedModels:
         cam = colmap_io.read_cameras_bin(str(p))[7]
         assert cam.model == model
         np.testing.assert_allclose(cam.distortion, want_wire, atol=1e-7)
-        if model in ("FULL_OPENCV", "OPENCV_FISHEYE", "FOV"):
+        if model in ("FULL_OPENCV", "OPENCV_FISHEYE", "FOV",
+                     "THIN_PRISM_FISHEYE"):
             np.testing.assert_allclose(cam.focal_lengths, raw[:2])
             np.testing.assert_allclose(cam.principal_point, raw[2:4])
         else:
@@ -279,6 +340,10 @@ class TestColmapExtendedModels:
                 5, "FOV", 64, 48, np.array([40.0, 42.0]),
                 np.array([32.0, 24.0]), wire_fov(0.9),
             ),
+            6: colmap_io.ColmapCamera(
+                6, "THIN_PRISM_FISHEYE", 64, 48, np.array([40.0, 42.0]),
+                np.array([32.0, 24.0]), wire_thin_prism(TPF_K8),
+            ),
         }
         p = tmp_path / "cameras.txt"
         colmap_io.write_cameras_txt(str(p), cams)
@@ -292,10 +357,10 @@ class TestColmapExtendedModels:
                 back[cid].focal_lengths, cam.focal_lengths
             )
 
-    def test_thin_prism_still_rejected(self, tmp_path):
+    def test_unknown_model_id_rejected(self, tmp_path):
         p = tmp_path / "cameras.bin"
-        self._write_bin(p, 10, np.zeros(12))  # THIN_PRISM_FISHEYE
-        with pytest.raises(colmap_io.ColmapError, match="unsupported"):
+        self._write_bin(p, 11, np.zeros(12))  # beyond COLMAP's model zoo
+        with pytest.raises(colmap_io.ColmapError):
             colmap_io.read_cameras_bin(str(p))
 
 
@@ -447,6 +512,7 @@ class TestExtendedLensRender:
         cams = [
             make_camera(distortion=wire_fisheye(FISH_K4 * 0.5)),
             make_camera(distortion=wire_fov(0.7)),
+            make_camera(distortion=wire_thin_prism(TPF_K8)),
             make_camera(distortion=[0.12]),
             make_camera(),
         ]
@@ -469,6 +535,7 @@ class TestExtendedLensRender:
         cams = [
             make_camera(distortion=wire_fisheye(FISH_K4)),
             make_camera(distortion=wire_fov(0.8)),
+            make_camera(distortion=wire_thin_prism(TPF_K8)),
             make_camera(distortion=[0.1]),
             make_camera(),
         ]
@@ -528,6 +595,36 @@ class TestExtendedLensRender:
         assert fg.mean() > 0.2
         assert arr[fg].max() < r.getPrimitivesNum()
 
+    def test_colmap_thin_prism_workspace_end_to_end(self, tmp_path):
+        """A synthetic THIN_PRISM_FISHEYE workspace (the last COLMAP
+        model to land) loads and drives render."""
+        from semantic_meshes.data import Colmap, Ply
+        from semantic_meshes.io import ply as ply_io
+
+        mesh = scene()
+        ply_io.write_mesh(
+            str(tmp_path / "mesh.ply"), mesh.vertices, mesh.faces,
+            np.zeros((2, 3), np.uint8),
+        )
+        params = " ".join(repr(float(v)) for v in TPF_K8)
+        with open(tmp_path / "cameras.txt", "w") as f:
+            f.write("# cameras\n")
+            f.write(
+                f"1 THIN_PRISM_FISHEYE 96 72 60.0 60.0 48.0 36.0 {params}\n"
+            )
+        with open(tmp_path / "images.txt", "w") as f:
+            f.write("1 1 0 0 0 0 0 0 1 view0.png\n\n")
+        workspace = Colmap(str(tmp_path))
+        cam = workspace.getCamera(0)
+        assert cam.distortion.shape == (9,)
+        assert cam.distortion[8] == geometry.LENS_THIN_PRISM
+        r = render_mod.triangles(Ply(str(tmp_path / "mesh.ply")))
+        idx, dep = r.render(cam)
+        arr = np.asarray(idx)
+        fg = arr != 0xFFFFFFFF
+        assert fg.mean() > 0.2
+        assert arr[fg].max() < r.getPrimitivesNum()
+
 
 class TestLensWireRobustness:
     def test_undistort_grid_finite_for_random_wires(self):
@@ -543,15 +640,18 @@ class TestLensWireRobustness:
         pp = jnp.asarray([48.0, 36.0])
         for trial in range(24):
             d = np.zeros(9, np.float32)
-            sel = trial % 3
+            sel = trial % 4
             if sel == 0:
                 d[:8] = rng.uniform(-0.5, 0.5, 8)
             elif sel == 1:
                 d[:4] = rng.uniform(-0.5, 0.5, 4)
                 d[8] = geometry.LENS_FISHEYE
-            else:
+            elif sel == 2:
                 d[0] = rng.uniform(0.01, 1.5)
                 d[8] = geometry.LENS_FOV
+            else:
+                d[:8] = rng.uniform(-0.3, 0.3, 8)
+                d[8] = geometry.LENS_THIN_PRISM
             n, s = render_mod._undistort_grid(
                 fl, pp, jnp.asarray(d), height=72, width=96
             )
@@ -570,6 +670,7 @@ def test_fuse_views_texels_extended_equals_per_view():
     cams = [
         make_camera(distortion=wire_fisheye(FISH_K4)),
         make_camera(distortion=wire_fov(0.8)),
+        make_camera(distortion=wire_thin_prism(TPF_K8)),
         make_camera(distortion=[0.1]),
         make_camera(),
     ]
