@@ -212,8 +212,11 @@ def test_colorize_cityscapes_mesh_chunked(scene, tmp_path, chunk):
         ("SIMPLE_RADIAL", np.array([0.08, 0, 0, 0])),
         ("OPENCV_FISHEYE",
          np.array([0.03, -0.011, 0.002, -0.0005, 0, 0, 0, 0, 1.0])),
+        ("THIN_PRISM_FISHEYE",
+         np.array([0.03, -0.011, 0.002, -0.0015, 0.0008, -0.0002,
+                   0.001, -0.0007, 3.0])),
     ],
-    ids=["simple_radial", "opencv_fisheye"],
+    ids=["simple_radial", "opencv_fisheye", "thin_prism_fisheye"],
 )
 def test_colorize_cityscapes_mesh_chunked_distorted(tmp_path, cam_model,
                                                     dist_wire):
