@@ -39,20 +39,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_scene(root, *, views, subdivisions, width, height):
-    """Cube mesh + COLMAP text workspace + PNG images, mirroring
-    tests/test_scripts.py's fixture at scale (probs are built separately
-    per wire format by ensure_probs)."""
-    import imageio.v2 as imageio
+# lens parameters per COLMAP model for the distorted-workspace legs
+# (matching tests/test_scripts.py / test_lens_models.py magnitudes);
+# SIMPLE_RADIAL is COLMAP's *default* output model, i.e. the untouched
+# real-workspace entry path
+_CAM_DISTORTION = {
+    "PINHOLE": None,
+    "SIMPLE_RADIAL": [0.08, 0, 0, 0],
+    "OPENCV_FISHEYE": [0.03, -0.011, 0.002, -0.0005, 0, 0, 0, 0, 1.0],
+    "THIN_PRISM_FISHEYE": [0.03, -0.011, 0.002, -0.0015, 0.0008,
+                           -0.0002, 0.001, -0.0007, 3.0],
+}
+
+
+def write_workspace(root, *, views, width, height, cam_model):
+    """(Re)write the COLMAP text workspace — cheap, so it runs even for a
+    reused --keep scene: the camera model is a bench axis."""
     import numpy as np
 
     from semantic_meshes import testing
     from semantic_meshes.io import colmap as cio
-    from semantic_meshes.io.ply import write_mesh
 
-    os.makedirs(root, exist_ok=True)
-    vertices, faces = testing.make_cube(subdivisions)
-    write_mesh(os.path.join(root, "mesh.ply"), vertices, faces)
     cams = testing.make_ring_cameras(
         num_views=views, width=width, height=height
     )
@@ -67,11 +74,13 @@ def build_scene(root, *, views, subdivisions, width, height):
 
     ws = os.path.join(root, "ws")
     os.makedirs(ws, exist_ok=True)
+    dist = _CAM_DISTORTION[cam_model]
     cameras = {
         1: cio.ColmapCamera(
-            1, "PINHOLE", width, height,
+            1, cam_model, width, height,
             np.array([0.9 * height, 0.9 * height]),
             np.array([width / 2, height / 2]),
+            None if dist is None else np.asarray(dist, np.float64),
         )
     }
     images = {
@@ -83,6 +92,21 @@ def build_scene(root, *, views, subdivisions, width, height):
     }
     cio.write_cameras_txt(os.path.join(ws, "cameras.txt"), cameras)
     cio.write_images_txt(os.path.join(ws, "images.txt"), images)
+
+
+def build_scene(root, *, views, subdivisions, width, height):
+    """Cube mesh + PNG images, mirroring tests/test_scripts.py's fixture
+    at scale (the COLMAP workspace is written separately by
+    write_workspace; probs per wire format by ensure_probs)."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from semantic_meshes import testing
+    from semantic_meshes.io.ply import write_mesh
+
+    os.makedirs(root, exist_ok=True)
+    vertices, faces = testing.make_cube(subdivisions)
+    write_mesh(os.path.join(root, "mesh.ply"), vertices, faces)
 
     imgdir = os.path.join(root, "images")
     os.makedirs(imgdir, exist_ok=True)
@@ -162,6 +186,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="pass through to the demo: views per fused "
                     "render+fuse dispatch (0 = auto, 1 = per-view)")
+    ap.add_argument("--cam_model", default="PINHOLE",
+                    choices=sorted(_CAM_DISTORTION),
+                    help="COLMAP camera model for the workspace: "
+                    "SIMPLE_RADIAL = COLMAP's default output (the "
+                    "distorted real-workspace entry path), fisheye "
+                    "models ride the extended lens wire")
     ap.add_argument("--keep", help="scene directory (reused if populated)")
     args = ap.parse_args()
 
@@ -175,6 +205,8 @@ def main():
         )
     else:
         faces = 12 * args.subdivisions**2
+    write_workspace(root, views=args.views, width=args.width,
+                    height=args.height, cam_model=args.cam_model)
     cmd = [
         sys.executable,
         os.path.join(REPO, "scripts", "colorize_cityscapes_mesh.py"),
@@ -274,6 +306,7 @@ def main():
         "vs_reference_2s": round(2.0 / (wall / args.views), 1),
         "detail": {
             "leg": args.leg,
+            "cam_model": args.cam_model,
             "views": args.views,
             "resolution": [args.width, args.height],
             "triangles": faces,
