@@ -1049,26 +1049,33 @@ def _resample_wh(idx_wh, depth_wh, n, fl_s, pp):
     """Nearest-sample the (W, H) pinhole index/depth images at the pinhole
     pixel coords of each distorted pixel's ray; returns (W, H) outputs.
 
-    The sample is ONE packed 2-lane row gather (index bits bitcast into a
-    float lane next to depth) instead of two 2D advanced-index gathers —
-    measured 3.1x faster on v5e at 1024x768 (7.5 vs 23.4 ms/view
-    standalone; the resample dominated the distorted path's cost,
-    /tmp-microbench recorded in docs/PERFORMANCE.md "Distorted-camera
-    overhead"). bitcast preserves the uint32 index bits exactly, so the
-    zero-lens bit-identity contract is untouched."""
+    The sample is ONE packed 2-lane row gather instead of two 2D
+    advanced-index gathers — measured 3.1x faster on v5e at 1024x768
+    (7.5 vs 23.4 ms/view standalone; the resample dominated the
+    distorted path's cost, docs/PERFORMANCE.md "Distorted-camera
+    overhead").
+
+    The packing is in UINT32 space (depth bits bitcast beside the raw
+    index), not float space: TPU f32 gathers in this fused 2-lane form
+    canonicalize NaNs (0xFFFFFFFF background -> 0x7FC00000) and flush
+    denormals to zero (EVERY primitive index < 0x00800000 -> 0) —
+    measured on v5e, /tmp bitcast probes, round 5. Integer lanes are
+    inert through any data movement, so the uint32 form is bit-exact at
+    identical speed (5.85 vs 5.89 ms standalone at 786k rows). Same
+    hazard class the rasterizers avoid via _ID_BIAS (dense.py:523)."""
     px = fl_s[0] * n[..., 0] + pp[0]  # (H, W)
     py = fl_s[1] * n[..., 1] + pp[1]
     w_img, h_img = idx_wh.shape
     ix = jnp.clip(px.astype(jnp.int32), 0, w_img - 1)
     iy = jnp.clip(py.astype(jnp.int32), 0, h_img - 1)
     packed = jnp.stack(
-        [jax.lax.bitcast_convert_type(idx_wh, jnp.float32), depth_wh],
+        [idx_wh, jax.lax.bitcast_convert_type(depth_wh, jnp.uint32)],
         axis=-1,
     ).reshape(-1, 2)
     lin = (ix * h_img + iy).reshape(-1)
     out = packed[lin].reshape(ix.shape + (2,))
-    idx = jax.lax.bitcast_convert_type(out[..., 0], jnp.uint32)
-    return idx.T, out[..., 1].T
+    dep = jax.lax.bitcast_convert_type(out[..., 1], jnp.float32)
+    return out[..., 0].T, dep.T
 
 
 @functools.partial(

@@ -303,6 +303,41 @@ class TestDistortedRender:
         np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_d))
         np.testing.assert_array_equal(np.asarray(dep_p), np.asarray(dep_d))
 
+    def test_resample_preserves_index_bits(self):
+        """_resample_wh must be bit-exact on adversarial uint32 patterns:
+        0xFFFFFFFF (background = NaN payload as float bits) and small
+        primitive ids (denormal floats). TPU f32 gathers in the fused
+        2-lane packed form canonicalize NaNs and flush denormals to zero
+        — measured on v5e (round 5); the packing therefore rides uint32
+        lanes, which any backend moves inertly. Regression for the bug
+        that zeroed EVERY resampled primitive index on the real chip
+        while the CPU suite stayed green."""
+        import jax
+        import jax.numpy as jnp
+
+        w_img, h_img = 64, 48
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, 1000, (w_img, h_img)).astype(np.uint32)
+        idx[rng.random((w_img, h_img)) < 0.3] = 0xFFFFFFFF
+        idx[0, 0] = 0x00800000  # smallest normal-float bits
+        idx[1, 0] = 1           # denormal bits
+        depth = rng.random((w_img, h_img)).astype(np.float32)
+        depth[idx.astype(np.int64) == 0xFFFFFFFF] = np.inf
+        # identity grid: every distorted pixel samples its own center
+        yy, xx = np.mgrid[0:h_img, 0:w_img].astype(np.float32)
+        fl = jnp.asarray([60.0, 60.0])
+        pp = jnp.asarray([0.0, 0.0])
+        n = jnp.asarray(
+            np.stack([(xx + 0.5) / 60.0, (yy + 0.5) / 60.0], axis=-1)
+        )
+        got_idx, got_dep = jax.jit(render_mod._resample_wh)(
+            jnp.asarray(idx), jnp.asarray(depth), n, fl, pp
+        )
+        np.testing.assert_array_equal(np.asarray(got_idx), idx)
+        np.testing.assert_array_equal(
+            np.asarray(got_dep).view(np.uint32), depth.view(np.uint32)
+        )
+
     @pytest.mark.parametrize("k1", [0.15, -0.1])
     def test_matches_normalized_space_oracle(self, k1):
         """Distorted render == brute-force z-buffer at each distorted
