@@ -179,12 +179,12 @@ class TestColmap:
     def test_unsupported_model_raises(self, tmp_path):
         import struct
 
-        # the radial/OpenCV family (test_distortion.py) and the extended
-        # fisheye/FOV family (test_lens_models.py) parse natively now;
-        # THIN_PRISM_FISHEYE is the one COLMAP model that still raises
+        # every COLMAP model parses natively now (test_distortion.py,
+        # test_lens_models.py); ids beyond the zoo still raise typed
+        # errors instead of leaking struct/KeyError
         with open(tmp_path / "cameras.bin", "wb") as f:
             f.write(struct.pack("<Q", 1))
-            f.write(struct.pack("<ii", 1, 10))  # THIN_PRISM_FISHEYE
+            f.write(struct.pack("<ii", 1, 11))  # beyond COLMAP's models
             f.write(struct.pack("<QQ", 10, 10))
             f.write(np.zeros(12, "<f8").tobytes())
         with pytest.raises(colmap_io.ColmapError):
