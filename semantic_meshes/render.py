@@ -867,32 +867,35 @@ def _texel_prim_image(vertices, faces, rotation, translation, focal_lengths,
         a1 = aff(1)
         a2 = aff(2)
     s = tuple(a0[k] + a1[k] + a2[k] for k in range(3))
-    cols = list(a1) + list(a2) + list(s)
-    cols.append(
-        jax.lax.bitcast_convert_type(
-            jnp.asarray(resolutions, jnp.int32), jnp.float32
-        )
-    )
-    cols.append(
-        jax.lax.bitcast_convert_type(
-            jnp.asarray(first_texel_index, jnp.int32), jnp.float32
-        )
-    )
-    table = jnp.stack(cols, axis=-1)  # (T, 11)
+    # The table rides INT32 lanes (float coefficient bits bitcast in,
+    # bitcast back after the gather): integer gathers move bits inertly
+    # on every backend, while TPU f32 gathers can canonicalize NaNs and
+    # flush denormals in some fused lowerings — which would zero the
+    # int32 resolution/first-texel columns (the exact failure
+    # render._resample_wh hit in round 5; this gather measured bit-exact
+    # at 100k x 1.25M on v5e, but the safety is free).
+    cols = [
+        jax.lax.bitcast_convert_type(c, jnp.int32)
+        for c in list(a1) + list(a2) + list(s)
+    ]
+    cols.append(jnp.asarray(resolutions, jnp.int32))
+    cols.append(jnp.asarray(first_texel_index, jnp.int32))
+    table = jnp.stack(cols, axis=-1)  # (T, 11) int32
 
     height, width = tri_index.shape
     tri = jnp.maximum(tri_index, 0)
     row = table[tri]  # (H, W, 11) — the single per-pixel gather
+    coef = jax.lax.bitcast_convert_type(row[..., :9], jnp.float32)
     py = (
         jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
         + jnp.asarray(y_offset, jnp.float32)
     )
     px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
-    s_val = row[..., 6] * px + row[..., 7] * py + row[..., 8]
-    u = (row[..., 0] * px + row[..., 1] * py + row[..., 2]) / s_val
-    v = (row[..., 3] * px + row[..., 4] * py + row[..., 5]) / s_val
-    res = jax.lax.bitcast_convert_type(row[..., 9], jnp.int32)
-    first = jax.lax.bitcast_convert_type(row[..., 10], jnp.int32)
+    s_val = coef[..., 6] * px + coef[..., 7] * py + coef[..., 8]
+    u = (coef[..., 0] * px + coef[..., 1] * py + coef[..., 2]) / s_val
+    v = (coef[..., 3] * px + coef[..., 4] * py + coef[..., 5]) / s_val
+    res = row[..., 9]
+    first = row[..., 10]
     rel = geometry.texel_index_uv(u, v, jnp.maximum(res, 1))
     prim = first + rel
     valid = (tri_index >= 0) & (res >= 1)
